@@ -1,0 +1,112 @@
+"""Transcript -> wide per-(conv_id, ts) feature matrix (the flagship build).
+
+Composes the A-layer operators into one declarative plan:
+
+  sessionize -> lag/lead -> backfilled rolling (rows + time-range) ->
+  current-turn text/role features -> regression target (next-turn latency)
+
+Physical shape: every window shares the conv_id partitioning, so the entire
+feature build is ONE hash exchange on conv_id followed by in-partition sorts
+— at 10^12 turns that is the minimum possible shuffle for per-conversation
+features. No Python runs anywhere in this plan (checked by tests asserting
+no BatchEvalPython / ArrowEvalPython node in the physical plan).
+
+Leakage contract: features at (conv_id, ts) read only turns with
+turn_idx' < turn_idx (rolling/lag) or the current turn's own content; the
+target reads the future (lead) and is excluded from the feature list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mrmr_spark.operators.lags import with_lags
+from mrmr_spark.operators.rolling import backfilled_rolling
+from mrmr_spark.operators.sessionize import sessionize
+
+#: Feature columns produced by build_features (targets and keys excluded).
+FEATURE_COLS = [
+    "turn_idx_f",
+    "gap_s",
+    "gap_s_lag1",
+    "gap_s_lag2",
+    "text_len",
+    "token_count",
+    "is_user",
+    "is_assistant",
+    "is_tool_role",
+    "has_tool",
+    "session_idx",
+    "sess_turn",
+    "n_turns_5",
+    "avg_gap_5",
+    "max_gap_5",
+    "assistant_frac_5",
+    "tool_frac_5",
+    "avg_text_len_5",
+    "n_turns_3600s",
+    "avg_gap_3600s",
+]
+
+
+def build_features(
+    transcripts: DataFrame,
+    session_gap_s: float = 1800.0,
+    n_rows: int = 5,
+    range_s: float = 3600.0,
+) -> DataFrame:
+    """Return (conv_id, turn_idx, ts) + FEATURE_COLS + target_next_gap."""
+    df = sessionize(transcripts, gap_s=session_gap_s)
+
+    df = df.withColumn("text_len", F.length("text").cast("double"))
+    df = df.withColumn("token_count", F.size(F.split(F.col("text"), r"\s+")).cast("double"))
+    df = df.withColumn("is_user", (F.col("role") == "user").cast("double"))
+    df = df.withColumn("is_assistant", (F.col("role") == "assistant").cast("double"))
+    df = df.withColumn("is_tool_role", (F.col("role") == "tool").cast("double"))
+    df = df.withColumn("has_tool", F.col("tool").isNotNull().cast("double"))
+
+    df = with_lags(df, {"gap_s": [1, 2]})
+
+    # per-session turn index (0-based) — window over (conv, session)
+    from pyspark.sql.window import Window
+
+    wsess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
+    df = df.withColumn("sess_turn", (F.row_number().over(wsess) - 1).cast("double"))
+
+    df = backfilled_rolling(
+        df,
+        {
+            "n_turns": F.count(F.lit(1)),
+            "avg_gap": F.avg("gap_s"),
+            "max_gap": F.max("gap_s"),
+            "assistant_frac": F.avg("is_assistant"),
+            "tool_frac": F.avg("has_tool"),
+            "avg_text_len": F.avg("text_len"),
+        },
+        n=n_rows,
+    )
+    df = backfilled_rolling(
+        df,
+        {
+            "n_turns": F.count(F.lit(1)),
+            "avg_gap": F.avg("gap_s"),
+        },
+        range_s=range_s,
+    )
+
+    # target: time until the NEXT turn (regression) — future-only, never a feature
+    df = with_lags(df, {"gap_s": [-1]})
+    df = df.withColumn("target_next_gap", F.col("gap_s_lead1"))
+
+    df = (
+        df.withColumn("turn_idx_f", F.col("turn_idx").cast("double"))
+        .withColumn("session_idx", F.col("session_id").cast("double"))
+    )
+
+    keep = ["conv_id", "turn_idx", "ts"]
+    return df.select(
+        *keep,
+        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
+        F.col("target_next_gap").cast("double").alias("target_next_gap"),
+    )

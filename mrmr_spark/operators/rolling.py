@@ -1,0 +1,59 @@
+"""Backfilled rolling-window aggregates, leakage-free (SURVEY.md §2.A A5).
+
+Every window here EXCLUDES the current row (``rowsBetween(-n, -1)`` /
+``rangeBetween(-Δ, -1)``): a feature at (conv_id, ts) reads strictly the past.
+That is the reference's train-on-past/validate-on-future rule
+(``sift/selection/auto_k.py:84-93``) pushed down to feature construction —
+the zero-temporal-leakage invariant the driver contract verifies.
+
+All aggregates over one window spec share a single sort + exchange in the
+physical plan; at 10^12 rows the only shuffle is the hash exchange on
+conv_id, which AQE skew-split handles for hot conversations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def backfilled_rolling(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    n: int | None = None,
+    range_s: float | None = None,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    ts_col: str = "ts",
+    suffix: str | None = None,
+) -> DataFrame:
+    """Add trailing-window aggregates that exclude the current row.
+
+    ``aggs`` maps output-name -> aggregate Column (e.g. ``F.avg("gap_s")``).
+    Exactly one of ``n`` (last n rows) or ``range_s`` (last range_s seconds)
+    must be given.
+    """
+    if (n is None) == (range_s is None):
+        raise ValueError("pass exactly one of n= or range_s=")
+    if n is not None:
+        w = (
+            Window.partitionBy(group)
+            .orderBy(F.col(order))
+            .rowsBetween(-n, -1)
+        )
+        sfx = suffix or f"_{n}"
+    else:
+        # order on integer microseconds so RANGE bounds are exact integers;
+        # end at -1µs excludes the current row (and any exact-tie timestamp,
+        # which cannot occur within a conv — ts strictly increases per conv).
+        w = (
+            Window.partitionBy(group)
+            .orderBy(F.unix_micros(F.col(ts_col)))
+            .rangeBetween(-int(range_s * 1_000_000), -1)
+        )
+        sfx = suffix or f"_{int(range_s)}s"
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(f"{name}{sfx}", col.over(w))
+    return out

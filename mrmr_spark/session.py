@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All defaults are chosen for the 100TB-cluster case and merely *also* work in
+``local[N]``: AQE on (runtime coalesce + skew-join splitting), Arrow on (every
+Python-side kernel is Arrow-batched), UTC session time zone (determinism
+across engines), and a shuffle-partition count taken from the environment so
+the same code runs at local[8] and local[32] for the scaling bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied to sessions we create ourselves. When the driver hands us a
+#: pre-built session (``__spark_entry__.entry``) we do not depend on any of
+#: these for correctness — only for speed.
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: 128MB splits are the right granularity for wide feature
+    # matrices; small local test files produce 1 partition each, which AQE
+    # then coalesces further.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mrmr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster this is replaced by ``spark-submit --py-files`` plus an
+    Iceberg catalog config, e.g.::
+
+        spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.lake.type = ...
+
+    The engine code only ever sees a DataFrame, so parquet (sandbox) and
+    Iceberg (prod) share every code path (SURVEY.md §2.A A1).
+    """
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
