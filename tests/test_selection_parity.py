@@ -1,0 +1,241 @@
+"""Ranking + score parity of the Spark selection engine vs the pandas oracle
+(re-derived reference math), on the reference's own canonical fixtures
+(FIXTURES.md F3/F4; mirrors sift tests/test_smoke.py, test_pandas.py,
+test_optimizations.py assertion patterns)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracle_sift as oracle
+from mrmr_spark.select import select_cefsplus, select_jmi, select_mrmr
+from mrmr_spark.select.relevance import f_classif_scores, f_regression_scores
+
+
+@pytest.fixture(scope="module")
+def fixture_small(spark):
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(500, 20))
+    y_reg = X[:, 0] + 0.5 * X[:, 1] + 0.1 * rng.normal(size=500)
+    y_cls = (X[:, 0] + X[:, 1] > 0).astype(int)
+    cols = [f"f{i}" for i in range(20)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["target_reg"] = y_reg
+    pdf["target_cls"] = y_cls
+    sdf = spark.createDataFrame(pdf).repartition(6).cache()
+    sdf.count()
+    return pdf, sdf, cols
+
+
+@pytest.fixture(scope="module")
+def fixture_large(spark):
+    rng = np.random.default_rng(7)
+    n, p = 1000, 50
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] + 0.5 * X[:, 1] + 0.3 * X[:, 2] + 0.1 * rng.normal(size=n)
+    w = rng.uniform(0.5, 2.0, size=n)
+    cols = [f"x{i}" for i in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["target"] = y
+    pdf["wgt"] = w
+    sdf = spark.createDataFrame(pdf).repartition(6).cache()
+    sdf.count()
+    return pdf, sdf, cols
+
+
+def test_f_regression_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    got = f_regression_scores(sdf, cols, "target_reg", None)["scores"]
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    exp = oracle.f_regression(X32, pdf["target_reg"].to_numpy(np.float32), np.ones(len(pdf)))
+    assert np.allclose(got, exp, rtol=1e-8), np.max(np.abs(got - exp) / exp)
+
+
+def test_f_classif_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    from mrmr_spark.select.preprocess import factorize_target
+
+    sdf2, labels = factorize_target(sdf, "target_cls")
+    got = f_classif_scores(sdf2, cols, "_y_code", len(labels), None)["scores"]
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    exp = oracle.f_classif(X32, oracle.factorize_sorted(pdf["target_cls"]), np.ones(len(pdf)))
+    assert np.allclose(got, exp, rtol=1e-8)
+
+
+def test_mrmr_regression_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_mrmr(sdf, cols, "target_reg", 5, task="regression")
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_regression(X32, pdf["target_reg"].to_numpy(np.float32), np.ones(len(pdf)))
+    exp = oracle.mrmr_classic(X32, rel, 5, np.ones(len(pdf)), "quotient", top_m=250)
+    assert res.names == [cols[i] for i in exp]
+    assert "f0" in res.names and len(res.names) == 5
+
+
+def test_mrmr_classification_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_mrmr(sdf, cols, "target_cls", 5, task="classification")
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_classif(X32, oracle.factorize_sorted(pdf["target_cls"]), np.ones(len(pdf)))
+    exp = oracle.mrmr_classic(X32, rel, 5, np.ones(len(pdf)), "quotient", top_m=250)
+    assert res.names == [cols[i] for i in exp]
+
+
+def test_mrmr_difference_formula(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_mrmr(sdf, cols, "target_reg", 6, task="regression", formula="difference")
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_regression(X32, pdf["target_reg"].to_numpy(np.float32), np.ones(len(pdf)))
+    exp = oracle.mrmr_classic(X32, rel, 6, np.ones(len(pdf)), "difference", top_m=250)
+    assert res.names == [cols[i] for i in exp]
+
+
+def test_weighted_mrmr_and_scale_invariance(fixture_large):
+    pdf, sdf, cols = fixture_large
+    res1 = select_mrmr(sdf, cols, "target", 8, task="regression", weight_col="wgt")
+    from pyspark.sql import functions as F
+
+    sdf10 = sdf.withColumn("wgt", F.col("wgt") * 10.0)
+    res2 = select_mrmr(sdf10, cols, "target", 8, task="regression", weight_col="wgt")
+    assert res1.names == res2.names  # weight-scale invariance
+
+    w = oracle.norm_weights(pdf["wgt"].to_numpy(), len(pdf))
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_regression(X32, pdf["target"].to_numpy(np.float32), w)
+    exp = oracle.mrmr_classic(X32, rel, 8, w, "quotient", top_m=250)
+    assert res1.names == [cols[i] for i in exp]
+    assert "x0" in res1.names
+
+
+def test_top_m_prefilter(fixture_large):
+    pdf, sdf, cols = fixture_large
+    res = select_mrmr(sdf, cols, "target", 5, task="regression", top_m=12)
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_regression(X32, pdf["target"].to_numpy(np.float32), np.ones(len(pdf)))
+    exp = oracle.mrmr_classic(X32, rel, 5, np.ones(len(pdf)), "quotient", top_m=12)
+    assert res.names == [cols[i] for i in exp]
+
+
+def test_jmi_r2_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    for agg in ("sum", "min"):
+        res = select_jmi(sdf, cols, "target_reg", 5, task="regression", aggregation=agg)
+        X32 = oracle.impute_f32(pdf[cols].to_numpy())
+        rel = oracle.f_regression(X32, pdf["target_reg"].to_numpy(np.float32), np.ones(len(pdf)))
+        exp = oracle.jmi_classic(
+            X32, pdf["target_reg"].to_numpy(np.float32), rel, 5, np.ones(len(pdf)),
+            estimator="r2", aggregation=agg, top_m=250,
+        )
+        assert res.names == [cols[i] for i in exp], agg
+
+
+def test_jmi_binned_classification_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_jmi(sdf, cols, "target_cls", 5, task="classification")
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    ycodes = oracle.factorize_sorted(pdf["target_cls"])
+    rel = oracle.f_classif(X32, ycodes, np.ones(len(pdf)))
+    exp = oracle.jmi_classic(
+        X32, ycodes, rel, 5, np.ones(len(pdf)),
+        estimator="binned", aggregation="sum", top_m=250, y_kind="discrete",
+    )
+    assert res.names == [cols[i] for i in exp]
+
+
+def test_edge_cases_nan_constant_strings(spark):
+    """FIXTURES.md F4: NaN imputation, constant-column behavior, string labels."""
+    pdf = pd.DataFrame(
+        {
+            "some_null": [1.0, np.nan, np.nan, 4.0, 5.0],
+            "feature_a": [2.0, 2.0, 3.0, 3.0, 4.0],
+            "constant": [7.0, 7.0, 7.0, 7.0, 7.0],
+            "feature_b": [3.0, 2.0, 1.0, 2.0, 3.0],
+            "target_cls": ["a", "a", "b", "b", "b"],
+            "target_reg": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    cols = ["some_null", "feature_a", "constant", "feature_b"]
+    res = select_mrmr(sdf, cols, "target_reg", 2, task="regression")
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    rel = oracle.f_regression(X32, pdf["target_reg"].to_numpy(np.float32), np.ones(5))
+    exp = oracle.mrmr_classic(X32, rel, 2, np.ones(5), "quotient", top_m=250)
+    assert res.names == [cols[i] for i in exp]
+    assert "constant" not in res.names  # zero relevance -> filtered
+
+    res_c = select_mrmr(sdf, cols, "target_cls", 2, task="classification")
+    assert res_c.labels == ["a", "b"]
+    relc = oracle.f_classif(X32, oracle.factorize_sorted(pdf["target_cls"]), np.ones(5))
+    expc = oracle.mrmr_classic(X32, relc, 2, np.ones(5), "quotient", top_m=250)
+    assert res_c.names == [cols[i] for i in expc]
+
+
+def test_determinism(fixture_small):
+    _, sdf, cols = fixture_small
+    a = select_mrmr(sdf, cols, "target_reg", 5, task="regression")
+    b = select_mrmr(sdf, cols, "target_reg", 5, task="regression")
+    assert a.names == b.names
+    assert np.allclose(a.relevance, b.relevance)
+
+
+# --- gaussian / copula path ---------------------------------------------------
+
+
+def test_cefsplus_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_cefsplus(sdf, cols, "target_reg", 5, subsample=None)
+    exp = oracle.gaussian_select(pdf[cols].to_numpy(), pdf["target_reg"].to_numpy(), 5, method="cefsplus")
+    assert res.names == [cols[i] for i in exp]
+    assert "f0" in res.names
+
+
+def test_gaussian_mrmr_and_jmi_parity(fixture_small):
+    pdf, sdf, cols = fixture_small
+    X = pdf[cols].to_numpy()
+    y = pdf["target_reg"].to_numpy()
+    res = select_mrmr(sdf, cols, "target_reg", 5, task="regression", estimator="gaussian", subsample=None)
+    exp = oracle.gaussian_select(X, y, 5, method="mrmr_quot")
+    assert res.names == [cols[i] for i in exp]
+
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    cache = build_cache(sdf, cols, subsample=None)
+    try:
+        for method in ("jmi", "jmim", "mrmr_diff"):
+            got = select_cached(cache, "target_reg", 5, method=method)
+            want = oracle.gaussian_select(X, y, 5, method=method)
+            assert got.names == [cols[i] for i in want], method
+    finally:
+        cache.unpersist()
+
+
+def test_cefsplus_objective_monotone(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_cefsplus(sdf, cols, "target_reg", 8, subsample=None, return_objective=True)
+    obj = res.extras["objective"]
+    assert len(obj) == 8
+    assert (np.diff(obj) >= -1e-8).all()
+    _, exp_obj = oracle.gaussian_select(
+        pdf[cols].to_numpy(), pdf["target_reg"].to_numpy(), 8,
+        method="cefsplus", return_objective=True,
+    )
+    assert np.allclose(obj, exp_obj, rtol=1e-6, atol=1e-9)
+
+
+def test_cache_reuse_across_targets(fixture_small, spark):
+    """Z cache built once serves multiple targets (test_cefsplus.py:18-34)."""
+    pdf, sdf, cols = fixture_small
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    sdf2 = sdf.withColumn("target2", F.col("f2") + 0.3 * F.col("f3"))
+    cache = build_cache(sdf2, cols, subsample=None)
+    try:
+        r1 = select_cached(cache, "target_reg", 4)
+        r2 = select_cached(cache, "target2", 4)
+        assert "f0" in r1.names
+        assert "f2" in r2.names
+        assert r1.names != r2.names
+    finally:
+        cache.unpersist()
