@@ -1,0 +1,662 @@
+"""Driver correctness-gate queries + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver-provided testdata tables (TESTDATA.md / FIXTURES.md F6). The Spark
+implementation goes through the engine's operators; the oracle is
+independent ANSI SQL run by DuckDB on the same parquet. Column names and
+float rounding (ROUND to fixed decimals) are aligned on both sides because
+the driver hash-compares values after sorting columns by name.
+
+``events`` serves as the transcript-shaped table (user_id ≈ conv_id,
+(ts, event_id) the stable order key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mrmr_spark.operators.anchors import (
+    event_window_anchors,
+    first_last_per_group,
+    periodic_anchors,
+)
+from mrmr_spark.operators.asof import asof_join
+from mrmr_spark.operators.lags import with_lags
+from mrmr_spark.operators.ordering import ts_micros
+from mrmr_spark.operators.rolling import backfilled_rolling
+from mrmr_spark.operators.sessionize import sessionize
+
+ORD = ["ts", "event_id"]
+GAP_S = 1800.0
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# A-layer: windows / sessionization / as-of / anchors over `events`
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    df = sessionize(_events(spark, sf_dir), gap_s=GAP_S, group="user_id", order=ORD)
+    return df.select(
+        "user_id", "event_id", F.col("session_id").cast("int").alias("session_id"),
+        r6(F.col("gap_s")).alias("gap_s"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > {GAP_S} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id,
+       round(gap, 6) AS gap_s
+FROM g
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    df = with_lags(_events(spark, sf_dir), {"value": [1, 2, -1]}, group="user_id", order=ORD)
+    return df.select(
+        "user_id", "event_id",
+        r6("value_lag1").alias("value_lag1"),
+        r6("value_lag2").alias("value_lag2"),
+        r6("value_lead1").alias("value_lead1"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT user_id, event_id,
+       round(lag(value)  OVER w, 6) AS value_lag1,
+       round(lag(value, 2) OVER w, 6) AS value_lag2,
+       round(lead(value) OVER w, 6) AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rolling_rows(spark, sf_dir):
+    df = backfilled_rolling(
+        _events(spark, sf_dir),
+        {"cnt": F.count(F.lit(1)), "avg_value": F.avg("value"), "max_value": F.max("value")},
+        n=5, group="user_id", order=ORD,
+    )
+    return df.select(
+        "user_id", "event_id",
+        F.col("cnt_5").cast("bigint").alias("cnt_5"),
+        r6("avg_value_5").alias("avg_value_5"),
+        r6("max_value_5").alias("max_value_5"),
+    )
+
+
+SQL_ROLLING_ROWS = """
+SELECT user_id, event_id,
+       count(*)        OVER w AS cnt_5,
+       round(avg(value) OVER w, 6) AS avg_value_5,
+       round(max(value) OVER w, 6) AS max_value_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_time(spark, sf_dir):
+    df = backfilled_rolling(
+        _events(spark, sf_dir),
+        {"cnt": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        range_s=3600.0, group="user_id",
+    )
+    return df.select(
+        "user_id", "event_id",
+        F.col("cnt_3600s").cast("bigint").alias("cnt_3600s"),
+        r6("sum_value_3600s").alias("sum_value_3600s"),
+    )
+
+
+SQL_ROLLING_TIME = """
+SELECT user_id, event_id,
+       count(*) OVER w AS cnt_3600s,
+       round(sum(value) OVER w, 6) AS sum_value_3600s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    snaps = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("effective_ts"), F.col("value").alias("signup_value")
+    )
+    out = asof_join(
+        ev, snaps, on="user_id", ts_col="ts", snap_ts_col="effective_ts",
+        value_cols=["signup_value"],
+    )
+    return out.select("user_id", "event_id", r6("signup_value").alias("signup_value"))
+
+
+SQL_ASOF_JOIN = """
+SELECT e.user_id, e.event_id, round(s.value, 6) AS signup_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def q_anchors_first_last(spark, sf_dir):
+    df = first_last_per_group(_events(spark, sf_dir), group="user_id", order=ORD)
+    return df.select("user_id", "event_id", "anchor_kind")
+
+
+SQL_ANCHORS_FIRST_LAST = """
+WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC,  event_id ASC)  AS ra,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id, event_id,
+       CASE WHEN ra = 1 THEN 'first' ELSE 'last' END AS anchor_kind
+FROM r WHERE ra = 1 OR rd = 1
+"""
+
+
+def q_anchors_daily(spark, sf_dir):
+    df = periodic_anchors(_events(spark, sf_dir), calendar="day", group="user_id", order=ORD)
+    return df.select("user_id", "event_id", F.date_trunc("day", "ts").alias("day"))
+
+
+SQL_ANCHORS_DAILY = """
+WITH r AS (
+  SELECT user_id, event_id, date_trunc('day', ts) AS day,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, day FROM r WHERE rn = 1
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    df = sessionize(_events(spark, sf_dir), gap_s=GAP_S, group="user_id", order=ORD)
+    return df.groupBy("user_id", F.col("session_id").cast("int").alias("session_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        r6((ts_micros(F.max("ts")) - ts_micros(F.min("ts"))) / 1_000_000.0).alias(
+            "duration_s"
+        ),
+        r6(F.avg("value")).alias("avg_value"),
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > {GAP_S} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_s,
+       round(avg(value), 6) AS avg_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_error_window(spark, sf_dir):
+    df = event_window_anchors(
+        _events(spark, sf_dir), F.col("event_type") == "error", w_rows=2,
+        group="user_id", order=ORD,
+    )
+    return df.select("user_id", "event_id")
+
+
+SQL_ERROR_WINDOW = """
+WITH f AS (
+  SELECT user_id, event_id,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS hit
+  FROM events
+)
+SELECT user_id, event_id FROM f WHERE hit = 1
+"""
+
+
+def q_feature_matrix(spark, sf_dir):
+    """Flagship FE slice: sessionized + lagged + leakage-free rolling."""
+    ev = _events(spark, sf_dir)
+    df = sessionize(ev, gap_s=GAP_S, group="user_id", order=ORD)
+    df = with_lags(df, {"value": [1]}, group="user_id", order=ORD)
+    df = backfilled_rolling(
+        df, {"cnt": F.count(F.lit(1)), "avg_value": F.avg("value")},
+        n=5, group="user_id", order=ORD,
+    )
+    return df.select(
+        "user_id", "event_id",
+        r6("gap_s").alias("gap_s"),
+        r6("value_lag1").alias("value_lag1"),
+        F.col("session_id").cast("int").alias("session_id"),
+        F.col("cnt_5").cast("bigint").alias("cnt_5"),
+        r6("avg_value_5").alias("avg_value_5"),
+    )
+
+
+SQL_FEATURE_MATRIX = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap,
+         lag(value) OVER w AS value_lag1,
+         count(*)   OVER wr AS cnt_5,
+         avg(value) OVER wr AS avg_value_5
+  FROM events
+  WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(gap, 6) AS gap_s, round(value_lag1, 6) AS value_lag1,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > {GAP_S} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id,
+       cnt_5, round(avg_value_5, 6) AS avg_value_5
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational layer: scans/joins/aggs/top-k over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rank").cast("int").alias("rank"),
+                r6("o_totalprice").alias("o_totalprice"))
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank,
+       round(o_totalprice, 6) AS o_totalprice
+FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(key)
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,
+       count(*)    OVER (PARTITION BY lower(trim(text))) AS group_size
+FROM documents
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        r6(F.size(F.array_distinct(toks)) / n_tok.cast("double")).alias("ttr"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 6) AS ttr
+FROM documents
+"""
+
+
+_EN = "('the','and','of','to','a','in','is','it','for','on')"
+_MARKERS = "('spark','query','scan','join','filter')"
+
+
+def q_lang_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en_hits = F.size(F.expr("filter(split(text, ' '), t -> t in " + _EN + ")"))
+    tech_hits = F.size(F.expr("filter(split(text, ' '), t -> t in " + _MARKERS + ")"))
+    n_tok = F.size(toks)
+    ratio = en_hits / n_tok.cast("double")
+    return d.select(
+        "doc_id",
+        en_hits.cast("bigint").alias("stopword_hits"),
+        tech_hits.cast("bigint").alias("marker_hits"),
+        r6(ratio).alias("stopword_ratio"),
+        F.when(ratio >= 0.08, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+SQL_LANG_HEURISTIC = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t IN {_EN})) AS stopword_hits,
+         len(list_filter(string_split(text, ' '), t -> t IN {_MARKERS})) AS marker_hits,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, stopword_hits, marker_hits,
+       round(stopword_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN stopword_hits * 1.0 / n_tokens >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+FROM s
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir, n: int = 5, threshold: float = 0.2):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
+            )
+        ).alias("sh"),
+    ).where(F.length("text") >= n)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = (
+        inter.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("inter"))).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", r6("jac").alias("jaccard"))
+    )
+    return jac
+
+
+SQL_NGRAM_JACCARD = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+  FROM documents WHERE length(text) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s FROM pos
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def q_knn_cosine(spark, sf_dir, k: int = 5, n_queries: int = 10):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("q_emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", (dot / (nq * nv)).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), r6("sim").alias("sim"))
+    )
+
+
+SQL_KNN_COSINE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(q.q_emb, e.emb)
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+), r AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Selection layer gate entries
+# ---------------------------------------------------------------------------
+
+def q_fstat_relevance(spark, sf_dir):
+    """Unweighted F-statistic relevance of lineitem numeric columns vs
+    l_extendedprice — the C1 reduction, cross-checked against SQL corr()."""
+    from mrmr_spark.select.relevance import f_regression_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    out = f_regression_scores(li, cols, "l_extendedprice", None, quantize_f32=False)
+    rows = [(c, round(float(s), 4)) for c, s in zip(cols, out["scores"])]
+    return spark.createDataFrame(rows, "feature string, f_stat double")
+
+
+SQL_FSTAT_RELEVANCE = """
+WITH s AS (
+  SELECT corr(l_quantity, l_extendedprice) AS r1,
+         corr(l_discount, l_extendedprice) AS r2,
+         corr(l_tax, l_extendedprice)      AS r3,
+         count(*) AS n
+  FROM lineitem
+), u AS (
+  SELECT 'l_quantity' AS feature, least(r1 * r1, 0.99999) AS r2v, n FROM s
+  UNION ALL SELECT 'l_discount', least(r2 * r2, 0.99999), n FROM s
+  UNION ALL SELECT 'l_tax', least(r3 * r3, 0.99999), n FROM s
+)
+SELECT feature, round(r2v / (1 - r2v) * (n - 2), 4) AS f_stat FROM u
+"""
+
+
+def _event_feature_df(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    df = sessionize(ev, gap_s=GAP_S, group="user_id", order=ORD)
+    df = with_lags(df, {"value": [1, 2]}, group="user_id", order=ORD)
+    df = backfilled_rolling(
+        df, {"cnt": F.count(F.lit(1)), "avg_value": F.avg("value"), "max_value": F.max("value")},
+        n=5, group="user_id", order=ORD,
+    )
+    feats = ["value_lag1", "value_lag2", "gap_s", "avg_value_5", "max_value_5", "sess_f", "cnt_f"]
+    return (
+        df.withColumn("sess_f", F.col("session_id").cast("double"))
+        .withColumn("cnt_f", F.col("cnt_5").cast("double"))
+        .select("user_id", "event_id", "value", *feats)
+    ), feats
+
+
+def q_mrmr_event_features(spark, sf_dir):
+    """End-to-end FE + mRMR (rows-only gate: greedy selection is not
+    SQL-expressible; parity is covered by the pytest oracle suite)."""
+    from mrmr_spark.select import select_mrmr
+
+    fdf, feats = _event_feature_df(spark, sf_dir)
+    res = select_mrmr(fdf, feats, "value", 4, task="regression")
+    return res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
+
+
+QUERIES = {
+    "sessionize": q_sessionize,
+    "lag_lead": q_lag_lead,
+    "rolling_rows": q_rolling_rows,
+    "rolling_time": q_rolling_time,
+    "asof_join": q_asof_join,
+    "anchors_first_last": q_anchors_first_last,
+    "anchors_daily": q_anchors_daily,
+    "session_stats": q_session_stats,
+    "error_window": q_error_window,
+    "feature_matrix": q_feature_matrix,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "lang_heuristic": q_lang_heuristic,
+    "ngram_jaccard": q_ngram_jaccard,
+    "knn_cosine": q_knn_cosine,
+    "fstat_relevance": q_fstat_relevance,
+    "mrmr_event_features": q_mrmr_event_features,
+}
+
+ORACLE_SQL = {
+    "sessionize": SQL_SESSIONIZE,
+    "lag_lead": SQL_LAG_LEAD,
+    "rolling_rows": SQL_ROLLING_ROWS,
+    "rolling_time": SQL_ROLLING_TIME,
+    "asof_join": SQL_ASOF_JOIN,
+    "anchors_first_last": SQL_ANCHORS_FIRST_LAST,
+    "anchors_daily": SQL_ANCHORS_DAILY,
+    "session_stats": SQL_SESSION_STATS,
+    "error_window": SQL_ERROR_WINDOW,
+    "feature_matrix": SQL_FEATURE_MATRIX,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "lang_heuristic": SQL_LANG_HEURISTIC,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "knn_cosine": SQL_KNN_COSINE,
+    "fstat_relevance": SQL_FSTAT_RELEVANCE,
+    # mrmr_event_features: greedy loop not SQL-expressible -> rows-only check
+}

@@ -26,9 +26,12 @@ def first_per_group(df: DataFrame, group: str = "conv_id", order="turn_idx") -> 
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
-def first_last_per_group(df: DataFrame, group: str = "conv_id", order: str = "turn_idx") -> DataFrame:
-    wa = Window.partitionBy(group).orderBy(F.col(order).asc())
-    wd = Window.partitionBy(group).orderBy(F.col(order).desc())
+def first_last_per_group(
+    df: DataFrame, group: str = "conv_id", order: str | list[str] = "turn_idx"
+) -> DataFrame:
+    oc = [order] if isinstance(order, str) else list(order)
+    wa = Window.partitionBy(group).orderBy(*[F.col(c).asc() for c in oc])
+    wd = Window.partitionBy(group).orderBy(*[F.col(c).desc() for c in oc])
     return (
         df.withColumn("_ra", F.row_number().over(wa))
         .withColumn("_rd", F.row_number().over(wd))
@@ -43,7 +46,7 @@ def periodic_anchors(
     period: int | None = None,
     calendar: str | None = None,
     group: str = "conv_id",
-    order: str = "turn_idx",
+    order: str | list[str] = "turn_idx",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Every ``period``-th row per group, or the first row of each
@@ -57,8 +60,9 @@ def periodic_anchors(
             .where((F.col("_rn") - 1) % period == 0)
             .drop("_rn")
         )
+    oc = [order] if isinstance(order, str) else list(order)
     bucket = F.date_trunc(calendar, F.col(ts_col))
-    w = Window.partitionBy(group, bucket).orderBy(F.col(order))
+    w = Window.partitionBy(group, bucket).orderBy(*[F.col(c) for c in oc])
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
@@ -94,12 +98,13 @@ def event_window_anchors(
     flag: Column,
     w_rows: int = 2,
     group: str = "conv_id",
-    order: str = "turn_idx",
+    order: str | list[str] = "turn_idx",
 ) -> DataFrame:
     """Keep rows within ±w_rows of any row matching ``flag``."""
+    oc = [order] if isinstance(order, str) else list(order)
     win = (
         Window.partitionBy(group)
-        .orderBy(F.col(order))
+        .orderBy(*[F.col(c) for c in oc])
         .rowsBetween(-w_rows, w_rows)
     )
     return (

@@ -32,3 +32,11 @@ def ts_seconds(col: str | Column = "ts") -> Column:
     numeric timeline used by range windows and gap features."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("double")
+
+
+def ts_micros(col: str | Column) -> Column:
+    """Integer epoch microseconds; handles TIMESTAMP and TIMESTAMP_NTZ
+    (parquet without tz). Gap/duration math uses *differences*, so the
+    session-zone offset applied in the NTZ cast cancels."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

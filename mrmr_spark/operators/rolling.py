@@ -24,7 +24,7 @@ def backfilled_rolling(
     n: int | None = None,
     range_s: float | None = None,
     group: str = "conv_id",
-    order: str = "turn_idx",
+    order: str | list[str] = "turn_idx",
     ts_col: str = "ts",
     suffix: str | None = None,
 ) -> DataFrame:
@@ -36,10 +36,11 @@ def backfilled_rolling(
     """
     if (n is None) == (range_s is None):
         raise ValueError("pass exactly one of n= or range_s=")
+    order_cols = [order] if isinstance(order, str) else list(order)
     if n is not None:
         w = (
             Window.partitionBy(group)
-            .orderBy(F.col(order))
+            .orderBy(*[F.col(c) for c in order_cols])
             .rowsBetween(-n, -1)
         )
         sfx = suffix or f"_{n}"
@@ -47,9 +48,11 @@ def backfilled_rolling(
         # order on integer microseconds so RANGE bounds are exact integers;
         # end at -1µs excludes the current row (and any exact-tie timestamp,
         # which cannot occur within a conv — ts strictly increases per conv).
+        from mrmr_spark.operators.ordering import ts_micros
+
         w = (
             Window.partitionBy(group)
-            .orderBy(F.unix_micros(F.col(ts_col)))
+            .orderBy(ts_micros(ts_col))
             .rangeBetween(-int(range_s * 1_000_000), -1)
         )
         sfx = suffix or f"_{int(range_s)}s"

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrmr_spark.operators.ordering import turn_window
+from mrmr_spark.operators.ordering import ts_micros, turn_window
 
 
 def sessionize(
@@ -35,7 +35,7 @@ def sessionize(
     # integer-µs subtraction first: exact to the timestamp's native precision
     # (a double of epoch *seconds* only has ~0.25µs ulp in 2024, which breaks
     # allclose parity with any int64-based oracle)
-    gap = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / F.lit(1_000_000.0)
+    gap = (ts_micros(ts_col) - ts_micros(prev_ts)) / F.lit(1_000_000.0)
     is_new = F.when(prev_ts.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0))
     return (
         df.withColumn("gap_s", gap)
