@@ -1,0 +1,145 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <e2e sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+The headline is the driver-contract metric: turns/sec for the end-to-end
+transcript feature-build + mRMR selection pipeline (BASELINE.md §3), on a
+deterministic synthetic transcript corpus sized to the scale factor
+(~10x the events table, Zipf-skewed conv sizes). Operator benches run over
+the driver testdata tables.
+
+Scaling evidence (N vs 4N executors -> local[8] vs local[32]):
+  python tools/bench_scaling.py   (writes BENCH.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+E2E_ONLY = os.environ.get("MRMR_BENCH_E2E_ONLY", "") == "1"
+#: override corpus size (n_convs) for scaling runs
+N_CONVS_OVERRIDE = int(os.environ.get("MRMR_BENCH_NCONVS", "0"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def ensure_transcripts(sf_dir: str) -> tuple[str, int]:
+    """Deterministic transcript corpus sized to the sf (cached parquet)."""
+    label = _sf_label(sf_dir)
+    # ~1M turns at sf0.1 (10x the events table there): n_convs*mean_turns
+    try:
+        scale = float(label)
+    except ValueError:
+        scale = 0.1
+    n_convs = N_CONVS_OVERRIDE or max(200, int(350_000 * scale))
+    path = f"/tmp/mrmr_bench/transcripts_c{n_convs}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from mrmr_spark.sources.transcripts import write_transcripts_parquet
+
+        write_transcripts_parquet(path, n_convs=n_convs, mean_turns=30, seed=42)
+    import pyarrow.parquet as pq
+
+    return path, pq.read_metadata(path).num_rows
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from mrmr_spark import gate
+    from mrmr_spark.fe import FEATURE_COLS, build_features
+    from mrmr_spark.select import select_mrmr
+    from mrmr_spark.session import get_spark
+
+    tr_path, n_turns = ensure_transcripts(SF_DIR)
+    spark = get_spark(
+        app_name="mrmr-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM + the Python worker pool once (excluded from timings —
+    # production clusters run long-lived executors/workers; the first-ever
+    # Arrow pass pays a ~1s/worker daemon+import cost that is not throughput)
+    import pyarrow as pa
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.count()
+
+    def _ident(it):
+        for b in it:
+            yield pa.RecordBatch.from_arrays([pa.array([b.num_rows])], ["n"])
+
+    ev.select("value").mapInArrow(_ident, "n long").agg(F.sum("n")).collect()
+
+    transcripts = spark.read.parquet(tr_path)
+
+    # headline: end-to-end feature build + mRMR selection over the corpus
+    def e2e():
+        feats = build_features(transcripts).where(F.col("target_next_gap").isNotNull())
+        res = select_mrmr(feats, FEATURE_COLS, "target_next_gap", 8, task="regression")
+        return res
+
+    res = timed("fe_mrmr_e2e", e2e)
+
+    # feature build alone (forced with a cheap full-scan agg, no collect)
+    def fe_only():
+        feats = build_features(transcripts)
+        return feats.select(F.sum("n_turns_5"), F.count(F.lit(1))).collect()
+
+    timed("fe_build", fe_only)
+
+    # operator benches over driver testdata
+    for name in [] if E2E_ONLY else [
+        "sessionize",
+        "rolling_time",
+        "asof_join",
+        "feature_matrix",
+        "pricing_summary",
+        "revenue_by_nation",
+        "dedup_exact",
+        "token_stats",
+        "knn_cosine",
+    ]:
+        fn = gate.QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())
+
+    e2e_sec = timings["fe_mrmr_e2e"]
+    out = {
+        "metric": "fe+mrmr end-to-end seconds (headline; turns_per_sec derived)",
+        "value": e2e_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / e2e_sec, 1),
+        "cpus": CPUS,
+        "selected": res.names,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

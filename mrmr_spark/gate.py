@@ -589,6 +589,56 @@ SELECT feature, round(r2v / (1 - r2v) * (n - 2), 4) AS f_stat FROM u
 """
 
 
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64 seeds have no
+    DuckDB twin; estimator quality is pytest-verified vs brute force)."""
+    from mrmr_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_candidates(d, min_jaccard=0.35)
+    return out.select("doc_a", "doc_b", r6("est_jaccard").alias("est_jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from mrmr_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_near_pairs(d, max_hamming=10)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from mrmr_spark.operators.similarity import ann_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = ann_lsh(e, q, dim=64, k=5, n_planes=10, n_tables=6)
+    return out.select("q_id", "vec_id", "rank", r6("sim").alias("sim"))
+
+
+def q_text_quality(spark, sf_dir):
+    from mrmr_spark.operators.textstats import with_text_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens", "ttr", "quality", "lang_pred", "fingerprint"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing demo: synthetic media -> mapInPandas feature
+    extraction (deterministic fake codec; real decode is stubbed)."""
+    from mrmr_spark.operators.multimodal import extract_media_features, synth_media_df
+
+    media = synth_media_df(spark, n=64, seed=9)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        r6(F.element_at("feature", 1)).alias("f0"),
+        r6(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)).alias("f_sum"),
+    )
+
+
 def _event_feature_df(spark, sf_dir):
     ev = _events(spark, sf_dir)
     df = sessionize(ev, gap_s=GAP_S, group="user_id", order=ORD)
@@ -636,6 +686,11 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "fstat_relevance": q_fstat_relevance,
     "mrmr_event_features": q_mrmr_event_features,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {

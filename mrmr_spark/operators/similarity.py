@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact cosine top-k of queries vs corpus, all JVM-side
+  (``zip_with``/``aggregate`` for the dot product, broadcast of the query
+  side, window top-k). The correctness baseline.
+- ``ann_lsh``: random-hyperplane LSH — signatures via ONE Arrow GEMM per
+  partition (NumPy matrix multiply, the legitimate Python-vectorized path),
+  bucketed candidate join, exact cosine re-rank inside buckets. The scale
+  path: at 10^12 vectors the bucket join replaces the O(Q·N) cross join.
+
+Hyperplanes are seeded NumPy normals — deterministic across runs/cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, emb_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.transform(emb_col, lambda x: x.cast("double")))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, vec_id, rank, sim). Queries broadcast."""
+    c = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    q = _as_double(queries, emb_col, "_qe").select(
+        F.col(id_col).alias("q_id"), F.col("_qe")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col, _cosine("_qe", "_e").alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, F.col("rank").cast("int").alias("rank"), "sim")
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature (one long) per vector, via a single
+    NumPy GEMM per Arrow batch."""
+    planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
+
+    proj = df.select(id_col, F.transform(emb_col, lambda x: x.cast("double")).alias("_e"))
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids = b.column(0)
+            # zero-copy-ish: flatten the list column and reshape (fixed dim)
+            emb = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, dim)
+                .astype(np.float64)
+            )
+            bits = (emb @ planes) > 0.0
+            sig = np.zeros(len(emb), dtype=np.int64)
+            for j in range(n_planes):
+                sig |= bits[:, j].astype(np.int64) << j
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig, type=pa.int64())], [id_col, "bucket"]
+            )
+
+    return proj.mapInArrow(mapper, f"`{id_col}` long, bucket long")
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Candidates = union over ``n_tables`` independent hash tables of
+    same-bucket pairs (standard recall amplification: P[cand] =
+    1-(1-p^n_planes)^n_tables), then exact cosine re-rank. Dials:
+    n_planes (bucket size down, precision up), n_tables (recall up).
+    """
+    def sigs(df, alias_id):
+        parts = []
+        for t in range(n_tables):
+            s = lsh_signatures(df, dim, n_planes, seed + 1000 * t, id_col, emb_col)
+            parts.append(
+                s.select(
+                    F.col(id_col).alias(alias_id),
+                    F.lit(t).alias("table"),
+                    F.col("bucket"),
+                )
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
+
+    c_sig = sigs(corpus, id_col)
+    q_sig = sigs(queries, "q_id")
+    cand = (
+        q_sig.join(c_sig, ["table", "bucket"])
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col)
+        .distinct()
+    )
+    c = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    q = _as_double(queries, emb_col, "_qe").select(F.col(id_col).alias("q_id"), "_qe")
+    sims = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", id_col, _cosine("_qe", "_e").alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, F.col("rank").cast("int").alias("rank"), "sim")
+    )

