@@ -82,7 +82,7 @@ def select_mrmr(
     df: DataFrame,
     feature_cols: list[str],
     target_col: str,
-    k: int,
+    k,
     *,
     task: str = "regression",
     weight_col: str | None = None,
@@ -92,13 +92,52 @@ def select_mrmr(
     subsample: int | None = None,
     seed: int = 0,
     quantize_f32: bool = True,
+    auto_k_config=None,
+    group_col: str | None = None,
+    time_col: str | None = None,
 ) -> SelectionResult:
     """Minimum-Redundancy-Maximum-Relevance over a Spark DataFrame.
 
     classic: F-stat relevance + |Pearson| redundancy (api.py:412-463)
     gaussian: copula-MI relevance + Gaussian-MI redundancy — see
     mrmr_spark.select.cache.select_cached (regression only).
+    k="auto": build the path to max_k, then pick k by elbow (gaussian
+    objective) or held-out evaluation (closed-form ridge; api.py:283-374).
     """
+    if k == "auto":
+        from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+        cfg = auto_k_config or AutoKConfig(
+            strategy="time_holdout" if time_col else "group_cv"
+        )
+        if estimator == "gaussian" and cfg.k_method == "elbow":
+            from mrmr_spark.select.cache import build_cache, select_cached
+
+            cache = build_cache(df, feature_cols, weight_col=weight_col,
+                                subsample=subsample, seed=seed)
+            method = "mrmr_quot" if formula == "quotient" else "mrmr_diff"
+            res = select_cached(cache, target_col, cfg.max_k, method=method,
+                                top_m=top_m, return_objective=True)
+            kk = loops.select_k_elbow(
+                res.extras["objective"], cfg.min_k, len(res.names),
+                cfg.elbow_min_rel_gain, cfg.elbow_patience,
+            )
+            res.names = res.names[:kk]
+            res.indices = res.indices[:kk]
+            return res
+        res = select_mrmr(
+            df, feature_cols, target_col, cfg.max_k, task=task,
+            weight_col=weight_col, estimator=estimator, formula=formula,
+            top_m=top_m, subsample=subsample, seed=seed, quantize_f32=quantize_f32,
+        )
+        best_k, names, scores = select_k_evaluate(
+            df, res.names, target_col, cfg, weight_col, group_col, time_col
+        )
+        res.names = names
+        res.indices = res.indices[:best_k]
+        res.extras["auto_k_scores"] = scores
+        return res
+
     if estimator == "gaussian":
         from mrmr_spark.select.cache import build_cache, select_cached
 
@@ -113,12 +152,40 @@ def select_mrmr(
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
     df = _maybe_subsample(df, subsample, seed)
-    # project to the columns the passes read, THEN persist: the cache holds
-    # only numeric feature data, and every pass scans the minimal width
     keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
-    df = df.select(*keep).persist()
+    df = df.select(*keep)
 
     labels = None
+    if task == "regression" and len(feature_cols) <= kernels.GRAM_JVM_MAX_P:
+        # fused 2-scan path: means pass + centered-Gram pass over the
+        # persisted matrix. The persist is ALSO a codegen boundary — without
+        # it the (upstream plan + 200 aggregates) fused plan blows past
+        # whole-stage-codegen limits and everything goes interpreted.
+        df = df.persist()
+        try:
+            stats = relevance.fused_regression_stats(
+                df, feature_cols, target_col, wcol, quantize_f32
+            )
+        finally:
+            df.unpersist()
+        rel = stats["scores"]
+        cand = _prefilter(rel, k, top_m)
+        if cand.size == 0:
+            return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
+        R_cand = stats["R"][np.ix_(cand, cand)]
+        sel_local = loops.mrmr_greedy(
+            R_cand, rel[cand], k, use_quotient=(formula == "quotient"),
+            redundancy="abs_corr",
+        )
+        idx = cand[sel_local]
+        return SelectionResult(
+            [feature_cols[i] for i in idx], idx, rel, feature_cols, labels,
+            extras={"R_cand": R_cand, "cand": cand},
+        )
+
+    # general path: relevance scans -> prefilter -> Gram on candidates;
+    # persist pays for itself once >= 3 scans read the matrix
+    df = df.persist()
     if task == "classification":
         df, labels = factorize_target(df, target_col, "_y_code")
         stats = relevance.f_classif_scores(
@@ -187,8 +254,28 @@ def select_jmi(
     df, wcol = ensure_weight_column(df, weight_col)
     df = _maybe_subsample(df, subsample, seed)
     keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
-    df = df.select(*keep).persist()
+    df = df.select(*keep)
 
+    if estimator == "r2" and len(feature_cols) <= kernels.GRAM_JVM_MAX_P:
+        df = df.persist()
+        try:
+            stats = relevance.fused_regression_stats(
+                df, feature_cols, target_col, wcol, quantize_f32
+            )
+        finally:
+            df.unpersist()
+        rel = stats["scores"]
+        cand = _prefilter(rel, k, top_m)
+        if cand.size == 0:
+            return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, None)
+        sel_local = loops.jmi_greedy_r2(
+            stats["R"][np.ix_(cand, cand)], stats["r_y"][cand], rel[cand], k,
+            use_min=(aggregation == "min"),
+        )
+        idx = cand[sel_local]
+        return SelectionResult([feature_cols[i] for i in idx], idx, rel, feature_cols, None)
+
+    df = df.persist()
     labels = None
     if task == "classification":
         df, labels = factorize_target(df, target_col, "_y_code")

@@ -270,6 +270,70 @@ def class_moments_pass(
 # Pass 3: weighted Gram of standardized columns -> correlation matrix
 # ---------------------------------------------------------------------------
 
+def centered_gram_pass(
+    df: DataFrame,
+    feature_cols: list[str],
+    weight_col: str | None,
+    impute_means: np.ndarray,
+    col_wmeans: np.ndarray,
+    y_col: str | None = None,
+    y_wmean: float = 0.0,
+    quantize_f32: bool = True,
+) -> dict:
+    """ONE scan -> centered weighted Gram C[q,q] (q = p + y) + Σw.
+
+    C_ij = Σ w (x_i − μ_i)(x_j − μ_j); standardization is exact scalar
+    algebra on the driver (R_ij = C_ij/(σ_i σ_j)/Σw), so this single pass
+    yields relevance moments (diag, y column) AND the redundancy matrix —
+    the fused fast path that makes classic mRMR two scans total.
+    JVM aggregates for q <= GRAM_JVM_MAX_P, Arrow GEMM beyond.
+    """
+    ones = np.ones(len(feature_cols))
+    return gram_pass(
+        df, feature_cols, weight_col, impute_means, col_wmeans, ones,
+        y_col=y_col, y_wmean=y_wmean, y_wstd=1.0,
+        quantize_f32=quantize_f32, clip=None, normalize=False,
+    )
+
+
+#: below this width the Gram is computed as p(p+1)/2 JVM aggregate
+#: expressions in one codegen scan (no Python at all); above it, the Arrow
+#: GEMM block reduction wins (expression count grows quadratically while the
+#: kernel's per-batch cost is one BLAS call)
+GRAM_JVM_MAX_P = 48
+
+
+def _gram_jvm(
+    df, feature_cols, weight_col, impute_means, col_wmeans, col_wstds,
+    y_col, y_wmean, y_wstd, quantize_f32,
+) -> tuple[np.ndarray, float]:
+    p = len(feature_cols)
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    zs = []
+    for j, c in enumerate(feature_cols):
+        x = F.col(c).cast("double")
+        xi = F.when(_fin(x), _q32(x, quantize_f32)).otherwise(F.lit(float(impute_means[j])))
+        zs.append((xi - F.lit(float(col_wmeans[j]))) / F.lit(float(col_wstds[j])))
+    if y_col is not None:
+        yq = _q32(F.col(y_col).cast("double"), quantize_f32)
+        zs.append((yq - F.lit(float(y_wmean))) / F.lit(float(y_wstd)))
+    q = len(zs)
+    aggs = []
+    for i in range(q):
+        for j in range(i, q):
+            aggs.append(F.sum(w * zs[i] * zs[j]))
+    aggs.append(F.sum(w))
+    row = df.select(*[a.alias(f"g{i}") for i, a in enumerate(aggs)]).collect()[0]
+    vals = [0.0 if v is None else float(v) for v in row]
+    G = np.zeros((q, q))
+    idx = 0
+    for i in range(q):
+        for j in range(i, q):
+            G[i, j] = G[j, i] = vals[idx]
+            idx += 1
+    return G, float(vals[idx])
+
+
 def gram_pass(
     df: DataFrame,
     feature_cols: list[str],
@@ -282,6 +346,7 @@ def gram_pass(
     y_wstd: float = 1.0,
     quantize_f32: bool = True,
     clip: float | None = 0.999999,
+    normalize: bool = True,
 ) -> dict:
     """THE flagship reduction (SURVEY.md D4): per partition
     ``G += Zᵀ (w ⊙ Z)`` on standardized Z (driver-known μ, σ), plus Σw;
@@ -295,6 +360,12 @@ def gram_pass(
     mq = np.asarray(impute_means, dtype=np.float64)
     HAS_Y = y_col is not None
     q = p + (1 if HAS_Y else 0)
+
+    if p <= GRAM_JVM_MAX_P:
+        G, sw = _gram_jvm(
+            df, cols, weight_col, mq, mu, sd, y_col, y_wmean, y_wstd, quantize_f32
+        )
+        return _finish_gram(G, sw, p, HAS_Y, clip, normalize)
 
     # mapInArrow cannot column-prune: project exactly what the kernel reads
     proj = [F.col(c).cast("double").alias(c) for c in cols]
@@ -334,6 +405,23 @@ def gram_pass(
     acc = arrow_reduce(df, term, q * q + 1)
     G = acc[: q * q].reshape(q, q)
     sw = float(acc[q * q])
+    return _finish_gram(G, sw, p, HAS_Y, clip, normalize)
+
+
+def _finish_gram(
+    G: np.ndarray, sw: float, p: int, has_y: bool, clip: float | None,
+    normalize: bool = True,
+) -> dict:
+    if not normalize:
+        # raw centered Gram: caller standardizes on the driver
+        out = {"sw": sw}
+        if has_y:
+            out["C"] = G[:p, :p].copy()
+            out["c_y"] = G[:p, p].copy()
+            out["c_yy"] = float(G[p, p])
+        else:
+            out["C"] = G
+        return out
     R = G / sw
     R = 0.5 * (R + R.T)
     if clip is not None:
@@ -342,7 +430,7 @@ def gram_pass(
         np.clip(R, -clip, clip, out=R)
         np.fill_diagonal(R, 1.0)
     result = {"sw": sw}
-    if HAS_Y:
+    if has_y:
         result["R"] = R[:p, :p].copy()
         result["r_y"] = R[:p, p].copy()
     else:

@@ -64,6 +64,63 @@ def f_regression_scores(
     }
 
 
+def fused_regression_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+) -> dict:
+    """TWO-scan fast path for small/medium p (regression): pass 1 = means,
+    pass 2 = centered Gram incl. y. Returns relevance scores AND the full
+    correlation matrix + target-correlation vector — everything classic
+    mRMR / JMI-r2 needs, with no cache and no third scan. Numerically
+    identical to the split passes up to scalar-division rounding order
+    (std scaling applied on the driver)."""
+    p1 = kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
+    sw = p1["sw"]
+    y_wmean = p1["wy"] / sw
+    cg = kernels.centered_gram_pass(
+        df, feature_cols, weight_col, p1["impute_means"], p1["col_wmeans"],
+        y_col=y_col, y_wmean=y_wmean, quantize_f32=quantize_f32,
+    )
+    C, c_y, y_ss = cg["C"], cg["c_y"], cg["c_yy"]
+    x_ss = np.diag(C).copy()
+    xy = c_y
+
+    p = len(feature_cols)
+    scores = np.zeros(p, dtype=np.float64)
+    ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
+    r = np.zeros(p)
+    r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
+    r2 = np.minimum(r * r, 0.99999)
+    scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
+
+    var = x_ss / sw
+    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+    y_var = y_ss / sw
+    y_wstd = float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0
+
+    # standardized correlation structures (driver algebra, z = (x−μ)/σ)
+    denom = np.outer(wstds, wstds) * sw
+    R = 0.5 * (C + C.T) / denom
+    r_y_vec = c_y / (wstds * y_wstd * sw)
+
+    return {
+        "scores": scores,
+        "sw": sw,
+        "wmeans": p1["col_wmeans"],
+        "wstds": wstds,
+        "impute_means": p1["impute_means"],
+        "y_wmean": y_wmean,
+        "y_wstd": y_wstd,
+        "n": p1["n"],
+        "R": R,
+        "r_y": r_y_vec,
+        "pass1": p1,
+    }
+
+
 def f_classif_scores(
     df: DataFrame,
     feature_cols: list[str],

@@ -32,6 +32,10 @@ DEFAULT_CONF = {
     # whole-stage codegen; the default field cap (100) silently falls back
     # to the interpreted path for p > ~16
     "spark.sql.codegen.maxFields": "2000",
+    # shuffle/spill files on tmpfs: in this sandbox /tmp is a real disk and
+    # becomes the scaling bottleneck at high task concurrency; on a real
+    # cluster this is the usual fast local SSD setting
+    "spark.local.dir": "/dev/shm/spark-local",
 }
 
 

@@ -50,14 +50,26 @@ def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def turn_text(conv_num: np.ndarray, turn_idx: np.ndarray, n_words: int = 8) -> np.ndarray:
-    """Deterministic pseudo-text: a pure function of (conv, turn)."""
-    parts = [np.char.add(np.char.add("c", conv_num.astype(str)), " t")]
-    parts.append(turn_idx.astype(str))
-    out = np.char.add(parts[0], parts[1])
+    """Deterministic pseudo-text: a pure function of (conv, turn).
+
+    Assembled with pyarrow's vectorized element-wise join — np.char.add
+    reallocates the full (growing) unicode array per append, which goes
+    quadratic at 10^7 rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = [
+        pa.array(np.char.add(np.char.add("c", conv_num.astype(str)), " t")),
+        pa.array(turn_idx.astype(str)),
+    ]
     for i in range(n_words):
         w = _WORDS[(_mix(conv_num + i * 7919, turn_idx * 31 + i) % len(_WORDS)).astype(np.int64)]
-        out = np.char.add(np.char.add(out, " "), w)
-    return out
+        parts.append(pa.array(w))
+    # join: "c<conv> t<idx> w1 w2 ..." — first two parts glue without space
+    head = pc.binary_join_element_wise(parts[0], parts[1], "")
+    joined = pc.binary_join_element_wise(head, *parts[2:], " ")
+    return np.asarray(joined.to_pandas(), dtype=object)
 
 
 def generate_transcripts_pandas(
@@ -140,13 +152,15 @@ def generate_snapshots_pandas(
     )
 
 
-def write_transcripts_parquet(path: str, **kwargs) -> str:
+def write_transcripts_parquet(path: str, row_group_size: int = 131_072, **kwargs) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = generate_transcripts_pandas(**kwargs)
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    pq.write_table(tbl, path)
+    # small row groups: the row group is Spark's scan-split unit — a single
+    # fat-row-group file caps scan parallelism no matter how many cores
+    pq.write_table(tbl, path, row_group_size=row_group_size)
     return path
 
 

@@ -1,0 +1,67 @@
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrmr_spark.plans.checkpoint import PhaseRunner, load_manifest, resume_or_run
+
+
+def test_checkpoint_and_resume(spark, tmp_path, transcripts):
+    path = str(tmp_path / "phase1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return transcripts.withColumn("text_len", F.length("text"))
+
+    df1, m1 = resume_or_run(spark, path, "fe", build, key_cols=["conv_id"])
+    assert calls["n"] == 1
+    assert m1["complete"] and m1["n_rows"] == transcripts.count()
+    assert m1["n_partitions"] >= 1
+    assert all("rows" in p and "min_conv_id" in p for p in m1["partitions"])
+
+    # resume: builder must NOT run again
+    def explode():
+        raise AssertionError("should not recompute a completed phase")
+
+    df2, m2 = resume_or_run(spark, path, "fe", explode)
+    assert m2["manifest_id"] == m1["manifest_id"]
+    assert df2.count() == m1["n_rows"]
+
+
+def test_incomplete_manifest_triggers_rebuild(spark, tmp_path, transcripts):
+    path = str(tmp_path / "phase2")
+
+    def build():
+        return transcripts.limit(100)
+
+    _, m = resume_or_run(spark, path, "p", build)
+    # simulate a crash mid-write: mark incomplete
+    mp = os.path.join(path, "manifest.json")
+    m["complete"] = False
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert load_manifest(path) is None
+    calls = {"n": 0}
+
+    def rebuild():
+        calls["n"] += 1
+        return transcripts.limit(100)
+
+    _, m2 = resume_or_run(spark, path, "p", rebuild)
+    assert calls["n"] == 1 and m2["complete"]
+
+
+def test_phase_runner_lineage(spark, tmp_path, transcripts):
+    runner = PhaseRunner(spark, str(tmp_path / "pipe"))
+    out = runner.run(
+        [
+            ("sessionize", lambda _: __import__("mrmr_spark.operators.sessionize", fromlist=["sessionize"]).sessionize(transcripts)),
+            ("lens", lambda prev: prev.withColumn("text_len", F.length("text"))),
+        ],
+        key_cols=["conv_id"],
+    )
+    assert "text_len" in out.columns and "session_id" in out.columns
+    assert len(runner.manifests) == 2
+    assert runner.manifests[1]["parents"] == [runner.manifests[0]["manifest_id"]]

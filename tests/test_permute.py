@@ -1,0 +1,108 @@
+"""Permutation operators: the reference's own invariants (multiset equality
+per group, true rotation, determinism) — mirrors sift tests/test_boruta.py
+block-permutation checks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mrmr_spark.operators.permute import permute_column, permute_rows_struct, resolve_method
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    rng = np.random.default_rng(0)
+    n_g, per = 6, 20
+    pdf = pd.DataFrame(
+        {
+            "grp": np.repeat(np.arange(n_g), per),
+            "t": np.tile(np.arange(per), n_g),
+            "x": rng.normal(size=n_g * per),
+            "y": rng.normal(size=n_g * per),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _per_group_multiset_equal(got, col_orig, col_perm):
+    for _, g in got.groupby("grp"):
+        assert sorted(g[col_orig]) == sorted(g[col_perm])
+
+
+def test_resolve_method():
+    assert resolve_method("auto", True, True) == "circular_shift"
+    assert resolve_method("auto", True, False) == "within_group"
+    assert resolve_method("auto", False, False) == "global"
+    assert resolve_method("block", True, True) == "block"
+
+
+def test_within_group_is_true_permutation(panel):
+    sdf, pdf = panel
+    got = permute_column(
+        sdf, "x", "within_group", group="grp", key_cols=["grp", "t"], seed=3
+    ).toPandas()
+    _per_group_multiset_equal(got, "x", "x_perm")
+    assert not np.allclose(got["x"], got["x_perm"])  # actually shuffled
+    # determinism
+    got2 = permute_column(
+        sdf, "x", "within_group", group="grp", key_cols=["grp", "t"], seed=3
+    ).toPandas()
+    assert got.sort_values(["grp", "t"])["x_perm"].tolist() == got2.sort_values(["grp", "t"])["x_perm"].tolist()
+    # different seed -> different permutation
+    got3 = permute_column(
+        sdf, "x", "within_group", group="grp", key_cols=["grp", "t"], seed=4
+    ).toPandas()
+    assert got.sort_values(["grp", "t"])["x_perm"].tolist() != got3.sort_values(["grp", "t"])["x_perm"].tolist()
+
+
+def test_circular_shift_is_rotation(panel):
+    sdf, pdf = panel
+    got = (
+        permute_column(sdf, "x", "circular_shift", group="grp", order=["t"], seed=1)
+        .toPandas()
+        .sort_values(["grp", "t"])
+    )
+    for _, g in got.groupby("grp"):
+        x = g["x"].to_numpy()
+        xp = g["x_perm"].to_numpy()
+        n = len(x)
+        shifts = [s for s in range(1, n) if np.allclose(np.roll(x, s), xp)]
+        assert len(shifts) == 1, "must be a rotation by a shift in [1, n)"
+
+
+def test_block_permutation(panel):
+    sdf, pdf = panel
+    got = (
+        permute_column(sdf, "x", "block", group="grp", order=["t"], seed=2, block_size=5)
+        .toPandas()
+        .sort_values(["grp", "t"])
+    )
+    _per_group_multiset_equal(got, "x", "x_perm")
+    for _, g in got.groupby("grp"):
+        x = g["x"].to_numpy()
+        xp = g["x_perm"].to_numpy()
+        # blocks of 5 preserved contiguously: every aligned block of the
+        # permuted series appears as an aligned block of the original
+        blocks = {tuple(np.round(x[i:i + 5], 9)) for i in range(0, 20, 5)}
+        pblocks = {tuple(np.round(xp[i:i + 5], 9)) for i in range(0, 20, 5)}
+        assert blocks == pblocks
+
+
+def test_global_permutation(panel):
+    sdf, pdf = panel
+    got = permute_column(sdf, "x", "global", key_cols=["grp", "t"], seed=5).toPandas()
+    assert sorted(got["x"]) == sorted(got["x_perm"])
+    assert not np.allclose(got.sort_values(["grp", "t"])["x"], got.sort_values(["grp", "t"])["x_perm"])
+
+
+def test_row_struct_preserves_covariance(panel):
+    sdf, pdf = panel
+    got = (
+        permute_rows_struct(sdf, ["x", "y"], "within_group", group="grp", key_cols=["grp", "t"], seed=7)
+        .toPandas()
+        .sort_values(["grp", "t"])
+    )
+    # (x,y) pairs move together: the permuted pair multiset equals original
+    orig_pairs = set(zip(np.round(pdf["x"], 9), np.round(pdf["y"], 9)))
+    perm_pairs = set(zip(np.round(got["x_perm"], 9), np.round(got["y_perm"], 9)))
+    assert orig_pairs == perm_pairs

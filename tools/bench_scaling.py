@@ -15,7 +15,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_CONVS = int(os.environ.get("MRMR_SCALING_NCONVS", "140000"))  # ~4.3M turns
+#: ~8.7M turns: big enough that per-core work dominates the fixed costs
+#: (codegen compile, job scheduling, driver collects) — the regime that
+#: matches per-executor data volume at the 10^12-turn target
+N_CONVS = int(os.environ.get("MRMR_SCALING_NCONVS", "280000"))
 RUNS = {}
 
 
@@ -27,6 +30,10 @@ def run(cpus: int) -> dict:
             "MRMR_BENCH_E2E_ONLY": "1",
             "MRMR_BENCH_NCONVS": str(N_CONVS),
             "PYTHONPATH": REPO,
+            # same heap at both levels; sized so 32 concurrent window sorts
+            # + the cached feature frame never spill
+            "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            "MRMR_BENCH_WARM_RUNS": os.environ.get("MRMR_BENCH_WARM_RUNS", "3"),
         }
     )
     out = subprocess.run(
