@@ -67,7 +67,15 @@ def main():
         app_name="mrmr-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the bench corpus is ONE parquet file; the default 128MB split
+            # packing would cap scan parallelism at ~2-3 tasks regardless of
+            # cores (prod reads thousands of files, where 128MB is right)
+            "spark.sql.files.maxPartitionBytes": str(8 << 20),
+            "spark.sql.inMemoryColumnarStorage.compressed": "false",
+            "spark.sql.inMemoryColumnarStorage.batchSize": "65536",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,9 +107,16 @@ def main():
     # Run twice: the first pays one-time plan/codegen compilation (a per-JOB
     # constant that amortizes to nothing over hours-long production runs);
     # the steady-state number is the throughput metric.
+    from mrmr_spark.fe.pipeline import RICH_EXTRA_COLS
+
+    rich = os.environ.get("MRMR_BENCH_RICH", "0") == "1"
+    feat_cols = FEATURE_COLS + RICH_EXTRA_COLS if rich else FEATURE_COLS
+
     def e2e():
-        feats = build_features(transcripts).where(F.col("target_next_gap").isNotNull())
-        res = select_mrmr(feats, FEATURE_COLS, "target_next_gap", 8, task="regression")
+        feats = build_features(transcripts, rich=rich).where(
+            F.col("target_next_gap").isNotNull()
+        )
+        res = select_mrmr(feats, feat_cols, "target_next_gap", 8, task="regression")
         return res
 
     timed("fe_mrmr_e2e_cold", e2e)

@@ -50,13 +50,41 @@ FEATURE_COLS = [
 ]
 
 
+#: extra columns produced by build_features(rich=True) — wider trailing
+#: windows and deeper lags; all row-windows share the single conv sort.
+RICH_EXTRA_COLS = [
+    "gap_s_lag3",
+    "gap_s_lag5",
+    "text_len_lag1",
+    "token_count_lag1",
+    "n_turns_20",
+    "avg_gap_20",
+    "max_gap_20",
+    "min_gap_20",
+    "std_gap_20",
+    "assistant_frac_20",
+    "tool_frac_20",
+    "avg_text_len_20",
+    "std_text_len_20",
+    "n_turns_60",
+    "avg_gap_60",
+    "avg_text_len_60",
+    "tool_frac_60",
+    "n_turns_600s",
+    "avg_gap_600s",
+    "sum_text_len_600s",
+]
+
+
 def build_features(
     transcripts: DataFrame,
     session_gap_s: float = 1800.0,
     n_rows: int = 5,
     range_s: float = 3600.0,
+    rich: bool = False,
 ) -> DataFrame:
-    """Return (conv_id, turn_idx, ts) + FEATURE_COLS + target_next_gap."""
+    """Return (conv_id, turn_idx, ts) + FEATURE_COLS (+ RICH_EXTRA_COLS when
+    ``rich``) + target_next_gap."""
     df = sessionize(transcripts, gap_s=session_gap_s)
 
     df = df.withColumn("text_len", F.length("text").cast("double"))
@@ -95,6 +123,45 @@ def build_features(
         range_s=range_s,
     )
 
+    feature_cols = list(FEATURE_COLS)
+    if rich:
+        df = with_lags(df, {"gap_s": [3, 5], "text_len": [1], "token_count": [1]})
+        df = backfilled_rolling(
+            df,
+            {
+                "n_turns": F.count(F.lit(1)),
+                "avg_gap": F.avg("gap_s"),
+                "max_gap": F.max("gap_s"),
+                "min_gap": F.min("gap_s"),
+                "std_gap": F.stddev_pop("gap_s"),
+                "assistant_frac": F.avg("is_assistant"),
+                "tool_frac": F.avg("has_tool"),
+                "avg_text_len": F.avg("text_len"),
+                "std_text_len": F.stddev_pop("text_len"),
+            },
+            n=20,
+        )
+        df = backfilled_rolling(
+            df,
+            {
+                "n_turns": F.count(F.lit(1)),
+                "avg_gap": F.avg("gap_s"),
+                "avg_text_len": F.avg("text_len"),
+                "tool_frac": F.avg("has_tool"),
+            },
+            n=60,
+        )
+        df = backfilled_rolling(
+            df,
+            {
+                "n_turns": F.count(F.lit(1)),
+                "avg_gap": F.avg("gap_s"),
+                "sum_text_len": F.sum("text_len"),
+            },
+            range_s=600.0,
+        )
+        feature_cols = feature_cols + RICH_EXTRA_COLS
+
     # target: time until the NEXT turn (regression) — future-only, never a feature
     df = with_lags(df, {"gap_s": [-1]})
     df = df.withColumn("target_next_gap", F.col("gap_s_lead1"))
@@ -107,6 +174,6 @@ def build_features(
     keep = ["conv_id", "turn_idx", "ts"]
     return df.select(
         *keep,
-        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col("target_next_gap").cast("double").alias("target_next_gap"),
     )
