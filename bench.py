@@ -116,7 +116,11 @@ def main():
         feats = build_features(transcripts, rich=rich).where(
             F.col("target_next_gap").isNotNull()
         )
-        res = select_mrmr(feats, feat_cols, "target_next_gap", 8, task="regression")
+        # subsample=None: bench the full-data selection path (the API default
+        # is the reference's 50k-row budget, which would hide the Gram scans)
+        res = select_mrmr(
+            feats, feat_cols, "target_next_gap", 8, task="regression", subsample=None
+        )
         return res
 
     timed("fe_mrmr_e2e_cold", e2e)

@@ -589,6 +589,60 @@ SELECT feature, round(r2v / (1 - r2v) * (n - 2), 4) AS f_stat FROM u
 """
 
 
+def q_ks_relevance(spark, sf_dir):
+    """One-vs-rest KS relevance (C3) of lineitem numerics vs l_returnflag —
+    the window-ECDF reduction, cross-checked against a DuckDB window-SQL
+    ECDF oracle (reference sift/estimators/relevance.py:110-131)."""
+    import numpy as np
+
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import ks_classif_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li2, labels = factorize_target(li, "l_returnflag")
+    # lineitem has no non-finite values; impute means are never applied
+    scores = ks_classif_scores(
+        li2, cols, "_y_code", len(labels), np.zeros(len(cols)), quantize_f32=False
+    )
+    rows = [(c, round(float(s), 6)) for c, s in zip(cols, scores)]
+    return spark.createDataFrame(rows, "feature string, ks double")
+
+
+SQL_KS_RELEVANCE = """
+WITH pts AS (
+  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x, l_returnflag AS y FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag FROM lineitem
+), cls AS (
+  SELECT l_returnflag AS y, count(*) AS n_c FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM lineitem
+), cnt AS (
+  SELECT feature, x, y, count(*) AS c FROM pts GROUP BY 1, 2, 3
+), grid AS (
+  SELECT g.feature, g.x, cl.y, cl.n_c, COALESCE(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT feature, x FROM pts) g
+  CROSS JOIN cls cl
+  LEFT JOIN cnt ON cnt.feature = g.feature AND cnt.x = g.x AND cnt.y = cl.y
+), cum AS (
+  -- ORDER BY x with default RANGE framing: peers (all classes at the same
+  -- x) are included, so the per-feature running sum IS the pooled ECDF count
+  SELECT feature, x, y, n_c,
+         sum(c) OVER (PARTITION BY feature, y ORDER BY x) AS cum_c,
+         sum(c) OVER (PARTITION BY feature ORDER BY x) AS cum_tot
+  FROM grid
+), ks AS (
+  SELECT feature, y, n_c,
+         max(abs(cum_c / n_c - (cum_tot - cum_c) / (n - n_c))) AS d
+  FROM cum CROSS JOIN tot
+  GROUP BY feature, y, n_c, n
+  HAVING n_c >= 2 AND n - n_c >= 1
+)
+SELECT feature, round(avg(d), 6) AS ks FROM ks GROUP BY feature
+"""
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup candidates (rows-only: xxhash64 seeds have no
     DuckDB twin; estimator quality is pytest-verified vs brute force)."""
@@ -685,6 +739,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "knn_cosine": q_knn_cosine,
     "fstat_relevance": q_fstat_relevance,
+    "ks_relevance": q_ks_relevance,
     "mrmr_event_features": q_mrmr_event_features,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -713,5 +768,6 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "knn_cosine": SQL_KNN_COSINE,
     "fstat_relevance": SQL_FSTAT_RELEVANCE,
+    "ks_relevance": SQL_KS_RELEVANCE,
     # mrmr_event_features: greedy loop not SQL-expressible -> rows-only check
 }

@@ -37,11 +37,16 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Canonical id + group size per document by normalized-text equality."""
+    """Canonical id + group size per document by normalized-text equality.
+
+    The shuffle key is a 128-bit fingerprint (two independent xxhash64 of
+    the normalized text), NOT the text itself — at 100 TB the document body
+    must never be a shuffle key. Two 64-bit hashes put the birthday-bound
+    collision probability at ~n²/2¹²⁹ (≈1e-19 at 10¹⁰ docs)."""
     from pyspark.sql.window import Window
 
-    key = F.lower(F.trim(F.col(text_col)))
-    w = Window.partitionBy(key)
+    norm = F.lower(F.trim(F.col(text_col)))
+    w = Window.partitionBy(F.xxhash64(norm), F.xxhash64(norm, F.lit(0x9E3779B9)))
     return df.select(
         id_col,
         F.min(id_col).over(w).alias("canonical_id"),
@@ -150,48 +155,79 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
-    chunk_bits: int = 16,
+    max_hamming: int = 3,
+    n_blocks: int | str = "auto",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, candidate-
-    generated by exact match on one of the 64/chunk_bits chunks (pigeonhole:
-    any pair within max_hamming < #chunks shares at least one chunk)."""
-    sigs = simhash(df, text_col, id_col).persist()
-    n_chunks = 64 // chunk_bits
-    mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation is the Manku/Jain/Sarma multi-table block scheme
+    (WWW'07 "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
+    signature into ``k = n_blocks`` blocks; a pair within Hamming distance
+    ``h`` differs in at most h blocks, so it matches EXACTLY on at least
+    ``m = k - h`` blocks — emit one bucket row per C(k, m) block-subset,
+    keyed by the subset's concatenated bits. Guaranteed recall for any h
+    (unlike single-chunk pigeonhole, which only holds for h < #chunks),
+    and doc-count-adaptive: raising ``n_blocks`` widens each key by
+    ``m·(64/k)`` bits (more, smaller buckets) at the cost of more tables.
+
+    Defaults: h=3 (Manku's published operating point for 64-bit simhash at
+    web scale), k=h+2 ⇒ C(5,2)=10 tables with ~25-bit keys; at billions of
+    docs use n_blocks=6..8 (20/70 tables, 32/40-bit keys).
+    """
+    k = max_hamming + 2 if n_blocks == "auto" else int(n_blocks)
+    m = k - max_hamming
+    if m < 1:
+        raise ValueError(f"n_blocks ({k}) must exceed max_hamming ({max_hamming})")
+    from itertools import combinations
+
+    subsets = list(combinations(range(k), m))
+    if len(subsets) > 256:
+        raise ValueError(
+            f"C({k},{m}) = {len(subsets)} tables; lower n_blocks or raise max_hamming"
+        )
+    # block c covers bits [off[c], off[c+1]) — remainder spread over the head
+    widths = [64 // k + (1 if c < 64 % k else 0) for c in range(k)]
+    offs = [0]
+    for wd in widths:
+        offs.append(offs[-1] + wd)
+
+    def block_val(c: int):
+        return F.shiftrightunsigned("simhash", offs[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    sigs = simhash(df, text_col, id_col)
+    buckets = sigs.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(t).alias("tbl"),
+                        F.xxhash64(*[block_val(c) for c in sub]).alias("key"),
                     )
-                    for c in range(n_chunks)
+                    for t, sub in enumerate(subsets)
                 ]
             )
-        ).alias("cv"),
-    ).select(id_col, "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+        ).alias("tk"),
+    ).select(id_col, "simhash", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .where(ham <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
 
 
@@ -201,10 +237,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle."""
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    ``max_df`` caps per-shingle document frequency for candidate generation
+    (a stop-shingle in 10⁸ docs makes the self-join quadratic): shingles
+    with df > max_df are excluded from the candidate join but still counted
+    in each doc's |A| (so Jaccard stays a LOWER bound for the pairs found;
+    pairs sharing only hot shingles are missed — at scale, run this as the
+    verify stage on LSH candidates instead, or accept the recall cut).
+    """
     sh = char_shingles(df, text_col, id_col, n)
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

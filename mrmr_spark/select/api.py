@@ -23,7 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrmr_spark.select import binning, kernels, loops, relevance
+from mrmr_spark.select import binning, kernels, loops
+from mrmr_spark.select import relevance as rel_est
 from mrmr_spark.select.preprocess import (
     assert_numeric,
     deterministic_subsample,
@@ -86,10 +87,11 @@ def select_mrmr(
     *,
     task: str = "regression",
     weight_col: str | None = None,
+    relevance: str = "f",
     estimator: str = "classic",
     formula: str = "quotient",
     top_m: int | None = None,
-    subsample: int | None = None,
+    subsample: int | None = 50_000,
     seed: int = 0,
     quantize_f32: bool = True,
     auto_k_config=None,
@@ -98,12 +100,22 @@ def select_mrmr(
 ) -> SelectionResult:
     """Minimum-Redundancy-Maximum-Relevance over a Spark DataFrame.
 
-    classic: F-stat relevance + |Pearson| redundancy (api.py:412-463)
+    classic: relevance estimator per ``relevance`` + |Pearson| redundancy
+    (api.py:412-463). relevance ∈ {'f','rf'} for regression,
+    {'f','ks','rf'} for classification (reference dispatch api.py:340-346).
     gaussian: copula-MI relevance + Gaussian-MI redundancy — see
     mrmr_spark.select.cache.select_cached (regression only).
     k="auto": build the path to max_k, then pick k by elbow (gaussian
     objective) or held-out evaluation (closed-form ridge; api.py:283-374).
     """
+    _valid_rel = {"regression": ("f", "rf"), "classification": ("f", "ks", "rf")}
+    if task not in _valid_rel:
+        raise ValueError(f"Unknown task: {task!r}")
+    if relevance not in _valid_rel[task]:
+        raise ValueError(
+            f"relevance='{relevance}' not valid for task='{task}'. "
+            f"Valid options: {sorted(_valid_rel[task])}"
+        )
     if k == "auto":
         from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
 
@@ -127,8 +139,9 @@ def select_mrmr(
             return res
         res = select_mrmr(
             df, feature_cols, target_col, cfg.max_k, task=task,
-            weight_col=weight_col, estimator=estimator, formula=formula,
-            top_m=top_m, subsample=subsample, seed=seed, quantize_f32=quantize_f32,
+            weight_col=weight_col, relevance=relevance, estimator=estimator,
+            formula=formula, top_m=top_m, subsample=subsample, seed=seed,
+            quantize_f32=quantize_f32,
         )
         best_k, names, scores = select_k_evaluate(
             df, res.names, target_col, cfg, weight_col, group_col, time_col
@@ -163,9 +176,14 @@ def select_mrmr(
         # whole-stage-codegen limits and everything goes interpreted.
         df = df.persist()
         try:
-            stats = relevance.fused_regression_stats(
+            stats = rel_est.fused_regression_stats(
                 df, feature_cols, target_col, wcol, quantize_f32
             )
+            if relevance == "rf":
+                stats["scores"] = rel_est.rf_relevance_scores(
+                    df, feature_cols, target_col, task,
+                    stats["impute_means"], wcol, quantize_f32,
+                )
         finally:
             df.unpersist()
         rel = stats["scores"]
@@ -184,17 +202,35 @@ def select_mrmr(
         )
 
     # general path: relevance scans -> prefilter -> Gram on candidates;
-    # persist pays for itself once >= 3 scans read the matrix
+    # persist pays for itself once >= 3 scans read the matrix.
+    # For ks/rf the moment passes still run (they feed standardization and
+    # the Gram pass); only the relevance VECTOR is swapped — exactly the
+    # reference's structure (relevance dispatch feeds the same mrmr_select).
     df = df.persist()
     if task == "classification":
         df, labels = factorize_target(df, target_col, "_y_code")
-        stats = relevance.f_classif_scores(
+        stats = rel_est.f_classif_scores(
             df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
         )
+        if relevance == "ks":
+            stats["scores"] = rel_est.ks_classif_scores(
+                df, feature_cols, "_y_code", len(labels),
+                stats["impute_means"], quantize_f32,
+            )
+        elif relevance == "rf":
+            stats["scores"] = rel_est.rf_relevance_scores(
+                df, feature_cols, "_y_code", task,
+                stats["impute_means"], wcol, quantize_f32,
+            )
     else:
-        stats = relevance.f_regression_scores(
+        stats = rel_est.f_regression_scores(
             df, feature_cols, target_col, wcol, quantize_f32
         )
+        if relevance == "rf":
+            stats["scores"] = rel_est.rf_relevance_scores(
+                df, feature_cols, target_col, task,
+                stats["impute_means"], wcol, quantize_f32,
+            )
 
     rel = stats["scores"]
     cand = _prefilter(rel, k, top_m)
@@ -235,7 +271,7 @@ def select_jmi(
     estimator: str = "auto",
     aggregation: str = "sum",
     top_m: int | None = None,
-    subsample: int | None = None,
+    subsample: int | None = 50_000,
     seed: int = 0,
     quantize_f32: bool = True,
     n_bins: int = 10,
@@ -259,7 +295,7 @@ def select_jmi(
     if estimator == "r2" and len(feature_cols) <= kernels.GRAM_JVM_MAX_P:
         df = df.persist()
         try:
-            stats = relevance.fused_regression_stats(
+            stats = rel_est.fused_regression_stats(
                 df, feature_cols, target_col, wcol, quantize_f32
             )
         finally:
@@ -279,11 +315,11 @@ def select_jmi(
     labels = None
     if task == "classification":
         df, labels = factorize_target(df, target_col, "_y_code")
-        stats = relevance.f_classif_scores(
+        stats = rel_est.f_classif_scores(
             df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
         )
     else:
-        stats = relevance.f_regression_scores(
+        stats = rel_est.f_regression_scores(
             df, feature_cols, target_col, wcol, quantize_f32
         )
 
@@ -391,7 +427,7 @@ def select_cefsplus(
     weight_col: str | None = None,
     top_m: int | None = None,
     corr_prune: float = 0.95,
-    subsample: int | None = None,
+    subsample: int | None = 50_000,
     seed: int = 0,
     return_objective: bool = False,
 ) -> SelectionResult:

@@ -23,7 +23,6 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mrmr_spark.select import kernels, relevance
 
@@ -137,11 +136,20 @@ def select_k_evaluate(
     if config.strategy == "time_holdout":
         if time_col is None:
             raise ValueError("time_holdout strategy requires time_col")
-        w = Window.orderBy(F.col(time_col))
-        ranked = df.withColumn("_pr", F.percent_rank().over(w))
-        cut = 1.0 - config.val_frac
-        train = ranked.where(F.col("_pr") < cut).drop("_pr").persist()
-        val = ranked.where(F.col("_pr") >= cut).drop("_pr").persist()
+        # exact percentile aggregate + filter — same "train on the oldest
+        # 1-val_frac, validate on the newest val_frac" semantics as a
+        # percent_rank cut, but with NO single-partition global window
+        # (that plan pulls the whole table through one task at scale)
+        t = F.col(time_col).cast("double")
+        cut_val = df.select(
+            F.expr(
+                f"percentile(cast({time_col} as double), {1.0 - config.val_frac})"
+            ).alias("c")
+        ).collect()[0].c
+        if cut_val is None:
+            raise ValueError(f"time_col '{time_col}' has no non-null values")
+        train = df.where(t < F.lit(float(cut_val))).persist()
+        val = df.where(t >= F.lit(float(cut_val))).persist()
         scores = _ridge_path_scores(train, val, path, target_col, weight_col, k_grid, config.metric)
         train.unpersist()
         val.unpersist()

@@ -20,6 +20,7 @@ are not bit-identical to sklearn's, SURVEY.md §7 hard-point 5):
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -149,7 +150,8 @@ def boruta_select(
             work = permute_column(
                 work, c, method, group=group_col,
                 order=[time_col] if time_col else None,
-                key_cols=key_cols or [c], seed=seed * 7919 + it * 101 + hash(c) % 997,
+                key_cols=key_cols or [c],
+                seed=seed * 7919 + it * 101 + zlib.crc32(c.encode()) % 997,
                 block_size=block_size, out=sc_name,
             )
             shadow_cols.append(sc_name)

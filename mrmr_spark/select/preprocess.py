@@ -64,7 +64,14 @@ def ensure_weight_column(
     row = df.select(
         F.max(weight_col).alias("mx"),
         F.min(weight_col).alias("mn"),
-        F.count(F.when(~F.col(weight_col).isNotNull() | F.isnan(weight_col), 1)).alias("bad"),
+        F.count(
+            F.when(
+                ~F.col(weight_col).isNotNull()
+                | F.isnan(weight_col)
+                | (F.abs(F.col(weight_col)) == float("inf")),
+                1,
+            )
+        ).alias("bad"),
     ).collect()[0]
     if row.bad:
         raise ValueError("sample_weight contains non-finite values")

@@ -9,13 +9,17 @@ formulas and every numerical guard replicate the reference exactly:
   F = r²/(1−r²)·(Σw − 2), r² clipped at 0.99999, zero-variance → 0.
 - f_classif (relevance.py:57-107): weighted one-way ANOVA,
   F = (SSB/(C−1)) / (SSW/(Σw − C)), guards on dfs and SSW < 1e-12.
-- ks_classif (relevance.py:110-131): mean one-vs-rest two-sample KS.
+- ks_classif (relevance.py:110-131): mean one-vs-rest two-sample KS —
+  NOTE the reference ignores sample weights here; so do we.
+- rf relevance (relevance.py:134-161): random-forest impurity importances
+  (approximate tier: Spark ML RF, not sklearn — set-level parity only).
 """
 
 from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mrmr_spark.select import kernels
 
@@ -162,3 +166,143 @@ def f_classif_scores(
         "n": p1["n"],
         "pass1": p1,
     }
+
+
+def _imputed_quantized(c: str, mean: float, quantize_f32: bool):
+    col = F.col(c).cast("double")
+    fin = ~F.isnull(col) & ~F.isnan(col) & (F.abs(col) != float("inf"))
+    v = F.when(fin, col).otherwise(F.lit(float(mean)))
+    return v.cast("float").cast("double") if quantize_f32 else v
+
+
+def ks_classif_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    ycode_col: str,
+    n_classes: int,
+    impute_means: np.ndarray,
+    quantize_f32: bool = True,
+) -> np.ndarray:
+    """Mean one-vs-rest two-sample KS statistic per feature (C3; reference
+    /root/reference/sift/estimators/relevance.py:110-131 — ks_2samp is
+    UNWEIGHTED there, classes with <2 members are skipped, and the score is
+    the mean over tested classes).
+
+    Spark plan (scipy-free): melt the p imputed columns into (fid, x) rows
+    with one generator projection → ONE groupBy (fid, x) with C conditional
+    counts → per-fid ordered-window cumulative counts (p independent window
+    partitions, no global sort) → per-class max ECDF gap → a tiny (p × C)
+    collect; the class mean is driver math. Two shuffles total regardless
+    of p and C.
+    """
+    from pyspark.sql.window import Window
+
+    cls = {int(r[0]): float(r[1]) for r in df.groupBy(ycode_col).count().collect()}
+    n_tot = sum(cls.values())
+    n_c = np.array([cls.get(c, 0.0) for c in range(n_classes)])
+
+    melted = df.select(
+        F.col(ycode_col).cast("int").alias("_yc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("fid"),
+                        _imputed_quantized(c, impute_means[j], quantize_f32).alias("x"),
+                    )
+                    for j, c in enumerate(feature_cols)
+                ]
+            )
+        ).alias("fx"),
+    ).select(F.col("fx.fid").alias("_fid"), F.col("fx.x").alias("_x"), "_yc")
+
+    counts = melted.groupBy("_fid", "_x").agg(
+        *[
+            F.count(F.when(F.col("_yc") == c, F.lit(1))).alias(f"n{c}")
+            for c in range(n_classes)
+        ]
+    )
+    w = Window.partitionBy("_fid").orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = [F.sum(f"n{c}").over(w) for c in range(n_classes)]
+    cum_tot = sum(cum[1:], cum[0]) if n_classes > 1 else cum[0]
+    gaps = []
+    for c in range(n_classes):
+        if n_c[c] < 2 or n_tot - n_c[c] < 1:
+            gaps.append(F.lit(0.0).alias(f"g{c}"))
+            continue
+        ecdf_c = cum[c] / F.lit(float(n_c[c]))
+        ecdf_rest = (cum_tot - cum[c]) / F.lit(float(n_tot - n_c[c]))
+        gaps.append(F.abs(ecdf_c - ecdf_rest).alias(f"g{c}"))
+    per_fid = (
+        counts.select("_fid", *gaps)
+        .groupBy("_fid")
+        .agg(*[F.max(f"g{c}").alias(f"g{c}") for c in range(n_classes)])
+        .collect()
+    )
+
+    tested = [c for c in range(n_classes) if n_c[c] >= 2 and n_tot - n_c[c] >= 1]
+    scores = np.zeros(len(feature_cols), dtype=np.float64)
+    for row in per_fid:
+        j = int(row["_fid"])
+        ks_sum = sum(float(row[f"g{c}"]) for c in tested)
+        scores[j] = ks_sum / max(len(tested), 1)
+    return scores
+
+
+def rf_relevance_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    task: str,
+    impute_means: np.ndarray,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+    n_estimators: int = 100,
+    max_depth: int = 5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Random-forest impurity importances as relevance (C4; reference
+    /root/reference/sift/estimators/relevance.py:134-161: sklearn RF with
+    max_depth=5, n_estimators=100, random_state=0, sample_weight=w).
+
+    Approximate tier (SURVEY.md §7 hard-point 5): Spark ML's
+    ``featureImportances`` is the same normalized impurity-importance
+    definition but the tree builder differs (bin-based splits, different
+    RNG), so the parity target is top-set overlap, not allclose.
+    featureSubsetStrategy mirrors sklearn defaults: all features for
+    regression, sqrt for classification.
+    """
+    from pyspark.ml.feature import VectorAssembler
+
+    proj = df.select(
+        *[
+            _imputed_quantized(c, impute_means[j], quantize_f32).alias(c)
+            for j, c in enumerate(feature_cols)
+        ],
+        F.col(label_col).cast("double").alias("_label"),
+        *([F.col(weight_col).alias("_w")] if weight_col else []),
+    )
+    vec = VectorAssembler(
+        inputCols=feature_cols, outputCol="_vec", handleInvalid="keep"
+    ).transform(proj)
+    kwargs = dict(
+        featuresCol="_vec",
+        labelCol="_label",
+        numTrees=n_estimators,
+        maxDepth=max_depth,
+        seed=seed,
+        subsamplingRate=1.0,
+    )
+    if weight_col:
+        kwargs["weightCol"] = "_w"
+    if task == "classification":
+        from pyspark.ml.classification import RandomForestClassifier
+
+        model = RandomForestClassifier(featureSubsetStrategy="sqrt", **kwargs).fit(vec)
+    else:
+        from pyspark.ml.regression import RandomForestRegressor
+
+        model = RandomForestRegressor(featureSubsetStrategy="all", **kwargs).fit(vec)
+    return np.asarray(model.featureImportances.toArray(), dtype=np.float64)

@@ -101,6 +101,32 @@ def f_classif(X32: np.ndarray, ycodes: np.ndarray, w: np.ndarray) -> np.ndarray:
     return out
 
 
+def ks_classif(X32: np.ndarray, ycodes: np.ndarray) -> np.ndarray:
+    """Unweighted mean one-vs-rest two-sample KS (relevance.py:110-131).
+    scipy-free ks_2samp: D = max |ECDF1 − ECDF2| over pooled sample points
+    (right-continuous ECDFs, exactly scipy's two-sided statistic)."""
+    X = X32.astype(np.float64)
+    n, p = X.shape
+    classes = np.unique(ycodes)
+    scores = np.zeros(p)
+    for j in range(p):
+        x = X[:, j]
+        ks_sum, count = 0.0, 0
+        for c in classes:
+            mask = ycodes == c
+            if mask.sum() < 2 or (~mask).sum() < 1:
+                continue
+            x1 = np.sort(x[mask])
+            x2 = np.sort(x[~mask])
+            pooled = np.concatenate([x1, x2])
+            cdf1 = np.searchsorted(x1, pooled, side="right") / x1.size
+            cdf2 = np.searchsorted(x2, pooled, side="right") / x2.size
+            ks_sum += float(np.max(np.abs(cdf1 - cdf2)))
+            count += 1
+        scores[j] = ks_sum / max(count, 1)
+    return scores
+
+
 # --- classic mRMR (incremental, recomputed from data each step) --------------
 
 def _standardize(X64: np.ndarray, w: np.ndarray) -> np.ndarray:

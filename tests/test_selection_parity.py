@@ -239,3 +239,49 @@ def test_cache_reuse_across_targets(fixture_small, spark):
         assert r1.names != r2.names
     finally:
         cache.unpersist()
+
+
+def test_ks_classif_parity(fixture_small):
+    """C3: Spark window-ECDF KS vs the NumPy ks_2samp re-derivation
+    (reference relevance.py:110-131 — unweighted, mean one-vs-rest)."""
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import ks_classif_scores
+
+    pdf, sdf, cols = fixture_small
+    sdf2, labels = factorize_target(sdf, "target_cls")
+    means = pdf[cols].to_numpy(np.float64).mean(axis=0)
+    got = ks_classif_scores(sdf2, cols, "_y_code", len(labels), means)
+    X32 = oracle.impute_f32(pdf[cols].to_numpy())
+    exp = oracle.ks_classif(X32, pdf["target_cls"].to_numpy())
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12), np.max(np.abs(got - exp))
+    # and the planted signal dominates
+    assert set(np.argsort(-got)[:2]) == {0, 1}
+
+
+def test_select_mrmr_ks_relevance(fixture_small):
+    """select_mrmr(relevance='ks') end-to-end (reference api.py:341-346)."""
+    pdf, sdf, cols = fixture_small
+    res = select_mrmr(sdf, cols, "target_cls", 4, task="classification", relevance="ks")
+    assert len(res.names) == 4
+    assert {"f0", "f1"} & set(res.names[:2])
+
+
+def test_select_mrmr_rf_relevance(fixture_small):
+    """C4: relevance='rf' (Spark ML RF importances; approximate tier —
+    planted-signal recovery, reference relevance.py:134-161)."""
+    pdf, sdf, cols = fixture_small
+    res = select_mrmr(sdf, cols, "target_reg", 4, task="regression", relevance="rf")
+    assert len(res.names) == 4
+    assert "f0" in res.names[:2]
+    res_c = select_mrmr(sdf, cols, "target_cls", 4, task="classification", relevance="rf")
+    assert len(res_c.names) == 4
+    assert {"f0", "f1"} & set(res_c.names[:2])
+
+
+def test_relevance_dispatch_validation(fixture_small):
+    """Invalid (task, relevance) combos raise, mirroring api.py:349-353."""
+    pdf, sdf, cols = fixture_small
+    with pytest.raises(ValueError, match="not valid"):
+        select_mrmr(sdf, cols, "target_reg", 3, task="regression", relevance="ks")
+    with pytest.raises(ValueError, match="not valid"):
+        select_mrmr(sdf, cols, "target_cls", 3, task="classification", relevance="mi")
