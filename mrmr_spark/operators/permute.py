@@ -135,6 +135,132 @@ def permute_column(
     raise ValueError(f"Unknown permutation method: {method}")
 
 
+def permute_columns_arrow(
+    df: DataFrame,
+    specs: list[tuple[str, str, int]],
+    method: str = "within_group",
+    group: str | None = None,
+    order: list[str] | None = None,
+    key_cols: list[str] | None = None,
+    seed: int = 0,
+    block_size: int | str = "auto",
+) -> DataFrame:
+    """Produce MANY independently-permuted column copies in ONE Arrow pass.
+
+    ``specs`` is a list of ``(src_col, out_name, col_seed)``; every output
+    column gets its own permutation (seeded per (seed, col_seed, group)),
+    all computed inside a single group-partitioned ``mapInArrow`` — exactly
+    ONE exchange total, vs one window+self-join of the full matrix per
+    column in :func:`permute_column`. This is the Boruta-shadow /
+    permutation-importance hot path (p columns × n iterations would
+    otherwise shuffle the matrix O(p·iter) times).
+
+    Semantics per method match :func:`permute_column` (reference
+    /root/reference/sift/_permute.py:67-244): within_group / block /
+    circular_shift operate on each group's time-sorted run; 'global' treats
+    each hash partition as one run (a true multiset-preserving permutation
+    of the whole column — partition assignment is itself a seeded hash, so
+    values mix across the table; deterministic for a fixed partition count).
+
+    Scale note: each task materializes its partition's batches (np.roll /
+    permutation need whole group runs); partitions are the shuffle-sized
+    units that already fit executor memory, and groups never straddle
+    partitions (hash partitioning on the group key).
+    """
+    import pyarrow as pa
+
+    if method in ("within_group", "block", "circular_shift") and group is None:
+        raise ValueError(f"method='{method}' requires group")
+    if method in ("circular_shift", "block") and not order:
+        raise ValueError(f"method='{method}' requires order (time)")
+    src_set = {s for s, _, _ in specs}
+    for s in src_set:
+        if s not in df.columns:
+            raise ValueError(f"unknown source column: {s}")
+
+    if group is not None:
+        work = df.repartition(F.col(group)).sortWithinPartitions(
+            group, *(order or []), *[c for c in (key_cols or []) if c != group]
+        )
+        drop_key = None
+    else:
+        keys = key_cols or df.columns
+        work = df.withColumn(
+            "_permkey", F.xxhash64(*[F.col(c) for c in keys], F.lit(seed))
+        )
+        work = work.repartition(F.col("_permkey")).sortWithinPartitions("_permkey")
+        drop_key = "_permkey"
+
+    in_fields = work.schema.fields
+    spark_type = {f.name: f.dataType for f in in_fields}
+    out_schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields] + [
+        f"`{out}` {spark_type[src].simpleString()}" for src, out, _ in specs
+    ]
+    out_ddl = ", ".join(out_schema_parts)
+    bs_fixed = None if block_size == "auto" else int(block_size)
+
+    def _run_perm(rng, m: int):
+        import math
+
+        import numpy as np
+
+        if method in ("global", "within_group"):
+            return rng.permutation(m)
+        if method == "circular_shift":
+            shift = 1 + int(rng.integers(m - 1)) if m > 1 else 0
+            return (np.arange(m) - shift) % m
+        # block: √n blocks (or fixed), shuffle block order, keep in-block order
+        bs = bs_fixed or max(int(math.sqrt(m)), 1)
+        n_blocks = (m + bs - 1) // bs
+        if n_blocks <= 0:
+            return np.empty(0, dtype=np.int64)
+        border = rng.permutation(n_blocks)
+        return np.concatenate(
+            [np.arange(b * bs, min((b + 1) * bs, m)) for b in border]
+        )
+
+    def mapper(batches):
+        import zlib
+
+        import numpy as np
+
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        m_tot = tbl.num_rows
+        if m_tot == 0:
+            return
+        # group runs (input is sorted by group within the partition)
+        if group is not None:
+            gv = tbl.column(group).to_numpy(zero_copy_only=False)
+            change = np.nonzero(gv[1:] != gv[:-1])[0] + 1
+            starts = np.concatenate([[0], change, [m_tot]]).astype(np.int64)
+            ghashes = [
+                zlib.crc32(str(gv[int(s)]).encode()) for s in starts[:-1]
+            ]
+        else:
+            starts = np.array([0, m_tot], dtype=np.int64)
+            ghashes = [0]
+
+        new_cols = []
+        for src, _out, cseed in specs:
+            x = tbl.column(src).to_numpy(zero_copy_only=False)
+            out_x = np.empty_like(x)
+            for ri in range(len(starts) - 1):
+                s, e = int(starts[ri]), int(starts[ri + 1])
+                rng = np.random.default_rng([seed & 0x7FFFFFFF, cseed & 0x7FFFFFFF, ghashes[ri]])
+                out_x[s:e] = x[s:e][_run_perm(rng, e - s)]
+            new_cols.append(pa.array(out_x, from_pandas=True))
+        out_tbl = tbl
+        for (src, out, _), arr in zip(specs, new_cols):
+            out_tbl = out_tbl.append_column(out, arr.cast(out_tbl.schema.field(src).type))
+        yield from out_tbl.to_batches(max_chunksize=65536)
+
+    result = work.mapInArrow(mapper, out_ddl)
+    return result.drop(drop_key) if drop_key else result
+
+
 def permute_rows_struct(
     df: DataFrame,
     cols: list[str],

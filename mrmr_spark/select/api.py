@@ -351,6 +351,7 @@ def select_jmi(
         sel_local = _jmi_binned(
             df, cand_cols, target_col, task, wcol, stats, cand, rel, k,
             aggregation, n_bins, quantize_f32, labels,
+            distributed=(subsample is None),
         )
     else:
         raise ValueError(f"Unknown estimator: {estimator}")
@@ -371,9 +372,15 @@ def _imputed_expr(c: str, mean_q: float, quantize_f32: bool):
 
 def _jmi_binned(
     df, cand_cols, target_col, task, wcol, stats, cand, rel, k,
-    aggregation, n_bins, quantize_f32, labels,
+    aggregation, n_bins, quantize_f32, labels, distributed=False,
 ):
-    """Distributed exact binning + driver greedy loop on collected codes."""
+    """Distributed exact binning + greedy JMI loop.
+
+    Bounded path (default, subsample=50k like the reference api.py:511):
+    collect the int16 code matrix, loop on the driver. Unbounded path
+    (subsample=None): per-step composite-code groupBy histograms — the
+    driver never holds more than one entropy row per candidate
+    (binning.jmi_greedy_binned_spark)."""
     imput = stats["impute_means"][cand]
     imp_cols = [
         _imputed_expr(c, imput[i], quantize_f32).alias(f"_i_{c}")
@@ -400,6 +407,22 @@ def _jmi_binned(
     edges = binning.exact_percentile_edges(proj, bin_cols, n_bins)
     # y std for constant check
     all_stds = np.concatenate([stds_unw, [np.inf]]) if task != "classification" else stds_unw
+
+    if distributed:
+        coded = binning.bin_codes_df(
+            proj, bin_cols, edges, all_stds, extra_cols=["_yv", "_wv"]
+        )
+        if task == "classification":
+            f_bcols = [f"b_{c}" for c in icol_names]
+            y_bcol, ny = "_yv", len(labels)
+        else:
+            f_bcols = [f"b_{c}" for c in icol_names]
+            y_bcol, ny = "b__yv", n_bins
+        return binning.jmi_greedy_binned_spark(
+            coded, f_bcols, y_bcol, "_wv", rel[cand], k,
+            n_bins=n_bins, n_y_states=ny, use_min=(aggregation == "min"),
+        )
+
     codes, extras = binning.collect_bin_codes(
         proj, bin_cols, edges, all_stds, extra_cols=["_yv", "_wv"]
     )

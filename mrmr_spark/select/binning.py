@@ -42,17 +42,18 @@ def exact_percentile_edges(
     return {c: np.asarray(row[c], dtype=np.float64) for c in cols}
 
 
-def collect_bin_codes(
+def bin_codes_df(
     df: DataFrame,
     cols: list[str],
     edges: dict[str, np.ndarray],
     stds: np.ndarray,
     extra_cols: list[str] | None = None,
-) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-    """Assign codes = np.digitize(x, interior_edges) per column in an Arrow
-    kernel and collect the compact (n, p) int16 matrix (plus any extra
-    columns verbatim, e.g. y / weights). Constant columns (std < 1e-12) get
-    all-zero codes (joint_mi.py:426-427)."""
+) -> DataFrame:
+    """Distributed bin-code assignment: codes = np.digitize(x, interior)
+    per column in one Arrow kernel; returns the coded DataFrame
+    (``b_{col}`` smallint columns + extra columns as double) WITHOUT
+    collecting. Constant columns (std < 1e-12) get all-zero codes
+    (joint_mi.py:426-427)."""
     extra_cols = extra_cols or []
     interior = {c: edges[c][1:-1] for c in cols}
     const = {c: bool(stds[i] < 1e-12) for i, c in enumerate(cols)}
@@ -91,8 +92,129 @@ def collect_bin_codes(
                 )
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    coded = df.mapInArrow(mapper, spark_schema)
-    pdf = coded.toPandas()
+    return df.mapInArrow(mapper, spark_schema)
+
+
+def collect_bin_codes(
+    df: DataFrame,
+    cols: list[str],
+    edges: dict[str, np.ndarray],
+    stds: np.ndarray,
+    extra_cols: list[str] | None = None,
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """``bin_codes_df`` + driver collect of the compact int16 code matrix —
+    the bounded path (rows capped by the engine's subsample budget)."""
+    extra_cols = extra_cols or []
+    pdf = bin_codes_df(df, cols, edges, stds, extra_cols).toPandas()
     codes = pdf[[f"b_{c}" for c in cols]].to_numpy(dtype=np.int16)
     extras = {e: pdf[e].to_numpy(dtype=np.float64) for e in extra_cols}
     return codes, extras
+
+
+def jmi_greedy_binned_spark(
+    coded: DataFrame,
+    bcols: list[str],
+    y_bcol,
+    w_col: str,
+    relevance: np.ndarray,
+    k: int,
+    n_bins: int,
+    n_y_states: int,
+    use_min: bool = False,
+) -> np.ndarray:
+    """JMI/JMIM greedy loop with DISTRIBUTED per-step joint histograms —
+    the unbounded path (subsample=None): nothing larger than the
+    (candidates × B² × n_y) weighted-count tensor is ever aggregated, and
+    only one O(m) entropy row per candidate reaches the driver per step.
+
+    Per step: melt the m candidate code columns against the last-selected
+    code + y code (one generator projection), ONE groupBy on the composite
+    (cand, f, s, y) key, then two tiny re-aggregations compute
+    H(f,s) and H(f,s,y) per candidate Spark-side. Same math as
+    ``loops.jmi_greedy_binned`` (joint_mi.py:58-117): I = H(f,s) + H(y) −
+    H(f,s,y), clamped ≥ 0; entropy mask pr > 1e-12.
+    """
+    m = len(bcols)
+    k = min(k, m)
+    if k <= 0 or m == 0:
+        return np.empty(0, dtype=np.int64)
+
+    coded = coded.persist()
+    try:
+        wsum = float(coded.select(F.sum(w_col)).collect()[0][0])
+        yrows = coded.groupBy(y_bcol).agg(F.sum(w_col).alias("cw")).collect()
+        h_y = 0.0
+        for r in yrows:
+            pr = float(r["cw"]) / wsum
+            if pr > 1e-12:
+                h_y -= pr * np.log(pr)
+
+        def ent_agg():
+            p = F.col("cw") / F.lit(wsum)
+            return F.sum(F.when(p > 1e-12, -p * F.log(p)).otherwise(F.lit(0.0)))
+
+        rel = np.asarray(relevance, dtype=np.float64)
+        scores = np.full(m, np.inf) if use_min else np.zeros(m)
+        selected = np.empty(k, dtype=np.int64)
+        is_sel = np.zeros(m, dtype=bool)
+        selected[0] = int(np.argmax(rel))
+        is_sel[selected[0]] = True
+        count = 1
+
+        for t in range(1, k):
+            s_col = bcols[selected[t - 1]]
+            cand = np.where(~is_sel)[0]
+            if cand.size == 0:
+                break
+            melted = coded.select(
+                F.col(s_col).cast("int").alias("_sc"),
+                F.col(y_bcol).cast("int").alias("_yc"),
+                F.col(w_col).alias("_w"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(int(i)).alias("cand"),
+                                F.col(bcols[int(j)]).cast("int").alias("fc"),
+                            )
+                            for i, j in enumerate(cand)
+                        ]
+                    )
+                ).alias("cf"),
+            ).select(
+                "_sc", "_yc", "_w",
+                F.col("cf.cand").alias("_cand"), F.col("cf.fc").alias("_fc"),
+            )
+            hist = melted.groupBy("_cand", "_fc", "_sc", "_yc").agg(
+                F.sum("_w").alias("cw")
+            ).persist()
+            h_fsy = {
+                int(r["_cand"]): float(r["h"])
+                for r in hist.groupBy("_cand").agg(ent_agg().alias("h")).collect()
+            }
+            fs = hist.groupBy("_cand", "_fc", "_sc").agg(F.sum("cw").alias("cw"))
+            h_fs = {
+                int(r["_cand"]): float(r["h"])
+                for r in fs.groupBy("_cand").agg(ent_agg().alias("h")).collect()
+            }
+            hist.unpersist()
+
+            mi = np.array(
+                [max(0.0, h_fs[i] + h_y - h_fsy[i]) for i in range(cand.size)]
+            )
+            if use_min:
+                scores[cand] = np.minimum(scores[cand], mi)
+            else:
+                scores[cand] += mi
+
+            eff = np.where(np.isfinite(scores), scores, rel)
+            eff[is_sel] = -np.inf
+            j = int(np.argmax(eff))
+            if not np.isfinite(eff[j]):
+                break
+            selected[t] = j
+            is_sel[j] = True
+            count += 1
+    finally:
+        coded.unpersist()
+    return selected[:count]

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrmr_spark.operators.permute import permute_column, resolve_method
+from mrmr_spark.operators.permute import permute_columns_arrow, resolve_method
 
 
 def poisson_binom_pmf(ps: np.ndarray) -> np.ndarray:
@@ -143,18 +143,19 @@ def boruta_select(
             break
         live_cols = [feature_cols[i] for i in live]
 
-        work = work_base
-        shadow_cols = []
-        for c in live_cols:
-            sc_name = f"_sh_{c}"
-            work = permute_column(
-                work, c, method, group=group_col,
-                order=[time_col] if time_col else None,
-                key_cols=key_cols or [c],
-                seed=seed * 7919 + it * 101 + zlib.crc32(c.encode()) % 997,
-                block_size=block_size, out=sc_name,
-            )
-            shadow_cols.append(sc_name)
+        # ALL shadow columns in ONE group-partitioned Arrow pass — exactly
+        # one exchange per iteration (vs one window+join per live column)
+        specs = [
+            (c, f"_sh_{c}", zlib.crc32(c.encode()) % 997) for c in live_cols
+        ]
+        work = permute_columns_arrow(
+            work_base, specs, method, group=group_col,
+            order=[time_col] if time_col else None,
+            key_cols=key_cols or live_cols,
+            seed=seed * 7919 + it * 101,
+            block_size=block_size,
+        )
+        shadow_cols = [out for _, out, _ in specs]
 
         imp = _rf_importances(
             work, live_cols + shadow_cols, label, task, n_est, max_depth,

@@ -4,11 +4,13 @@ Reference semantics (/root/reference/sift/importance.py:20-149): per
 (feature, repeat), permute that feature with the group/time-aware strategy,
 re-score the fitted model, importance = baseline − permuted score.
 
-Spark shape: the model's prediction is a single codegen expression
-(closed-form ridge or any ``predict_expr`` provider), so one pass per
-feature computes ALL repeats at once — each repeat is an independently
-seeded permuted column in the same plan, and every (repeat-)score is an
-aggregate of the same scan. Total cost: p scans, zero Python.
+Spark shape: ALL (feature × repeat) permuted copies are produced in ONE
+group-partitioned Arrow pass (``permute_columns_arrow`` — one exchange
+total), and every score is an aggregate of one further scan: the model's
+prediction is a closed-form codegen expression, so the full importance
+table costs 2 scans + 1 exchange regardless of p and n_repeats (vs the
+old p × n_repeats window+self-join chains). r2 scoring uses raw weighted
+moments (Σw, Σwy, Σwy²) from the same scan — no second pass.
 """
 
 from __future__ import annotations
@@ -18,20 +20,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrmr_spark.operators.permute import permute_column, resolve_method
+from mrmr_spark.operators.permute import permute_columns_arrow, resolve_method
 from mrmr_spark.select.linear import RidgeModel, score_expr
 
+#: cap on permuted columns materialized per Arrow pass (width guard: keeps
+#: per-task Arrow memory and the aggregate expression count bounded)
+MAX_FUSED_COLS = 512
 
-def _r2_score(df: DataFrame, y, pred, w) -> float:
-    row = df.select(
-        (F.sum(w * (y - pred) * (y - pred)) / F.sum(w)).alias("ss_res"),
-        (F.sum(w * y) / F.sum(w)).alias("ym"),
-        F.sum(w).alias("sw"),
-    ).collect()[0]
-    ss_tot = df.select(
-        (F.sum(w * (y - F.lit(row.ym)) * (y - F.lit(row.ym))) / F.sum(w)).alias("v")
-    ).collect()[0].v
-    return float(1 - row.ss_res / (ss_tot + 1e-10))
+
+def _chunks(seq, size):
+    for i in range(0, len(seq), size):
+        yield seq[i : i + size]
 
 
 def permutation_importance(
@@ -54,48 +53,67 @@ def permutation_importance(
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     y = F.col(target_col).cast("double")
     key_cols = key_cols or ([group] + (order or []) if group else None)
+    feats = model.feature_cols
+
+    def ss_res(pred):
+        return F.sum(w * (y - pred) * (y - pred))
+
+    def score_from_row(row, name: str, sw, ss_tot_mean) -> float:
+        if scoring == "r2":
+            return float(1.0 - (row[name] / sw) / (ss_tot_mean + 1e-10))
+        return float(row[name])
 
     df = df.persist()
     try:
-        baseline = _agg_score(df, y, model.predict_expr(), w, scoring)
+        # baseline + weighted y moments in one scan
+        base_aggs = [
+            F.sum(w).alias("_sw"),
+            F.sum(w * y).alias("_swy"),
+            F.sum(w * y * y).alias("_swyy"),
+        ]
+        if scoring == "r2":
+            base_aggs.append(ss_res(model.predict_expr()).alias("_b"))
+        else:
+            base_aggs.append(score_expr(y, model.predict_expr(), w, scoring).alias("_b"))
+        brow = df.select(*base_aggs).collect()[0]
+        sw = float(brow["_sw"])
+        ym = brow["_swy"] / sw
+        ss_tot_mean = max(brow["_swyy"] / sw - ym * ym, 0.0)
+        baseline = score_from_row(brow, "_b", sw, ss_tot_mean)
 
-        rows = []
-        for j, feat in enumerate(model.feature_cols):
-            # one plan: n_repeats independently-seeded permutations of feat
-            work = df
-            score_aggs = []
-            for rep in range(n_repeats):
-                s = seed * 10_007 + j * 101 + rep
-                work = permute_column(
-                    work, feat, method, group=group, order=order,
-                    key_cols=key_cols, seed=s, block_size=block_size,
-                    out=f"_pf_{rep}",
-                )
-                pred = model.predict_expr({feat: f"_pf_{rep}"})
+        # all (feature, repeat) copies in one fused pass; chunk if very wide
+        all_specs = [
+            (feat, f"_pf_{j}_{rep}", j * 1009 + rep)
+            for j, feat in enumerate(feats)
+            for rep in range(n_repeats)
+        ]
+        drops: dict[str, list[float]] = {feat: [] for feat in feats}
+        for chunk in _chunks(all_specs, MAX_FUSED_COLS):
+            work = permute_columns_arrow(
+                df, chunk, method, group=group, order=order,
+                key_cols=key_cols, seed=seed * 10_007, block_size=block_size,
+            )
+            aggs = []
+            for src, out, _ in chunk:
+                pred = model.predict_expr({src: out})
                 if scoring == "r2":
-                    score_aggs.append(None)  # handled below (needs two-pass)
+                    aggs.append(ss_res(pred).alias(f"s_{out}"))
                 else:
-                    score_aggs.append(score_expr(y, pred, w, scoring).alias(f"s{rep}"))
-            if scoring == "r2":
-                drops = []
-                for rep in range(n_repeats):
-                    pred = model.predict_expr({feat: f"_pf_{rep}"})
-                    drops.append(baseline - _r2_score(work, y, pred, w))
-            else:
-                row = work.select(*score_aggs).collect()[0]
-                drops = [baseline - float(row[f"s{rep}"]) for rep in range(n_repeats)]
-            rows.append((feat, float(np.mean(drops)), float(np.std(drops)), baseline))
+                    aggs.append(score_expr(y, pred, w, scoring).alias(f"s_{out}"))
+            row = work.select(*aggs).collect()[0]
+            for src, out, _ in chunk:
+                drops[src].append(
+                    baseline - score_from_row(row, f"s_{out}", sw, ss_tot_mean)
+                )
     finally:
         df.unpersist()
 
+    rows = [
+        (feat, float(np.mean(d)), float(np.std(d)), baseline)
+        for feat, d in drops.items()
+    ]
     return (
         pd.DataFrame(rows, columns=["feature", "importance_mean", "importance_std", "baseline_score"])
         .sort_values("importance_mean", ascending=False)
         .reset_index(drop=True)
     )
-
-
-def _agg_score(df, y, pred, w, scoring: str) -> float:
-    if scoring == "r2":
-        return _r2_score(df, y, pred, w)
-    return float(df.select(score_expr(y, pred, w, scoring).alias("s")).collect()[0].s)

@@ -285,3 +285,21 @@ def test_relevance_dispatch_validation(fixture_small):
         select_mrmr(sdf, cols, "target_reg", 3, task="regression", relevance="ks")
     with pytest.raises(ValueError, match="not valid"):
         select_mrmr(sdf, cols, "target_cls", 3, task="classification", relevance="mi")
+
+
+def test_jmi_binned_distributed_matches_collected(fixture_small):
+    """subsample=None routes the binned estimator through per-step
+    distributed composite-code histograms; selection must match the
+    collected-codes driver loop (and hence the oracle)."""
+    pdf, sdf, cols = fixture_small
+    for agg in ("sum", "min"):
+        a = select_jmi(sdf, cols, "target_cls", 5, task="classification",
+                       aggregation=agg)                      # collected (50k budget)
+        b = select_jmi(sdf, cols, "target_cls", 5, task="classification",
+                       aggregation=agg, subsample=None)      # distributed
+        assert a.names == b.names, agg
+    # regression (binned y) too
+    a = select_jmi(sdf, cols, "target_reg", 4, task="regression", estimator="binned")
+    b = select_jmi(sdf, cols, "target_reg", 4, task="regression", estimator="binned",
+                   subsample=None)
+    assert a.names == b.names
