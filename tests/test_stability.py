@@ -47,12 +47,16 @@ def test_block_indices_contiguous():
     rng = np.random.default_rng(4)
     starts = np.array([0, 20, 40])
     lens = np.array([20, 20, 20])
-    idx = _block_indices(rng, starts, lens, 0.5, 5)
-    assert ((idx >= 0) & (idx < 60)).all()
-    # indices stay within their group's range
-    for s, ln in zip(starts, lens):
-        grp_idx = idx[(idx >= s) & (idx < s + ln)]
-        assert len(grp_idx) >= 1
+    for method in ("moving", "circular", "stationary"):
+        in_bag, oob = _block_indices(rng, starts, lens, 5, method)
+        assert ((in_bag >= 0) & (in_bag < 60)).all(), method
+        # in-bag resamples ~n_g per group WITH replacement; oob = complement
+        assert len(in_bag) >= 50, method
+        assert set(oob).isdisjoint(set()) or set(oob) <= set(range(60))
+        assert set(np.unique(in_bag)).isdisjoint(set(oob)), method
+        for s, ln in zip(starts, lens):
+            grp = in_bag[(in_bag >= s) & (in_bag < s + ln)]
+            assert len(grp) >= 1, method
 
 
 @pytest.fixture(scope="module")
@@ -105,7 +109,7 @@ def test_stability_classification(stab_data):
     sdf, _ = stab_data
     res = stability_selection(
         sdf, FEATS, "ycls", task="classification", n_bootstrap=20,
-        alpha_scale=0.05, seed=3,
+        alpha="scale", alpha_scale=0.05, seed=3,
     )
     assert res.extras["bootstrap"] == "stratified"
     assert {"x0", "x1"}.issubset(set(res.selected))
@@ -115,3 +119,29 @@ def test_stability_max_features(stab_data):
     sdf, _ = stab_data
     res = stability_selection(sdf, FEATS, "y", n_bootstrap=10, max_features=1, seed=4)
     assert len(res.selected) == 1 and res.selected[0] in ("x0", "x1")
+
+
+def test_block_method_variants_and_alpha_cv(stab_data):
+    sdf, _ = stab_data
+    for method in ("circular", "stationary"):
+        res = stability_selection(
+            sdf, FEATS, "y", n_bootstrap=15, group_col="grp", time_col="t",
+            block_method=method, seed=5,
+        )
+        assert res.extras["block_method"] == method
+        assert {"x0", "x1"}.issubset(set(res.selected)), method
+    # alpha CV picks a data-driven alpha (recorded in extras)
+    res = stability_selection(sdf, FEATS, "y", n_bootstrap=10, seed=6)
+    assert res.extras["alpha"] > 0
+
+
+def test_stability_with_smart_sampler(stab_data):
+    """use_smart_sampler pre-samples rows and feeds inverse-probability
+    weights into every fit (reference stability.py:576-671)."""
+    sdf, _ = stab_data
+    res = stability_selection(
+        sdf, FEATS, "y", n_bootstrap=15, group_col="grp", time_col="t",
+        use_smart_sampler=True, smart_sampler_kwargs={"sample_frac": 0.5},
+        seed=7,
+    )
+    assert {"x0", "x1"}.issubset(set(res.selected))
