@@ -68,7 +68,7 @@ class BorutaResult:
     extras: dict = field(default_factory=dict)
 
 
-def _rf_importances(df, feat_cols, target_col, task, n_estimators, max_depth, seed, weight_col):
+def _fit_rf(df, feat_cols, target_col, task, n_estimators, max_depth, seed, weight_col):
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=feat_cols, outputCol="_vec", handleInvalid="keep")
@@ -87,7 +87,38 @@ def _rf_importances(df, feat_cols, target_col, task, n_estimators, max_depth, se
         from pyspark.ml.regression import RandomForestRegressor
 
         model = RandomForestRegressor(**kwargs).fit(vec)
+    return model
+
+
+def _rf_importances(df, feat_cols, target_col, task, n_estimators, max_depth, seed, weight_col):
+    model = _fit_rf(df, feat_cols, target_col, task, n_estimators, max_depth, seed, weight_col)
     return np.array(model.featureImportances.toArray())
+
+
+def _shap_rf_importances(
+    work, model, feat_cols, weight_col, shap_sample_size, seed
+):
+    """SHAP importances = weighted mean |SHAP| on a ≤shap_sample_size eval
+    subsample (reference boruta.py:237-291 / subsample boruta.py:509),
+    computed by the driver-side interventional TreeSHAP (treeshap.py —
+    derivation + deviation notes there)."""
+    from mrmr_spark.select.preprocess import deterministic_subsample
+    from mrmr_spark.select.treeshap import shap_importances
+
+    cols = list(feat_cols) + ([weight_col] if weight_col else [])
+    eval_df = work.select(*cols)
+    n = eval_df.count()
+    if n > shap_sample_size:
+        eval_df = deterministic_subsample(eval_df, shap_sample_size, seed)
+    pdf = eval_df.toPandas()
+    X = pdf[feat_cols].to_numpy(dtype=np.float64)
+    bad = ~np.isfinite(X)
+    if bad.any():
+        means = np.nanmean(np.where(np.isfinite(X), X, np.nan), axis=0)
+        means = np.where(np.isfinite(means), means, 0.0)
+        X[bad] = np.take(means, np.where(bad)[1])
+    w = pdf[weight_col].to_numpy(dtype=np.float64) if weight_col else None
+    return shap_importances(model, X, w)
 
 
 def boruta_select(
@@ -108,8 +139,15 @@ def boruta_select(
     resolve_tentative: bool = True,
     max_features: int | None = None,
     early_stop_rounds: int = 5,
+    importance: str = "native",
+    shap_sample_size: int = 2_000,
     seed: int = 0,
 ) -> BorutaResult:
+    """``importance``: 'native' = Spark ML impurity importances;
+    'shap' = driver-side interventional TreeSHAP mean-|φ| on a
+    ≤shap_sample_size subsample (reference boruta.py:237-291)."""
+    if importance not in ("native", "shap"):
+        raise ValueError(f"importance must be 'native' or 'shap', got {importance!r}")
     p = len(feature_cols)
     method = resolve_method(shadow_method, group_col is not None, time_col is not None)
     n_est = auto_n_estimators(p, max_depth) if n_estimators == "auto" else int(n_estimators)
@@ -157,10 +195,18 @@ def boruta_select(
         )
         shadow_cols = [out for _, out, _ in specs]
 
-        imp = _rf_importances(
-            work, live_cols + shadow_cols, label, task, n_est, max_depth,
-            seed + it, weight_col,
-        )
+        all_cols = live_cols + shadow_cols
+        if importance == "shap":
+            model = _fit_rf(
+                work, all_cols, label, task, n_est, max_depth, seed + it, weight_col
+            )
+            imp = _shap_rf_importances(
+                work, model, all_cols, weight_col, shap_sample_size, seed + it
+            )
+        else:
+            imp = _rf_importances(
+                work, all_cols, label, task, n_est, max_depth, seed + it, weight_col
+            )
         imp_live = imp[: len(live_cols)]
         imp_shadow = imp[len(live_cols):]
 
