@@ -644,21 +644,86 @@ SELECT feature, round(avg(d), 6) AS ks FROM ks GROUP BY feature
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: xxhash64 seeds have no
-    DuckDB twin; estimator quality is pytest-verified vs brute force)."""
+    """MinHash-LSH near-dup candidates, run under hash_fn='md5_60' — a hash
+    family DuckDB reproduces bit-for-bit, so the ENTIRE algorithm (shingling,
+    64 seeded min-hash aggregates, 16x4 banding, Jaccard estimate) is
+    independently SQL-oracled. Production default stays xxhash64 (same
+    algorithm, faster hash); that path is pytest-verified vs brute force."""
     from mrmr_spark.operators.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_candidates(d, min_jaccard=0.35)
+    out = minhash_lsh_candidates(d, min_jaccard=0.35, hash_fn="md5_60")
     return out.select("doc_a", "doc_b", r6("est_jaccard").alias("est_jaccard"))
 
 
+SQL_MINHASH_DEDUP = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - 4),
+                                     i -> substr(text, i, 5))) AS sh
+        FROM documents WHERE length(text) >= 5)
+), seeds AS (
+  SELECT unnest(generate_series(0, 63)) AS seed
+), sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), bandkeys AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
+  FROM sig GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a
+  JOIN bandkeys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) / 64.0 AS est_jaccard
+  FROM sig a
+  JOIN sig b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, round(e.est_jaccard, 6) AS est_jaccard
+FROM cand c
+JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+WHERE e.est_jaccard >= 0.35
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs under hash_fn='md5_60' (60-bit signatures):
+    the DuckDB oracle recomputes token hashes, the 60 signed bit-count
+    votes, the signature and all-pairs Hamming <= 10 from scratch. The
+    Manku block scheme guarantees the bucketed Spark plan finds EXACTLY the
+    pairs the oracle's brute force finds."""
     from mrmr_spark.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = simhash_near_pairs(d, max_hamming=10)
-    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    out = simhash_near_pairs(d, max_hamming=10, bits=60, hash_fn="md5_60")
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+), sigs AS (
+  SELECT doc_id, sum(bit << b)::BIGINT AS sig FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 10
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -671,12 +736,55 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    from mrmr_spark.operators.textstats import with_text_stats
+    """Quality scoring + language-ID over documents (oracled: literal-space
+    tokenizer so DuckDB string_split reproduces it; the xxhash64 fingerprint
+    column is gate-covered via dedup and has no DuckDB twin, so it is
+    exercised in pytest instead)."""
+    from mrmr_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+        type_token_ratio,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return with_text_stats(d).select(
-        "doc_id", "n_tokens", "ttr", "quality", "lang_pred", "fingerprint"
+    return d.select(
+        "doc_id",
+        token_count("text", split=" ").cast("bigint").alias("n_tokens"),
+        r6(type_token_ratio("text", split=" ")).alias("ttr"),
+        quality_score("text", split=" ").alias("quality"),
+        lang_id("text", split=" ").alias("lang_pred"),
     )
+
+
+_ES = "('el','la','de','que','y','en','un','por','con','los')"
+_DE = "('der','die','das','und','ist','von','mit','ein','zu','den')"
+
+SQL_TEXT_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dis,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> lower(t) IN {_EN})) AS en,
+         len(list_filter(string_split(text, ' '), t -> lower(t) IN {_ES})) AS es,
+         len(list_filter(string_split(text, ' '), t -> lower(t) IN {_DE})) AS de
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       round(n_dis * 1.0 / n_tok, 6) AS ttr,
+       round(greatest(least(
+           least(n_tok / 64.0, 1.0)
+           * (0.5 + 0.5 * n_dis * 1.0 / n_tok)
+           * (1.0 - least(4.0 * n_punct / n_chars, 1.0)), 1.0), 0.0), 6) AS quality,
+       CASE WHEN greatest(en, es, de) = 0 THEN 'other'
+            WHEN en = greatest(en, es, de) THEN 'en'
+            WHEN es = greatest(en, es, de) THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -769,5 +877,9 @@ ORACLE_SQL = {
     "knn_cosine": SQL_KNN_COSINE,
     "fstat_relevance": SQL_FSTAT_RELEVANCE,
     "ks_relevance": SQL_KS_RELEVANCE,
-    # mrmr_event_features: greedy loop not SQL-expressible -> rows-only check
+    "text_quality": SQL_TEXT_QUALITY,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    # rows-only (not SQL-expressible): mrmr_event_features (greedy loop),
+    # ann_lsh (seeded float GEMM signatures), media_features (fake codec)
 }

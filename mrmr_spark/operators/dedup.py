@@ -14,8 +14,27 @@ K = b·r) makes the candidate probability s-curve 1-(1-s^r)^b.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def hash64(col: Column | str, seed: int | None = None, hash_fn: str = "xxhash64") -> Column:
+    """Seeded 64-bit hash of a column under a selectable family.
+
+    - ``xxhash64`` (default): JVM-native, the production path.
+    - ``md5_60``: first 15 hex chars of md5("<seed>:" + v) parsed base-16 —
+      60 bits, ~3x slower, but DuckDB computes the IDENTICAL value
+      (``('0x' || substr(md5(s),1,15))::BIGINT``), which makes every
+      hash-dependent operator independently oracle-able end-to-end.
+      The correctness gate runs MinHash/SimHash under this family.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(F.lit(seed), col)
+    if hash_fn == "md5_60":
+        s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
 
 
 def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
@@ -55,12 +74,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+    shingles: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """K-permutation MinHash signature per doc: K seeded-xxhash64 ``min``
+    """K-permutation MinHash signature per doc: K seeded-hash ``min``
     aggregates in ONE scan (map-side partial agg does the heavy lifting)."""
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        F.min(hash64("shingle", i, hash_fn)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -74,26 +96,36 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     Returns (doc_a, doc_b, est_jaccard) for pairs sharing >=1 LSH band,
     filtered by the MinHash Jaccard estimate >= min_jaccard.
+    ``hash_fn='md5_60'`` switches to the DuckDB-reproducible hash family
+    (the gate's oracle recomputes signatures + banding + estimate in SQL).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(char_shingles(df, text_col, id_col, n), num_hashes, id_col).persist()
+    sigs = minhash_signatures(
+        char_shingles(df, text_col, id_col, n), num_hashes, id_col, hash_fn
+    ).persist()
+
+    def band_key(b: int):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        # md5 mode: keep the exact component tuple as the key so the SQL
+        # oracle's band equality is bit-identical (no re-hash collisions)
+        return F.concat_ws(",", *[c.cast("string") for c in cols])
 
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("sig"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("sig"))
                     for b in range(bands)
                 ]
             )
@@ -128,14 +160,22 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, as ``bits`` signed bit-count
-    aggregates (JVM). Returns (id, simhash long)."""
+    """``bits``-bit SimHash over whitespace tokens, as ``bits`` signed
+    bit-count aggregates (JVM). Returns (id, simhash long).
+    ``hash_fn='md5_60'`` (use bits<=60) is the DuckDB-reproducible family
+    for the correctness gate."""
+    if hash_fn == "md5_60" and bits > 60:
+        raise ValueError("md5_60 provides 60 hash bits; pass bits<=60")
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = hash64("tok", None, hash_fn)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -157,6 +197,8 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int | str = "auto",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -186,7 +228,7 @@ def simhash_near_pairs(
             f"C({k},{m}) = {len(subsets)} tables; lower n_blocks or raise max_hamming"
         )
     # block c covers bits [off[c], off[c+1]) — remainder spread over the head
-    widths = [64 // k + (1 if c < 64 % k else 0) for c in range(k)]
+    widths = [bits // k + (1 if c < bits % k else 0) for c in range(k)]
     offs = [0]
     for wd in widths:
         offs.append(offs[-1] + wd)
@@ -196,17 +238,20 @@ def simhash_near_pairs(
             F.lit((1 << widths[c]) - 1)
         )
 
-    sigs = simhash(df, text_col, id_col)
+    def table_key(sub):
+        vals = [block_val(c) for c in sub]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*vals).cast("string")
+        return F.concat_ws(",", *[v.cast("string") for v in vals])
+
+    sigs = simhash(df, text_col, id_col, bits, hash_fn)
     buckets = sigs.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.xxhash64(*[block_val(c) for c in sub]).alias("key"),
-                    )
+                    F.struct(F.lit(t).alias("tbl"), table_key(sub).alias("key"))
                     for t, sub in enumerate(subsets)
                 ]
             )

@@ -1,6 +1,10 @@
 """Text-analysis column builders: token counting, quality scoring,
 language-ID heuristic, document fingerprinting. All pure JVM column
 expressions (codegen) — reusable in the FE pipeline and the gate queries.
+
+``split`` selects the tokenizer regex (default any-whitespace); the gate
+queries pass a literal space so the DuckDB oracle can reproduce the
+tokenization exactly (string_split has no \\s+ trailing-strip twin).
 """
 
 from __future__ import annotations
@@ -12,27 +16,34 @@ EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
 ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"]
 DE_STOPWORDS = ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"]
 
-
-def _tok(text_col: str) -> Column:
-    return F.split(F.col(text_col), r"\s+")
+DEFAULT_SPLIT = r"\s+"
 
 
-def token_count(text_col: str = "text") -> Column:
-    return F.size(_tok(text_col))
+def _tok(text_col: str, split: str = DEFAULT_SPLIT) -> Column:
+    return F.split(F.col(text_col), split)
 
 
-def distinct_token_count(text_col: str = "text") -> Column:
-    return F.size(F.array_distinct(_tok(text_col)))
+def token_count(text_col: str = "text", split: str = DEFAULT_SPLIT) -> Column:
+    return F.size(_tok(text_col, split))
 
 
-def type_token_ratio(text_col: str = "text") -> Column:
-    return distinct_token_count(text_col) / token_count(text_col).cast("double")
+def distinct_token_count(text_col: str = "text", split: str = DEFAULT_SPLIT) -> Column:
+    return F.size(F.array_distinct(_tok(text_col, split)))
 
 
-def stopword_hits(text_col: str = "text", stopwords: list[str] | None = None) -> Column:
+def type_token_ratio(text_col: str = "text", split: str = DEFAULT_SPLIT) -> Column:
+    return distinct_token_count(text_col, split) / token_count(text_col, split).cast("double")
+
+
+def stopword_hits(
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    split: str = DEFAULT_SPLIT,
+) -> Column:
     words = stopwords or EN_STOPWORDS
     lst = ",".join(f"'{w}'" for w in words)
-    return F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), t -> lower(t) in ({lst}))"))
+    pat = split.replace("\\", "\\\\")
+    return F.size(F.expr(f"filter(split({text_col}, '{pat}'), t -> lower(t) in ({lst}))"))
 
 
 def punct_ratio(text_col: str = "text") -> Column:
@@ -40,24 +51,24 @@ def punct_ratio(text_col: str = "text") -> Column:
     return F.length(stripped) / F.greatest(F.length(text_col), F.lit(1)).cast("double")
 
 
-def quality_score(text_col: str = "text") -> Column:
+def quality_score(text_col: str = "text", split: str = DEFAULT_SPLIT) -> Column:
     """Heuristic document-quality score in [0,1]: rewards mid-length docs,
     lexical diversity and low punctuation density (the usual pretraining
     data-quality features, re-expressed as one codegen expression)."""
-    n_tok = token_count(text_col).cast("double")
+    n_tok = token_count(text_col, split).cast("double")
     length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
-    ttr = type_token_ratio(text_col)
+    ttr = type_token_ratio(text_col, split)
     punct = punct_ratio(text_col)
     score = length_term * (F.lit(0.5) + F.lit(0.5) * ttr) * (F.lit(1.0) - F.least(punct * 4, F.lit(1.0)))
     return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
 
 
-def lang_id(text_col: str = "text") -> Column:
+def lang_id(text_col: str = "text", split: str = DEFAULT_SPLIT) -> Column:
     """Stopword-vote language heuristic (en/es/de/other), deterministic
     tie-break by language order."""
-    en = stopword_hits(text_col, EN_STOPWORDS)
-    es = stopword_hits(text_col, ES_STOPWORDS)
-    de = stopword_hits(text_col, DE_STOPWORDS)
+    en = stopword_hits(text_col, EN_STOPWORDS, split)
+    es = stopword_hits(text_col, ES_STOPWORDS, split)
+    de = stopword_hits(text_col, DE_STOPWORDS, split)
     best = F.greatest(en, es, de)
     return (
         F.when(best == 0, "other")

@@ -144,7 +144,8 @@ def select_mrmr(
             quantize_f32=quantize_f32,
         )
         best_k, names, scores = select_k_evaluate(
-            df, res.names, target_col, cfg, weight_col, group_col, time_col
+            df, res.names, target_col, cfg, weight_col, group_col, time_col,
+            task=task,
         )
         res.names = names
         res.indices = res.indices[:best_k]

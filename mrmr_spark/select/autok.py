@@ -13,7 +13,17 @@ Two modes, as in the reference:
   leading submatrix — closed-form ridge, no sklearn, no per-k scans
   (SURVEY.md §7 Phase 3).
 
-The k grid replicates ``_build_k_grid`` exactly (auto_k.py:35-48).
+Classification (metric 'logloss'/'error', auto_k.py:142-161): the
+reference fits sklearn LogisticRegression(C=1.0, lbfgs) per k-prefix on
+the standardized train split. Logistic has no closed form, so here the
+fit runs on the driver over a deterministic bounded subsample of train
+(numpy accelerated-gradient softmax, L2 as in C=1.0) while
+standardization stats AND the validation metric stay distributed — the
+val split is scored by one Spark aggregate of per-row logsumexp/argmax
+expressions per k (no val collect).
+
+The k grid replicates ``_build_k_grid`` exactly (auto_k.py:35-48);
+metric resolution replicates ``_resolve_metric`` (auto_k.py:52-60).
 """
 
 from __future__ import annotations
@@ -31,13 +41,28 @@ from mrmr_spark.select import kernels, relevance
 class AutoKConfig:
     k_method: str = "evaluate"          # 'evaluate' | 'elbow'
     strategy: str = "time_holdout"      # 'time_holdout' | 'group_cv'
-    metric: str = "rmse"                # 'rmse' | 'mae'
+    metric: str = "auto"                # 'rmse' | 'mae' | 'logloss' | 'error'
     max_k: int = 100
     min_k: int = 5
     val_frac: float = 0.2
     n_splits: int = 5
     elbow_min_rel_gain: float = 0.02
     elbow_patience: int = 3
+    #: driver-side train budget for the logistic fits (classification only;
+    #: the ridge path needs no row collection at all)
+    fit_subsample: int = 50_000
+    seed: int = 42
+
+
+def resolve_metric(metric: str, task: str) -> str:
+    """Replicates reference _resolve_metric (auto_k.py:52-60)."""
+    if metric == "auto":
+        return "rmse" if task == "regression" else "logloss"
+    if task == "regression" and metric in ("logloss", "error"):
+        raise ValueError(f"metric='{metric}' is invalid for task='regression'")
+    if task == "classification" and metric in ("rmse", "mae"):
+        raise ValueError(f"metric='{metric}' is invalid for task='classification'")
+    return metric
 
 
 def build_k_grid(min_k: int, max_k: int) -> list[int]:
@@ -116,6 +141,128 @@ def _ridge_path_scores(
     return scores
 
 
+def _softmax_fit(
+    Z: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    w: np.ndarray | None,
+    lam: float,
+    max_iter: int = 400,
+    tol: float = 1e-7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """L2-regularized multinomial logistic on standardized ``Z`` via
+    Nesterov-accelerated gradient (no scipy/sklearn in this container).
+    Returns (W[k, C], b[C]). Matches sklearn LogisticRegression(C=1/ (lam·n))
+    up to optimizer tolerance; intercept unpenalized, as sklearn."""
+    n, k = Z.shape
+    ww = np.full(n, 1.0 / n) if w is None else (w / w.sum())
+    Y = np.zeros((n, n_classes))
+    Y[np.arange(n), y] = 1.0
+    Zb = np.concatenate([Z, np.ones((n, 1))], axis=1)
+    # Lipschitz bound for softmax CE: 0.5 * lambda_max(Zb' diag(ww) Zb) + lam
+    G = (Zb * ww[:, None]).T @ Zb
+    L = 0.5 * float(np.linalg.eigvalsh(G)[-1]) + lam
+    step = 1.0 / max(L, 1e-12)
+
+    Wb = np.zeros((k + 1, n_classes))
+    V = Wb.copy()
+    t_prev = 1.0
+    for _ in range(max_iter):
+        S = Zb @ V
+        S -= S.max(axis=1, keepdims=True)
+        P = np.exp(S)
+        P /= P.sum(axis=1, keepdims=True)
+        grad = Zb.T @ ((P - Y) * ww[:, None])
+        grad[:k] += lam * V[:k]  # intercept row unpenalized
+        W_new = V - step * grad
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_prev * t_prev))
+        V = W_new + ((t_prev - 1.0) / t_new) * (W_new - Wb)
+        if np.max(np.abs(W_new - Wb)) < tol:
+            Wb = W_new
+            break
+        Wb, t_prev = W_new, t_new
+    return Wb[:k], Wb[k]
+
+
+def _logistic_path_scores(
+    train: DataFrame,
+    val: DataFrame,
+    path: list[str],
+    y_code_col: str,
+    n_classes: int,
+    weight_col: str | None,
+    k_grid: list[int],
+    metric: str,
+    fit_subsample: int,
+    seed: int,
+) -> dict[int, float]:
+    """Classification evaluate: per-k softmax fit on a bounded train
+    subsample (driver), logloss/error scored distributed on the FULL val
+    split via one multi-aggregate select (reference auto_k.py:142-161)."""
+    from mrmr_spark.select.preprocess import deterministic_subsample
+
+    stats = relevance.f_classif_scores(
+        train, path, y_code_col, n_classes, weight_col, quantize_f32=False
+    )
+    mu, sd, imput = stats["wmeans"], stats["wstds"], stats["impute_means"]
+
+    def std_expr(j):
+        c = F.col(path[j]).cast("double")
+        fin = ~F.isnull(c) & ~F.isnan(c) & (F.abs(c) != float("inf"))
+        x = F.when(fin, c).otherwise(F.lit(float(imput[j])))
+        return (x - F.lit(float(mu[j]))) / F.lit(float(sd[j]))
+
+    # bounded driver-side train matrix, standardized JVM-side before collect
+    tr = train
+    ntr = tr.count()
+    if ntr > fit_subsample:
+        tr = deterministic_subsample(tr, fit_subsample, seed)
+        ntr = fit_subsample
+    sel = [std_expr(j).alias(f"z{j}") for j in range(len(path))]
+    sel.append(F.col(y_code_col).cast("int").alias("_y"))
+    if weight_col:
+        sel.append(F.col(weight_col).cast("double").alias("_w"))
+    pdf = tr.select(*sel).toPandas()
+    Z = pdf[[f"z{j}" for j in range(len(path))]].to_numpy(np.float64)
+    y = pdf["_y"].to_numpy(np.int64)
+    wv = pdf["_w"].to_numpy(np.float64) if weight_col else None
+
+    if len(np.unique(y)) < 2:
+        return {kk: float("inf") for kk in k_grid}
+
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    yc = F.col(y_code_col).cast("int")
+    aggs = []
+    for kk in k_grid:
+        kk_eff = min(kk, len(path))
+        # sklearn C=1.0: loss = sum(CE) + 0.5||W||^2  ->  mean-CE lam = 1/n
+        Wk, bk = _softmax_fit(Z[:, :kk_eff], y, n_classes, wv, lam=1.0 / max(ntr, 1))
+        zs = []
+        for c in range(n_classes):
+            e = F.lit(float(bk[c]))
+            for j in range(kk_eff):
+                e = e + F.lit(float(Wk[j, c])) * std_expr(j)
+            zs.append(e)
+        if metric == "logloss":
+            m = F.greatest(*zs) if len(zs) > 1 else zs[0]
+            lse = m + F.log(sum(F.exp(z - m) for z in zs))
+            z_y = None
+            for c, z in enumerate(zs):
+                term = F.when(yc == c, z)
+                z_y = term if z_y is None else z_y.when(yc == c, z)
+            loss = lse - z_y
+        else:  # error rate: first-argmax prediction, like np.argmax
+            arr = F.array(*zs)
+            pred = F.array_position(arr, F.array_max(arr)) - 1
+            loss = F.when(pred == yc, 0.0).otherwise(1.0)
+        aggs.append((F.sum(w * loss) / F.sum(w)).alias(f"s_{kk}"))
+    row = val.select(*aggs).collect()[0]
+    return {
+        kk: (float(row[f"s_{kk}"]) if row[f"s_{kk}"] is not None else float("inf"))
+        for kk in k_grid
+    }
+
+
 def select_k_evaluate(
     df: DataFrame,
     path: list[str],
@@ -124,14 +271,33 @@ def select_k_evaluate(
     weight_col: str | None = None,
     group_col: str | None = None,
     time_col: str | None = None,
+    task: str = "regression",
 ) -> tuple[int, list[str], dict]:
     """Pick best k over the grid by held-out error (lower is better).
-    Regression metrics only (the reference's classification eval needs a
-    logistic fit — out of the closed-form tier; use elbow there)."""
+    Regression: closed-form ridge (rmse/mae). Classification: driver
+    softmax fit + distributed logloss/error (reference auto_k.py:96-204)."""
     max_k = min(config.max_k, len(path))
     min_k = max(1, min(config.min_k, max_k))
     k_grid = build_k_grid(min_k, max_k)
     path = path[:max_k]
+    metric = resolve_metric(config.metric, task)
+
+    n_classes = 0
+    if task == "classification":
+        from mrmr_spark.select.preprocess import factorize_target
+
+        df, labels = factorize_target(df, target_col, "_y_code")
+        n_classes = len(labels)
+
+    def _score_split(train, val):
+        if task == "classification":
+            return _logistic_path_scores(
+                train, val, path, "_y_code", n_classes, weight_col,
+                k_grid, metric, config.fit_subsample, config.seed,
+            )
+        return _ridge_path_scores(
+            train, val, path, target_col, weight_col, k_grid, metric
+        )
 
     if config.strategy == "time_holdout":
         if time_col is None:
@@ -150,7 +316,7 @@ def select_k_evaluate(
             raise ValueError(f"time_col '{time_col}' has no non-null values")
         train = df.where(t < F.lit(float(cut_val))).persist()
         val = df.where(t >= F.lit(float(cut_val))).persist()
-        scores = _ridge_path_scores(train, val, path, target_col, weight_col, k_grid, config.metric)
+        scores = _score_split(train, val)
         train.unpersist()
         val.unpersist()
     elif config.strategy == "group_cv":
@@ -166,7 +332,7 @@ def select_k_evaluate(
         for f_ in range(n_splits):
             train = folded.where(F.col("_fold") != f_)
             val = folded.where(F.col("_fold") == f_)
-            s = _ridge_path_scores(train, val, path, target_col, weight_col, k_grid, config.metric)
+            s = _score_split(train, val)
             for kk, v in s.items():
                 all_scores[kk].append(v)
         folded.unpersist()

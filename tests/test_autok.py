@@ -36,7 +36,7 @@ FEATS = [f"x{j}" for j in range(12)]
 
 
 def test_auto_k_time_holdout(autok_data):
-    cfg = AutoKConfig(k_method="evaluate", strategy="time_holdout", max_k=10, min_k=1)
+    cfg = AutoKConfig(k_method="evaluate", strategy="time_holdout", max_k=8, min_k=1)
     res = select_mrmr(
         autok_data, FEATS, "y", "auto", task="regression",
         auto_k_config=cfg, time_col="t",
@@ -46,13 +46,88 @@ def test_auto_k_time_holdout(autok_data):
 
 
 def test_auto_k_group_cv(autok_data):
-    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv", max_k=10, min_k=1, n_splits=3)
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv", max_k=8, min_k=1, n_splits=2)
     res = select_mrmr(
         autok_data, FEATS, "y", "auto", task="regression",
         auto_k_config=cfg, group_col="grp",
     )
     assert {"x0", "x1"}.issubset(set(res.names))
     assert len(res.names) <= 8
+
+
+@pytest.fixture(scope="module")
+def autok_cls_data(spark):
+    rng = np.random.default_rng(31)
+    n = 1500
+    pdf = pd.DataFrame({"grp": np.arange(n) % 25, "t": np.arange(n)})
+    for j in range(10):
+        pdf[f"x{j}"] = rng.normal(size=n)
+    logit = 1.8 * pdf["x0"] - 1.4 * pdf["x1"] + 0.4 * rng.normal(size=n)
+    pdf["y"] = np.where(logit > 0.8, "hi", np.where(logit < -0.8, "lo", "mid"))
+    return spark.createDataFrame(pdf).cache()
+
+
+CLS_FEATS = [f"x{j}" for j in range(10)]
+
+
+def test_auto_k_classification_logloss(autok_cls_data):
+    cfg = AutoKConfig(
+        k_method="evaluate", strategy="time_holdout", metric="logloss",
+        max_k=8, min_k=1,
+    )
+    res = select_mrmr(
+        autok_cls_data, CLS_FEATS, "y", "auto", task="classification",
+        auto_k_config=cfg, time_col="t",
+    )
+    assert {"x0", "x1"}.issubset(set(res.names))
+    assert len(res.names) <= 6  # 2 signal features; noise should not help
+    scores = res.extras["auto_k_scores"]
+    # logloss at the best k beats the largest (noise-padded) k or ties
+    assert min(scores.values()) <= scores[max(scores)] + 1e-9
+
+
+def test_auto_k_classification_error_group_cv(autok_cls_data):
+    cfg = AutoKConfig(
+        k_method="evaluate", strategy="group_cv", metric="error",
+        max_k=8, min_k=1, n_splits=2,
+    )
+    res = select_mrmr(
+        autok_cls_data, CLS_FEATS, "y", "auto", task="classification",
+        auto_k_config=cfg, group_col="grp",
+    )
+    assert {"x0", "x1"}.issubset(set(res.names))
+    scores = res.extras["auto_k_scores"]
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+    # the 2-signal model must clearly beat majority-class guessing (~0.55)
+    assert min(scores.values()) < 0.35
+
+
+def test_auto_k_metric_validation(autok_data, autok_cls_data):
+    from mrmr_spark.select.autok import resolve_metric
+
+    assert resolve_metric("auto", "regression") == "rmse"
+    assert resolve_metric("auto", "classification") == "logloss"
+    with pytest.raises(ValueError, match="invalid for task='regression'"):
+        resolve_metric("logloss", "regression")
+    with pytest.raises(ValueError, match="invalid for task='classification'"):
+        resolve_metric("rmse", "classification")
+
+
+def test_softmax_fit_matches_closed_form_separable():
+    # sanity: on a linearly separable 2-class problem the fitted decision
+    # boundary must classify training data correctly and logits must align
+    # with the generating direction
+    from mrmr_spark.select.autok import _softmax_fit
+
+    rng = np.random.default_rng(5)
+    n = 800
+    Z = rng.normal(size=(n, 4))
+    y = (Z[:, 0] - 0.5 * Z[:, 1] > 0).astype(np.int64)
+    W, b = _softmax_fit(Z, y, 2, None, lam=1.0 / n)
+    margin = Z @ (W[:, 1] - W[:, 0]) + (b[1] - b[0])
+    assert np.mean((margin > 0) == (y == 1)) > 0.97
+    d = W[:, 1] - W[:, 0]
+    assert d[0] > 0 and d[1] < 0 and abs(d[0]) > abs(d[2]) and abs(d[0]) > abs(d[3])
 
 
 def test_auto_k_gaussian_elbow(autok_data):
