@@ -727,12 +727,66 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 10
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN. Oracled: the seeded hyperplanes are
+    shared constants, baked into the DuckDB SQL as literals (repr round-trips
+    float64 exactly), so the oracle independently recomputes signatures,
+    bucketed candidates and the exact cosine re-rank."""
     from mrmr_spark.operators.similarity import ann_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     out = ann_lsh(e, q, dim=64, k=5, n_planes=10, n_tables=6)
     return out.select("q_id", "vec_id", "rank", r6("sim").alias("sim"))
+
+
+def _ann_lsh_sql(dim=64, k=5, n_planes=10, n_tables=6, seed=7) -> str:
+    """Generate the ann_lsh oracle with the SAME seeded hyperplanes the
+    Spark operator uses (similarity.lsh_signatures)."""
+    import numpy as np
+
+    def bucket_expr(t: int) -> str:
+        planes = np.random.default_rng(seed + 1000 * t).normal(size=(dim, n_planes))
+        terms = []
+        for j in range(n_planes):
+            vec = ", ".join(repr(float(v)) for v in planes[:, j])
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, [{vec}]) > 0.0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sig_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sigs AS (
+  {sig_selects}
+), qs AS (
+  SELECT * FROM sigs WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM qs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                        AND c.vec_id <> q.vec_id
+), qe AS (
+  SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id < 10
+), sims AS (
+  SELECT cand.q_id, cand.vec_id, list_cosine_similarity(qe.qe, b.e) AS sim
+  FROM cand JOIN base b ON b.vec_id = cand.vec_id JOIN qe ON qe.q_id = cand.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank,
+         sim
+  FROM sims
+)
+SELECT q_id, vec_id, rank::INT AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
 
 
 def q_text_quality(spark, sf_dir):
@@ -880,6 +934,7 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ann_lsh": SQL_ANN_LSH,
     # rows-only (not SQL-expressible): mrmr_event_features (greedy loop),
-    # ann_lsh (seeded float GEMM signatures), media_features (fake codec)
+    # media_features (fake codec inside mapInPandas)
 }

@@ -97,6 +97,7 @@ def select_mrmr(
     auto_k_config=None,
     group_col: str | None = None,
     time_col: str | None = None,
+    single_pass: bool | None = None,
 ) -> SelectionResult:
     """Minimum-Redundancy-Maximum-Relevance over a Spark DataFrame.
 
@@ -171,22 +172,34 @@ def select_mrmr(
 
     labels = None
     if task == "regression" and len(feature_cols) <= kernels.GRAM_JVM_MAX_P:
-        # fused 2-scan path: means pass + centered-Gram pass over the
-        # persisted matrix. The persist is ALSO a codegen boundary — without
-        # it the (upstream plan + 200 aggregates) fused plan blows past
-        # whole-stage-codegen limits and everything goes interpreted.
-        df = df.persist()
-        try:
+        # fused fast path: 2-scan JVM path over a persisted matrix by
+        # default (means pass + centered-Gram pass; the persist is also a
+        # codegen boundary keeping the 200-aggregate plan compiled — and is
+        # bounded by the reference's subsample=50k budget in the default
+        # config). ``single_pass=True`` switches to the one-Arrow-scan
+        # augmented-Gram backend with NO persist — the right plan when the
+        # full matrix exceeds cluster memory (subsample=None at 100 TB);
+        # measured slower at single-node bench scale (JVM row→Arrow
+        # conversion costs more than the in-memory encode it saves), so it
+        # is opt-in.
+        use_sp = bool(single_pass) and relevance != "rf"  # rf re-reads the matrix
+        if use_sp:
             stats = rel_est.fused_regression_stats(
-                df, feature_cols, target_col, wcol, quantize_f32
+                df, feature_cols, target_col, wcol, quantize_f32, single_pass=True
             )
-            if relevance == "rf":
-                stats["scores"] = rel_est.rf_relevance_scores(
-                    df, feature_cols, target_col, task,
-                    stats["impute_means"], wcol, quantize_f32,
+        else:
+            df = df.persist()
+            try:
+                stats = rel_est.fused_regression_stats(
+                    df, feature_cols, target_col, wcol, quantize_f32
                 )
-        finally:
-            df.unpersist()
+                if relevance == "rf":
+                    stats["scores"] = rel_est.rf_relevance_scores(
+                        df, feature_cols, target_col, task,
+                        stats["impute_means"], wcol, quantize_f32,
+                    )
+            finally:
+                df.unpersist()
         rel = stats["scores"]
         cand = _prefilter(rel, k, top_m)
         if cand.size == 0:
@@ -276,16 +289,23 @@ def select_jmi(
     seed: int = 0,
     quantize_f32: bool = True,
     n_bins: int = 10,
+    ksg_subsample: int | None = 4096,
 ) -> SelectionResult:
     """JMI / JMIM (aggregation='min') selection (api.py:495-720).
 
     estimator 'auto' resolves to 'binned' for classification, 'r2' for
-    regression (_preprocess.py:222-226).
+    regression (_preprocess.py:222-226). 'ksg' is the KSG k-NN estimator
+    (joint_mi.py:380-421): weights are used for relevance but ignored by
+    the estimator itself (as in the reference), and the estimator runs on
+    a further ``ksg_subsample`` driver-side budget — this engine's
+    neighbor counts are exact brute force (no scipy/KD-tree in the
+    runtime), so the O(n²) cost caps the usable n. A small-n estimator in
+    the reference too (tree queries per candidate per step).
     """
     if estimator == "auto":
         estimator = "binned" if task == "classification" else "r2"
-    if estimator in ("r2",) and task == "classification":
-        raise ValueError("estimator='r2' is regression-only; use 'binned'.")
+    if estimator in ("r2", "ksg") and task == "classification":
+        raise ValueError(f"estimator='{estimator}' is regression-only; use 'binned'.")
 
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
@@ -353,6 +373,11 @@ def select_jmi(
             df, cand_cols, target_col, task, wcol, stats, cand, rel, k,
             aggregation, n_bins, quantize_f32, labels,
             distributed=(subsample is None),
+        )
+    elif estimator == "ksg":
+        sel_local = _jmi_ksg(
+            df, cand_cols, target_col, stats, cand, rel, k, aggregation,
+            quantize_f32, ksg_subsample, seed,
         )
     else:
         raise ValueError(f"Unknown estimator: {estimator}")
@@ -440,6 +465,34 @@ def _jmi_binned(
         f_codes, y_codes, w, rel[cand], k, n_bins=n_bins, n_y_states=ny,
         use_min=(aggregation == "min"),
     )
+
+
+def _jmi_ksg(
+    df, cand_cols, target_col, stats, cand, rel, k, aggregation,
+    quantize_f32, ksg_subsample, seed,
+):
+    """Collect the imputed candidate matrix (ksg_subsample-bounded) and run
+    the KSG greedy loop on the driver (loops.jmi_greedy_ksg)."""
+    from mrmr_spark.select.preprocess import deterministic_subsample
+
+    imput = stats["impute_means"][cand]
+    sel = [
+        _imputed_expr(c, imput[i], quantize_f32).alias(f"_i_{c}")
+        for i, c in enumerate(cand_cols)
+    ]
+    yv = F.col(target_col).cast("double")
+    if quantize_f32:
+        yv = yv.cast("float").cast("double")
+    sel.append(yv.alias("_yv"))
+    proj = df.select(*sel)
+    if ksg_subsample is not None:
+        n = proj.count()
+        if n > ksg_subsample:
+            proj = deterministic_subsample(proj, ksg_subsample, seed)
+    pdf = proj.toPandas()
+    X = pdf[[f"_i_{c}" for c in cand_cols]].to_numpy(np.float64)
+    y = pdf["_yv"].to_numpy(np.float64)
+    return loops.jmi_greedy_ksg(X, y, rel[cand], k, use_min=(aggregation == "min"))
 
 
 def select_cefsplus(

@@ -97,6 +97,161 @@ def _quantize(X: np.ndarray, quantize_f32: bool) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Single-pass fused statistics (no persist): indicator-augmented Gram
+# ---------------------------------------------------------------------------
+
+def _chan_merge(sw_a, mu_a, C_a, sw_b, mu_b, C_b):
+    """Exact pairwise merge of weighted (Σw, mean, centered Gram) triples
+    (Chan/Golub/LeVeque parallel-moments update) — the numerically stable
+    way to combine per-batch centered statistics."""
+    tot = sw_a + sw_b
+    if sw_b == 0.0:
+        return sw_a, mu_a, C_a
+    if sw_a == 0.0:
+        return sw_b, mu_b.copy(), C_b.copy()
+    d = mu_b - mu_a
+    C = C_a + C_b + (sw_a * sw_b / tot) * np.outer(d, d)
+    mu = mu_a + (sw_b / tot) * d
+    return tot, mu, C
+
+
+def fused_singlepass_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+) -> dict:
+    """ONE ``mapInArrow`` scan — no persist, no second pass — computing
+    everything the two-pass (means scan + centered-Gram scan) path computes,
+    bit-comparable at float64 rounding:
+
+    Imputation needs global means, which classically forces pass 1 before
+    the centered Gram of pass 2. Instead this kernel accumulates the
+    centered Gram of the INDICATOR-AUGMENTED vector
+    ``V = [f⊙x_q, f, y_q]`` (f = finite mask) with per-batch centering and
+    Chan merging (stable), plus exact raw-f64 finite sums. Because the
+    imputed column is affine in the augmented variables —
+    ``x_imp = (f⊙x) − m⊙f + m`` for impute means m — the centered imputed
+    Gram, weighted means, relevance moments and y-covariances all follow
+    from driver-side algebra:
+
+        C_imp[i,j] = C[a_i,a_j] − m_j·C[a_i,f_j] − m_i·C[a_j,f_i]
+                     + m_i·m_j·C[f_i,f_j]
+
+    At 100 TB this halves the job's memory traffic vs persist+2 scans (the
+    in-memory columnar encode is the single most expensive phase of the
+    e2e pipeline and is entirely skipped) and leaves the upstream
+    window/shuffle stage as the only exchange. Cost: one Arrow transfer of
+    the (p+1)-column matrix into Python workers and a (2p+1)-wide GEMM per
+    batch. Communication: one (2p+1)²+O(p) float64 accumulator per
+    partition.
+    """
+    p = len(feature_cols)
+    q = 2 * p + 1
+    cols = list(feature_cols)
+    wname = weight_col
+    yname = y_col
+
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    proj.append(F.col(yname).cast("double").alias("_y_"))
+    if wname:
+        proj.append(F.col(wname).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+
+    # accumulator layout: [sw, mu(q), C(q²), rawsum(p), nfin(p), n]
+    out_len = 1 + q + q * q + 2 * p + 1
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sw = 0.0
+        mu = np.zeros(q)
+        C = np.zeros((q, q))
+        rawsum = np.zeros(p)
+        nfin = np.zeros(p)
+        n = 0.0
+        nonempty = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            nonempty = True
+            X = _batch_cols(b, cols)
+            y = np.asarray(
+                b.column(b.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            w = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if wname
+                else np.ones(X.shape[0])
+            )
+            fin = np.isfinite(X)
+            Xz = np.where(fin, X, 0.0)
+            rawsum += Xz.sum(axis=0)
+            nfin += fin.sum(axis=0)
+            n += X.shape[0]
+            V = np.empty((X.shape[0], q))
+            V[:, :p] = _quantize(Xz, quantize_f32) * fin
+            V[:, p : 2 * p] = fin
+            V[:, 2 * p] = _quantize(y, quantize_f32)
+            swb = float(w.sum())
+            if swb <= 0.0:
+                continue
+            mub = (w @ V) / swb
+            Vc = V - mub[None, :]
+            Cb = Vc.T @ (Vc * w[:, None])
+            sw, mu, C = _chan_merge(sw, mu, C, swb, mub, Cb)
+        if nonempty:
+            acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [n]])
+            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+
+    sw = 0.0
+    mu = np.zeros(q)
+    C = np.zeros((q, q))
+    rawsum = np.zeros(p)
+    nfin = np.zeros(p)
+    n = 0.0
+    for row in dfp.mapInArrow(mapper, _ACC_SCHEMA).collect():
+        acc = np.frombuffer(row.acc, dtype=np.float64)
+        sw_b = float(acc[0])
+        mu_b = acc[1 : 1 + q]
+        C_b = acc[1 + q : 1 + q + q * q].reshape(q, q)
+        sw, mu, C = _chan_merge(sw, mu, C, sw_b, mu_b, C_b)
+        rawsum += acc[1 + q + q * q : 1 + q + q * q + p]
+        nfin += acc[1 + q + q * q + p : 1 + q + q * q + 2 * p]
+        n += float(acc[-1])
+
+    impute_means = _quantize(
+        np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
+    )
+    m = impute_means
+    mu_a, mu_f, y_wmean = mu[:p], mu[p : 2 * p], float(mu[2 * p])
+    Caa = C[:p, :p]
+    Caf = C[:p, p : 2 * p]
+    Cff = C[p : 2 * p, p : 2 * p]
+    Cay = C[:p, 2 * p]
+    Cfy = C[p : 2 * p, 2 * p]
+    y_ss = float(C[2 * p, 2 * p])
+
+    afm = Caf * m[None, :]
+    C_imp = Caa - afm - afm.T + np.outer(m, m) * Cff
+    c_y = Cay - m * Cfy
+    col_wmeans = mu_a + m * (1.0 - mu_f)
+    return {
+        "sw": sw,
+        "n": n,
+        "impute_means": impute_means,
+        "col_wmeans": col_wmeans,
+        "y_wmean": y_wmean,
+        "C": C_imp,
+        "c_y": c_y,
+        "c_yy": y_ss,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Pass 1: finite-value means (imputation) + weighted means — pure JVM aggs
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,119 @@ def jmi_greedy_binned(
     return selected[:count]
 
 
+def digamma(x):
+    """Vectorized digamma ψ(x) for x > 0 (no scipy in this container):
+    recurrence to x ≥ 6, then the standard asymptotic series — ~1e-12
+    absolute accuracy over the integer arguments KSG uses."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    out = np.zeros_like(x)
+    while True:
+        small = x < 6.0
+        if not small.any():
+            break
+        out[small] -= 1.0 / x[small]
+        x[small] += 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    out += (
+        np.log(x) - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    )
+    return out
+
+
+def ksg_joint_mi(
+    selected: np.ndarray,
+    candidates: np.ndarray,
+    y: np.ndarray,
+    k: int = 3,
+    block: int = 256,
+) -> np.ndarray:
+    """KSG k-NN joint-MI I((f,s); y) per candidate f
+    (reference sift/estimators/joint_mi.py:380-421).
+
+    The reference uses scipy cKDTree + digamma; neither exists in this
+    container, so the Chebyshev kth-NN radii and the in-radius counts are
+    exact brute force, blocked to ``block``×n distance tiles. O(n²) per
+    candidate — run it on the KSG subsample budget (the estimator itself is
+    a small-n tool: no weights, ~n·3 doubles per tree in the reference too).
+    Matches the reference's tie/self conventions: radius = (k+1)th smallest
+    full-space distance including self, minus 1e-15; counts are ≤ radius,
+    minus self.
+    """
+    n, p = candidates.shape
+    scores = np.empty(p, dtype=np.float64)
+    y_s = (y - y.mean()) / (y.std() + 1e-10)
+    s_s = (selected - selected.mean()) / (selected.std() + 1e-10)
+    dg_k_n = float(digamma(np.array([k]))[0] + digamma(np.array([n]))[0])
+
+    for j in range(p):
+        f = candidates[:, j]
+        f_s = (f - f.mean()) / (f.std() + 1e-10)
+        n_x = np.empty(n, dtype=np.int64)
+        n_y = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            df_ = np.abs(f_s[lo:hi, None] - f_s[None, :])
+            ds_ = np.abs(s_s[lo:hi, None] - s_s[None, :])
+            dy_ = np.abs(y_s[lo:hi, None] - y_s[None, :])
+            dxy = np.maximum(df_, ds_)          # joint (f,s) space
+            dfull = np.maximum(dxy, dy_)        # full (f,s,y) space
+            kth = np.partition(dfull, k, axis=1)[:, k]   # incl. self at d=0
+            eps = np.maximum(kth - 1e-15, 0.0)[:, None]
+            n_x[lo:hi] = (dxy <= eps).sum(axis=1) - 1
+            n_y[lo:hi] = (dy_ <= eps).sum(axis=1) - 1
+        n_x = np.maximum(n_x, 0)
+        n_y = np.maximum(n_y, 0)
+        mi = dg_k_n - float(np.mean(digamma(n_x + 1) + digamma(n_y + 1)))
+        scores[j] = max(mi, 0.0)
+    return scores
+
+
+def jmi_greedy_ksg(
+    X: np.ndarray,
+    y: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    knn: int = 3,
+    use_min: bool = False,
+) -> np.ndarray:
+    """JMI/JMIM with the KSG estimator on the collected candidate matrix
+    (reference loops.py:216-218 closure + the shared incremental loop).
+    Imputed float64 columns in candidate ORDER; weights unsupported, as in
+    the reference."""
+    rel = np.asarray(relevance, dtype=np.float64)
+    m = rel.size
+    k = min(k, m)
+    if k <= 0 or m == 0:
+        return np.empty(0, dtype=np.int64)
+    scores = np.full(m, np.inf) if use_min else np.zeros(m)
+    selected = np.empty(k, dtype=np.int64)
+    is_sel = np.zeros(m, dtype=bool)
+    selected[0] = int(np.argmax(rel))
+    is_sel[selected[0]] = True
+    count = 1
+    for t in range(1, k):
+        last = selected[t - 1]
+        cand = np.where(~is_sel)[0]
+        if cand.size == 0:
+            break
+        mi = ksg_joint_mi(X[:, last], X[:, cand], y, k=knn)
+        if use_min:
+            scores[cand] = np.minimum(scores[cand], mi)
+        else:
+            scores[cand] += mi
+        eff = np.where(np.isfinite(scores), scores, rel)
+        eff[is_sel] = -np.inf
+        j = int(np.argmax(eff))
+        if not np.isfinite(eff[j]):
+            break
+        selected[t] = j
+        is_sel[j] = True
+        count += 1
+    return selected[:count]
+
+
 def greedy_corr_prune(
     R: np.ndarray, scores: np.ndarray, threshold: float = 0.95
 ) -> np.ndarray:

@@ -74,21 +74,42 @@ def fused_regression_stats(
     y_col: str,
     weight_col: str | None = None,
     quantize_f32: bool = True,
+    single_pass: bool = False,
 ) -> dict:
-    """TWO-scan fast path for small/medium p (regression): pass 1 = means,
-    pass 2 = centered Gram incl. y. Returns relevance scores AND the full
-    correlation matrix + target-correlation vector — everything classic
-    mRMR / JMI-r2 needs, with no cache and no third scan. Numerically
-    identical to the split passes up to scalar-division rounding order
-    (std scaling applied on the driver)."""
-    p1 = kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
-    sw = p1["sw"]
-    y_wmean = p1["wy"] / sw
-    cg = kernels.centered_gram_pass(
-        df, feature_cols, weight_col, p1["impute_means"], p1["col_wmeans"],
-        y_col=y_col, y_wmean=y_wmean, quantize_f32=quantize_f32,
-    )
-    C, c_y, y_ss = cg["C"], cg["c_y"], cg["c_yy"]
+    """Fused fast path for small/medium p (regression). Returns relevance
+    scores AND the full correlation matrix + target-correlation vector —
+    everything classic mRMR / JMI-r2 needs.
+
+    Two backends computing the same statistics (parity-tested against each
+    other at float64 rounding):
+
+    - ``single_pass=False``: pass 1 = JVM means scan, pass 2 = JVM centered
+      Gram scan (zero Python; caller persists the matrix between passes).
+    - ``single_pass=True``: ONE ``mapInArrow`` scan via the
+      indicator-augmented Gram (kernels.fused_singlepass_stats) — NO
+      persist needed; the caller should NOT cache. Halves memory traffic:
+      the columnar cache encode it avoids is the dominant phase of the e2e
+      pipeline at scale.
+    """
+    if single_pass:
+        st = kernels.fused_singlepass_stats(
+            df, feature_cols, y_col, weight_col, quantize_f32
+        )
+        sw, y_wmean = st["sw"], st["y_wmean"]
+        C, c_y, y_ss = st["C"], st["c_y"], st["c_yy"]
+        col_wmeans, impute_means, n = st["col_wmeans"], st["impute_means"], st["n"]
+        p1 = st
+    else:
+        p1 = kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
+        sw = p1["sw"]
+        y_wmean = p1["wy"] / sw
+        cg = kernels.centered_gram_pass(
+            df, feature_cols, weight_col, p1["impute_means"], p1["col_wmeans"],
+            y_col=y_col, y_wmean=y_wmean, quantize_f32=quantize_f32,
+        )
+        C, c_y, y_ss = cg["C"], cg["c_y"], cg["c_yy"]
+        col_wmeans, impute_means, n = p1["col_wmeans"], p1["impute_means"], p1["n"]
+
     x_ss = np.diag(C).copy()
     xy = c_y
 
@@ -113,12 +134,12 @@ def fused_regression_stats(
     return {
         "scores": scores,
         "sw": sw,
-        "wmeans": p1["col_wmeans"],
+        "wmeans": col_wmeans,
         "wstds": wstds,
-        "impute_means": p1["impute_means"],
+        "impute_means": impute_means,
         "y_wmean": y_wmean,
         "y_wstd": y_wstd,
-        "n": p1["n"],
+        "n": n,
         "R": R,
         "r_y": r_y_vec,
         "pass1": p1,

@@ -60,6 +60,12 @@ def get_spark(
     The engine code only ever sees a DataFrame, so parquet (sandbox) and
     Iceberg (prod) share every code path (SURVEY.md §2.A A1).
     """
+    # one BLAS thread per Python worker: with N workers per host, letting
+    # each numpy GEMM spawn N BLAS threads oversubscribes N×N-fold (measured
+    # 2-5x slowdowns on the Arrow kernels). Local-mode workers inherit the
+    # driver env; on a cluster, set these via spark.executorEnv.*.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = SparkSession.builder.appName(app_name).master(master)

@@ -303,3 +303,80 @@ def test_jmi_binned_distributed_matches_collected(fixture_small):
     b = select_jmi(sdf, cols, "target_reg", 4, task="regression", estimator="binned",
                    subsample=None)
     assert a.names == b.names
+
+
+def test_single_pass_backend_matches_two_pass(spark):
+    """The no-persist single-Arrow-scan backend (indicator-augmented Gram +
+    Chan merge + affine imputation algebra) must reproduce the persisted
+    2-scan JVM backend's statistics and selections — including under NaN/inf
+    contamination and weights."""
+    from mrmr_spark.select.relevance import fused_regression_stats
+
+    rng = np.random.default_rng(11)
+    n, p = 6000, 10
+    X = rng.normal(loc=rng.uniform(-30, 30, p), scale=rng.uniform(0.5, 4, p),
+                   size=(n, p))
+    y = X[:, 0] * 0.5 + X[:, 3] * 0.2 + rng.normal(size=n)  # finite
+    X[rng.random((n, p)) < 0.04] = np.nan
+    X[rng.random((n, p)) < 0.01] = np.inf
+    w = rng.uniform(0.1, 3.0, n)
+    cols = [f"x{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = y
+    pdf["w"] = w
+    sdf = spark.createDataFrame(pdf).repartition(7).cache()
+    sdf.count()
+
+    for wcol in (None, "w"):
+        s1 = fused_regression_stats(sdf, cols, "y", wcol, True, single_pass=False)
+        s2 = fused_regression_stats(sdf, cols, "y", wcol, True, single_pass=True)
+        for k in ("scores", "wmeans", "wstds", "impute_means", "r_y"):
+            np.testing.assert_allclose(s1[k], s2[k], rtol=1e-9, atol=1e-12, err_msg=k)
+        np.testing.assert_allclose(s1["R"], s2["R"], rtol=1e-7, atol=1e-10)
+
+    a = select_mrmr(sdf, cols, "y", 5, task="regression", subsample=None)
+    b = select_mrmr(sdf, cols, "y", 5, task="regression", subsample=None,
+                    single_pass=True)
+    assert a.names == b.names
+
+
+def test_digamma_accuracy():
+    from mrmr_spark.select.loops import digamma
+
+    # ψ(1) = -γ, ψ(2) = 1-γ, ψ(10) and ψ(100) from tables
+    gamma = 0.5772156649015329
+    got = digamma(np.array([1.0, 2.0, 10.0, 100.0]))
+    exp = np.array([-gamma, 1 - gamma, 2.251752589066721, 4.600161852738087])
+    np.testing.assert_allclose(got, exp, atol=1e-10)
+
+
+def test_ksg_estimator_statistical_sanity():
+    """KSG brute-force variant: near-zero MI for independent variables,
+    near the analytic Gaussian MI for correlated ones (the reference's
+    estimator-quality tier; bit-parity impossible without scipy)."""
+    from mrmr_spark.select.loops import ksg_joint_mi
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    y = rng.normal(size=n)
+    s = rng.normal(size=n)                      # independent of y
+    f_ind = rng.normal(size=(n, 1))             # independent candidate
+    rho = 0.8
+    f_cor = (rho * y + np.sqrt(1 - rho**2) * rng.normal(size=n)).reshape(-1, 1)
+
+    mi_ind = ksg_joint_mi(s, f_ind, y)[0]
+    mi_cor = ksg_joint_mi(s, f_cor, y)[0]
+    analytic = -0.5 * np.log(1 - rho**2)        # ≈ 0.511 nats
+    assert mi_ind < 0.05
+    assert abs(mi_cor - analytic) < 0.12
+    assert mi_cor > mi_ind + 0.3
+
+
+def test_jmi_ksg_selects_signal(fixture_small):
+    pdf, sdf, cols = fixture_small
+    res = select_jmi(sdf, cols, "target_reg", 4, task="regression",
+                     estimator="ksg")
+    assert {"f0", "f1"}.issubset(set(res.names))
+    with pytest.raises(ValueError, match="regression-only"):
+        select_jmi(sdf, cols, "target_cls", 3, task="classification",
+                   estimator="ksg")

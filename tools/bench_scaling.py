@@ -81,8 +81,9 @@ Selected features agree across parallelism levels: {r8['selected'] == r32['selec
 Machine: single host, 32 CPUs, PySpark {{4.1.2}}, shuffle partitions = cpu
 count, AQE on. Reproduce: `python tools/bench_scaling.py`.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(report)
+    # BENCH.md is hand-authored (multi-evidence); persist raw numbers here
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump({"local8": r8, "local32": r32, "efficiency": round(eff, 3)}, f)
     print(report)
 
 

@@ -1,5 +1,9 @@
-"""Phase-timing breakdown of the e2e job at one parallelism level.
-Usage: SPARK_GRAFT_CPUS=8 python tools/profile_phases.py
+"""Warm phase-timing breakdown of the e2e job at one parallelism level.
+
+Each phase runs REPS times after a cold warm-up; reports min (the stable
+statistic under noisy-neighbor steal and JIT ramp). Feeds BENCH.md §3's
+per-phase scaling table. Usage:
+  SPARK_GRAFT_CPUS=8 python tools/profile_phases.py
 """
 import json
 import os
@@ -15,37 +19,58 @@ from mrmr_spark.fe import build_features, FEATURE_COLS
 from mrmr_spark.select import kernels
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("REPS", "3"))
 CORPUS = os.environ.get("MRMR_CORPUS", "/tmp/mrmr_bench/transcripts_c280000.parquet")
 
 spark = get_spark(app_name=f"phases-{CPUS}", master=f"local[{CPUS}]",
                   shuffle_partitions=CPUS,
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+                  extra_conf={"spark.ui.showConsoleProgress": "false",
+                              "spark.sql.files.maxPartitionBytes": str(8 << 20),
+                              "spark.sql.inMemoryColumnarStorage.compressed": "false",
+                              "spark.sql.inMemoryColumnarStorage.batchSize": "65536"})
 spark.sparkContext.setLogLevel("ERROR")
 t = {}
 
-def timed(name, fn):
-    t0 = time.perf_counter()
-    out = fn()
-    t[name] = round(time.perf_counter() - t0, 2)
-    return out
+def timed(name, fn, reps=REPS):
+    fn()  # cold (codegen compile / JIT) — excluded
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    t[name] = round(best, 2)
 
 tr = spark.read.parquet(CORPUS)
 timed("scan_count", lambda: tr.count())
 
-feats = build_features(tr).where(F.col("target_next_gap").isNotNull())
-proj = feats.select(*FEATURE_COLS, "target_next_gap")
-timed("fe_nocache_count", lambda: proj.count())
+T = "target_next_gap"
+def mk_proj():
+    feats = build_features(tr).where(F.col(T).isNotNull())
+    return feats.select(*FEATURE_COLS, T)
 
-proj = proj.persist()
-timed("fe_materialize", lambda: proj.count())
+# FE compute forced via a sum over every feature column (no cache, no prune)
+sums = [F.sum(c) for c in FEATURE_COLS] + [F.sum(T)]
+timed("fe_compute", lambda: mk_proj().select(*sums).collect())
 
-p1 = timed("pass1", lambda: kernels.impute_mean_pass(proj, FEATURE_COLS, None, "target_next_gap"))
-p2 = timed("pass2", lambda: kernels.centered_moments_pass(
-    proj, FEATURE_COLS, "target_next_gap", None, p1["impute_means"], p1["col_wmeans"], p1["wy"]/p1["sw"]))
-sd = np.sqrt(np.maximum(p2["x_ss"]/p1["sw"], 1e-12))
-timed("gram", lambda: kernels.gram_pass(
-    proj, FEATURE_COLS, None, p1["impute_means"], p1["col_wmeans"], sd, clip=None))
-timed("pass1_again", lambda: kernels.impute_mean_pass(proj, FEATURE_COLS, None, "target_next_gap"))
+# persist encode (unpersist + re-materialize each rep)
+def materialize():
+    p = mk_proj().persist()
+    p.count()
+    p.unpersist()
+timed("fe_materialize", materialize)
 
-print(json.dumps({"cpus": CPUS, **t}))
+proj = mk_proj().persist()
+proj.count()
+timed("pass1_means", lambda: kernels.impute_mean_pass(proj, FEATURE_COLS, None, T))
+p1 = kernels.impute_mean_pass(proj, FEATURE_COLS, None, T)
+timed("pass2_gram", lambda: kernels.centered_gram_pass(
+    proj, FEATURE_COLS, None, p1["impute_means"], p1["col_wmeans"],
+    y_col=T, y_wmean=p1["wy"] / p1["sw"]))
+proj.unpersist()
+
+# the no-persist single-pass backend, straight over the window pipeline
+timed("single_pass_total", lambda: kernels.fused_singlepass_stats(
+    mk_proj(), FEATURE_COLS, T, None))
+
+print(json.dumps({"cpus": CPUS, "reps": REPS, **t}))
 spark.stop()
