@@ -4,3 +4,8 @@ from mrmr_spark.select.api import (  # noqa: F401
     select_jmi,
     select_mrmr,
 )
+from mrmr_spark.select.gbdt import (  # noqa: F401
+    gbdt_classif,
+    gbdt_regression,
+    select_gbdt,
+)
