@@ -69,3 +69,16 @@ def test_boruta_max_features(boruta_data):
         boruta_data, feats, "y", max_iter=6, n_estimators=50, seed=2, max_features=1
     )
     assert len(res.selected) == 1 and res.selected[0] in ("x0", "x1")
+
+
+def test_boruta_reproducible_across_runs(boruta_data):
+    """Same seed -> identical statuses/hits across repeated runs (the
+    round-1 Python hash(c) shadow-seed salting made this fail; seeds are
+    now crc32 of the column name)."""
+    feats = [f"x{j}" for j in range(8)]
+    kw = dict(max_iter=4, n_estimators=30, seed=5, group_col="grp", time_col="t")
+    a = boruta_select(boruta_data, feats, "y", **kw)
+    b = boruta_select(boruta_data, feats, "y", **kw)
+    assert a.status == b.status
+    assert a.hits == b.hits
+    assert a.selected == b.selected
