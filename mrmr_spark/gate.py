@@ -872,13 +872,115 @@ def _event_feature_df(spark, sf_dir):
 
 
 def q_mrmr_event_features(spark, sf_dir):
-    """End-to-end FE + mRMR (rows-only gate: greedy selection is not
-    SQL-expressible; parity is covered by the pytest oracle suite)."""
+    """End-to-end FE + mRMR, fully SQL-oracled: the DuckDB oracle rebuilds
+    the feature matrix (windows), mean-imputes, computes the F-stat
+    relevances and the |corr| redundancy matrix, and UNROLLS the greedy
+    quotient loop (argmax rel, then argmax rel/max(mean|corr| vs selected,
+    1e-6), ties by candidate order) as k CTE stages — the loop is driver-
+    side algebra over scalar statistics, so for fixed small k it IS
+    SQL-expressible. quantize_f32=False aligns both engines on f64."""
     from mrmr_spark.select import select_mrmr
 
     fdf, feats = _event_feature_df(spark, sf_dir)
-    res = select_mrmr(fdf, feats, "value", 4, task="regression")
+    res = select_mrmr(fdf, feats, "value", 4, task="regression", quantize_f32=False)
     return res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
+
+
+def _mrmr_event_sql(k: int = 4) -> str:
+    """Generate the DuckDB oracle for q_mrmr_event_features: feature build
+    + impute + F-stat relevance + greedy mRMR (quotient, FLOOR=1e-6)
+    unrolled as CTE stages."""
+    feats = ["value_lag1", "value_lag2", "gap_s", "avg_value_5",
+             "max_value_5", "sess_f", "cnt_f"]
+    p = len(feats)
+
+    means = ",\n         ".join(f"avg({f}) AS m_{f}" for f in feats)
+    imputed = ",\n         ".join(
+        f"coalesce(m.{f}, mm.m_{f}) AS {f}" for f in feats
+    )
+    ry = ",\n         ".join(f"corr({f}, y) AS ry_{f}" for f in feats)
+    cc = ",\n         ".join(
+        f"corr({fa}, {fb}) AS c_{ia}_{ib}"
+        for ia, fa in enumerate(feats) for ib, fb in enumerate(feats) if ia < ib
+    )
+    rel_rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS ord, '{f}' AS feature,"
+        f" least(ry_{f} * ry_{f}, 0.99999) / (1 - least(ry_{f} * ry_{f}, 0.99999))"
+        f" * (n - 2) AS rel FROM st"
+        for i, f in enumerate(feats)
+    )
+    cor_rows = []
+    for ia in range(p):
+        for ib in range(ia + 1, p):
+            cor_rows.append(
+                f"SELECT '{feats[ia]}' AS fa, '{feats[ib]}' AS fb,"
+                f" abs(c_{ia}_{ib}) AS ac FROM st"
+            )
+            cor_rows.append(
+                f"SELECT '{feats[ib]}', '{feats[ia]}', abs(c_{ia}_{ib}) FROM st"
+            )
+    cors = "\n  UNION ALL ".join(cor_rows)
+
+    stages = ["s1 AS (SELECT ord, feature, rel FROM rels ORDER BY rel DESC, ord LIMIT 1)"]
+    sel_union = "SELECT feature FROM s1"
+    for t in range(2, k + 1):
+        stages.append(
+            f"""p{t} AS (
+  SELECT r.ord, r.feature, r.rel,
+         r.rel / greatest(
+           (SELECT avg(c.ac) FROM cors c
+            WHERE c.fa = r.feature AND c.fb IN ({sel_union})), 1e-6) AS score
+  FROM rels r WHERE r.feature NOT IN ({sel_union})
+), s{t} AS (SELECT ord, feature, rel FROM p{t} ORDER BY score DESC, ord LIMIT 1)"""
+        )
+        sel_union += f" UNION ALL SELECT feature FROM s{t}"
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, feature, round(rel, 6) AS relevance FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+WITH m0 AS (
+  SELECT user_id, event_id, ts, value AS y,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap_s,
+         lag(value, 1) OVER w AS value_lag1,
+         lag(value, 2) OVER w AS value_lag2,
+         CAST(count(*) OVER wr AS DOUBLE) AS cnt_f,
+         avg(value) OVER wr AS avg_value_5,
+         max(value) OVER wr AS max_value_5
+  FROM events
+  WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+), m AS (
+  SELECT *,
+         CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > {GAP_S} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS DOUBLE) AS sess_f
+  FROM m0
+), mm AS (
+  SELECT {means} FROM m
+), i AS (
+  SELECT m.y,
+         {imputed}
+  FROM m CROSS JOIN mm
+), st AS (
+  SELECT count(*) AS n,
+         {ry},
+         {cc}
+  FROM i
+), rels AS (
+  SELECT * FROM (
+  {rel_rows}
+  ) WHERE rel > 0
+), cors AS (
+  {cors}
+),
+{",".join(stages)}
+{final}
+"""
+
+
+SQL_MRMR_EVENT_FEATURES = _mrmr_event_sql()
 
 
 QUERIES = {
@@ -935,6 +1037,7 @@ ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_lsh": SQL_ANN_LSH,
-    # rows-only (not SQL-expressible): mrmr_event_features (greedy loop),
-    # media_features (fake codec inside mapInPandas)
+    "mrmr_event_features": SQL_MRMR_EVENT_FEATURES,
+    # rows-only (not SQL-expressible): media_features (fake codec inside
+    # mapInPandas; no image/audio libs in the container)
 }
