@@ -240,7 +240,10 @@ def fused_singlepass_stats(
     c_y = Cay - m * Cfy
     col_wmeans = mu_a + m * (1.0 - mu_f)
     return {
-        "sw": sw,
+        # np scalar: an empty frame (sw=0) must degrade to nan statistics
+        # exactly like the two-pass path (Python float 0.0 would raise
+        # ZeroDivisionError in the shared driver tail instead)
+        "sw": np.float64(sw),
         "n": n,
         "impute_means": impute_means,
         "col_wmeans": col_wmeans,

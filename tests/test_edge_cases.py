@@ -1,0 +1,45 @@
+"""Degenerate-input behavior of the selection APIs: empty frames, constant
+and all-NaN columns, k=0, single rows, single-class targets — every path
+must return an empty/partial selection gracefully, never crash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mrmr_spark.select import select_cefsplus, select_jmi, select_mrmr
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    rng = np.random.default_rng(0)
+    n = 200
+    pdf = pd.DataFrame({f"x{j}": rng.normal(size=n) for j in range(4)})
+    pdf["y"] = pdf["x0"] + 0.1 * rng.normal(size=n)
+    pdf["const"] = 1.0
+    pdf["allnan"] = np.nan
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_constant_and_allnan_features_skipped(edge_df):
+    assert select_mrmr(edge_df, ["x0", "x1", "const"], "y", 3).names == ["x0", "x1"]
+    assert select_mrmr(edge_df, ["x0", "x1", "allnan"], "y", 3).names == ["x0", "x1"]
+    assert select_mrmr(edge_df, ["x0", "allnan"], "y", 2,
+                       single_pass=True).names == ["x0"]
+
+
+def test_degenerate_frames_return_empty(edge_df):
+    empty = edge_df.where("y > 1e18")
+    assert select_mrmr(empty, ["x0", "x1"], "y", 2).names == []
+    assert select_mrmr(empty, ["x0", "x1"], "y", 2, single_pass=True).names == []
+    assert select_jmi(empty, ["x0", "x1"], "y", 2).names == []
+    assert select_mrmr(edge_df.limit(1), ["x0", "x1"], "y", 2).names == []
+    assert select_mrmr(edge_df, ["x0", "x1"], "y", 0).names == []
+
+
+def test_k_exceeds_p_and_single_class(edge_df):
+    from pyspark.sql import functions as F
+
+    assert len(select_jmi(edge_df, ["x0", "x1"], "y", 9, estimator="ksg").names) == 2
+    assert select_cefsplus(edge_df, ["x0", "x1", "const"], "y", 2).names == ["x0", "x1"]
+    one_cls = edge_df.withColumn("c", F.lit(1))
+    assert select_mrmr(one_cls, ["x0", "x1"], "c", 2, task="classification").names == []
