@@ -43,3 +43,28 @@ def test_k_exceeds_p_and_single_class(edge_df):
     assert select_cefsplus(edge_df, ["x0", "x1", "const"], "y", 2).names == ["x0", "x1"]
     one_cls = edge_df.withColumn("c", F.lit(1))
     assert select_mrmr(one_cls, ["x0", "x1"], "c", 2, task="classification").names == []
+
+
+def test_weight_normalization_overflow_safe(edge_df):
+    """Huge/tiny weight scales must normalize safely (w/max before mean,
+    reference _preprocess.py overflow tests) and give identical selections."""
+    from pyspark.sql import functions as F
+
+    big = edge_df.withColumn("w", F.lit(1e300))
+    tiny = edge_df.withColumn("w", F.lit(1e-300))
+    a = select_mrmr(edge_df, ["x0", "x1", "x2"], "y", 2).names
+    b = select_mrmr(big, ["x0", "x1", "x2"], "y", 2, weight_col="w").names
+    c = select_mrmr(tiny, ["x0", "x1", "x2"], "y", 2, weight_col="w").names
+    assert a == b == c
+
+
+def test_group_cv_requires_two_groups(edge_df):
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import AutoKConfig
+
+    one_grp = edge_df.withColumn("g", F.lit("only"))
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv", max_k=3, min_k=1)
+    with pytest.raises(ValueError, match="at least 2 groups"):
+        select_mrmr(one_grp, ["x0", "x1"], "y", "auto",
+                    auto_k_config=cfg, group_col="g")
