@@ -67,10 +67,23 @@ def lsh_signatures(
     seed: int = 7,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_tables: int = 1,
+    table_seed_stride: int = 1000,
 ) -> DataFrame:
-    """Random-hyperplane signature (one long) per vector, via a single
-    NumPy GEMM per Arrow batch."""
-    planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
+    """Random-hyperplane signatures per vector via ONE NumPy GEMM per Arrow
+    batch — for ALL ``n_tables`` hash tables at once (a single
+    (dim × n_tables·n_planes) GEMM and a single Python stage in the plan,
+    instead of one mapInArrow per table). Output: (id, table, bucket), one
+    row per table. Table t's planes are seeded ``seed + table_seed_stride·t``
+    — identical values to building each table separately."""
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + table_seed_stride * t).normal(size=(dim, n_planes))
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     proj = df.select(id_col, F.transform(emb_col, lambda x: x.cast("double")).alias("_e"))
 
@@ -78,7 +91,7 @@ def lsh_signatures(
         for b in batches:
             if not b.num_rows:
                 continue
-            ids = b.column(0)
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
             # zero-copy-ish: flatten the list column and reshape (fixed dim)
             emb = (
                 b.column(1)
@@ -87,15 +100,20 @@ def lsh_signatures(
                 .reshape(b.num_rows, dim)
                 .astype(np.float64)
             )
-            bits = (emb @ planes) > 0.0
-            sig = np.zeros(len(emb), dtype=np.int64)
-            for j in range(n_planes):
-                sig |= bits[:, j].astype(np.int64) << j
+            bits = (emb @ planes) > 0.0                       # (n, T·P)
+            sig = bits.reshape(len(emb), n_tables, n_planes) @ weights  # (n, T)
+            out_ids = np.repeat(ids_np, n_tables)
+            out_tbl = np.tile(np.arange(n_tables, dtype=np.int32), len(emb))
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(sig, type=pa.int64())], [id_col, "bucket"]
+                [
+                    pa.array(out_ids),
+                    pa.array(out_tbl, type=pa.int32()),
+                    pa.array(sig.reshape(-1).astype(np.int64), type=pa.int64()),
+                ],
+                [id_col, "table", "bucket"],
             )
 
-    return proj.mapInArrow(mapper, f"`{id_col}` long, bucket long")
+    return proj.mapInArrow(mapper, f"`{id_col}` long, table int, bucket long")
 
 
 def ann_lsh(
@@ -115,22 +133,13 @@ def ann_lsh(
     same-bucket pairs (standard recall amplification: P[cand] =
     1-(1-p^n_planes)^n_tables), then exact cosine re-rank. Dials:
     n_planes (bucket size down, precision up), n_tables (recall up).
+    All tables' signatures come from ONE Arrow GEMM pass per side.
     """
     def sigs(df, alias_id):
-        parts = []
-        for t in range(n_tables):
-            s = lsh_signatures(df, dim, n_planes, seed + 1000 * t, id_col, emb_col)
-            parts.append(
-                s.select(
-                    F.col(id_col).alias(alias_id),
-                    F.lit(t).alias("table"),
-                    F.col("bucket"),
-                )
-            )
-        out = parts[0]
-        for p_ in parts[1:]:
-            out = out.unionByName(p_)
-        return out
+        s = lsh_signatures(
+            df, dim, n_planes, seed, id_col, emb_col, n_tables=n_tables
+        )
+        return s.select(F.col(id_col).alias(alias_id), "table", "bucket")
 
     c_sig = sigs(corpus, id_col)
     q_sig = sigs(queries, "q_id")
