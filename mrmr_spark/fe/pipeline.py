@@ -96,12 +96,10 @@ def build_features(
 
     df = with_lags(df, {"gap_s": [1, 2]})
 
-    # per-session turn index (0-based) — window over (conv, session)
-    from pyspark.sql.window import Window
-
-    wsess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
-    df = df.withColumn("sess_turn", (F.row_number().over(wsess) - 1).cast("double"))
-
+    # keep every (conv_id, turn_idx)-ordered window ADJACENT: Catalyst only
+    # collapses sorts of consecutive same-spec Window operators, so the
+    # differently-keyed wsess window goes after the rows-based rolling —
+    # one physical sort serves sessionize + lags + rolling-n
     df = backfilled_rolling(
         df,
         {
@@ -114,17 +112,10 @@ def build_features(
         },
         n=n_rows,
     )
-    df = backfilled_rolling(
-        df,
-        {
-            "n_turns": F.count(F.lit(1)),
-            "avg_gap": F.avg("gap_s"),
-        },
-        range_s=range_s,
-    )
 
     feature_cols = list(FEATURE_COLS)
     if rich:
+        # rich ROW-ordered windows stay in the same (conv, turn_idx) block
         df = with_lags(df, {"gap_s": [3, 5], "text_len": [1], "token_count": [1]})
         df = backfilled_rolling(
             df,
@@ -151,6 +142,30 @@ def build_features(
             },
             n=60,
         )
+        feature_cols = feature_cols + RICH_EXTRA_COLS
+
+    # target: time until the NEXT turn (regression) — future-only, never a
+    # feature. Computed inside the (conv, turn_idx) block so its window
+    # shares the block's single physical sort.
+    df = with_lags(df, {"gap_s": [-1]})
+    df = df.withColumn("target_next_gap", F.col("gap_s_lead1"))
+
+    # per-session turn index (0-based) — window over (conv, session)
+    from pyspark.sql.window import Window
+
+    wsess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
+    df = df.withColumn("sess_turn", (F.row_number().over(wsess) - 1).cast("double"))
+
+    # RANGE (event-time) windows last: they sort by the µs key instead
+    df = backfilled_rolling(
+        df,
+        {
+            "n_turns": F.count(F.lit(1)),
+            "avg_gap": F.avg("gap_s"),
+        },
+        range_s=range_s,
+    )
+    if rich:
         df = backfilled_rolling(
             df,
             {
@@ -160,11 +175,6 @@ def build_features(
             },
             range_s=600.0,
         )
-        feature_cols = feature_cols + RICH_EXTRA_COLS
-
-    # target: time until the NEXT turn (regression) — future-only, never a feature
-    df = with_lags(df, {"gap_s": [-1]})
-    df = df.withColumn("target_next_gap", F.col("gap_s_lead1"))
 
     df = (
         df.withColumn("turn_idx_f", F.col("turn_idx").cast("double"))

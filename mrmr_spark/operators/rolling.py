@@ -48,15 +48,24 @@ def backfilled_rolling(
         # order on integer microseconds so RANGE bounds are exact integers;
         # end at -1µs excludes the current row (and any exact-tie timestamp,
         # which cannot occur within a conv — ts strictly increases per conv).
+        # The key is materialized as a real column (not an inline expression)
+        # so every agg's window spec references the SAME attribute —
+        # otherwise each withColumn mints a fresh `_w0#n` ordering alias,
+        # CollapseWindow cannot merge the Window operators, and the plan
+        # re-sorts the partition once PER AGGREGATE.
         from mrmr_spark.operators.ordering import ts_micros
 
+        key = f"_ord_us_{ts_col}"
+        df = df.withColumn(key, ts_micros(ts_col))
         w = (
             Window.partitionBy(group)
-            .orderBy(ts_micros(ts_col))
+            .orderBy(key)
             .rangeBetween(-int(range_s * 1_000_000), -1)
         )
         sfx = suffix or f"_{int(range_s)}s"
     out = df
     for name, col in aggs.items():
         out = out.withColumn(f"{name}{sfx}", col.over(w))
+    if range_s is not None:
+        out = out.drop(key)
     return out
