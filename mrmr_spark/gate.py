@@ -739,9 +739,10 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("q_id", "vec_id", "rank", r6("sim").alias("sim"))
 
 
-def _ann_lsh_sql(dim=64, k=5, n_planes=10, n_tables=6, seed=7) -> str:
-    """Generate the ann_lsh oracle with the SAME seeded hyperplanes the
-    Spark operator uses (similarity.lsh_signatures)."""
+def _lsh_sig_selects(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """Per-table bucket expressions with the SAME seeded hyperplanes the
+    Spark operator uses (similarity.lsh_signatures), baked as round-trip
+    float literals."""
     import numpy as np
 
     def bucket_expr(t: int) -> str:
@@ -755,10 +756,16 @@ def _ann_lsh_sql(dim=64, k=5, n_planes=10, n_tables=6, seed=7) -> str:
             )
         return " + ".join(terms)
 
-    sig_selects = "\n  UNION ALL ".join(
+    return "\n  UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM base"
         for t in range(n_tables)
     )
+
+
+def _ann_lsh_sql(dim=64, k=5, n_planes=10, n_tables=6, seed=7) -> str:
+    """Generate the ann_lsh oracle (signatures + bucket join + exact
+    re-rank, all recomputed from scratch in DuckDB)."""
+    sig_selects = _lsh_sig_selects(dim, n_planes, n_tables, seed)
     return f"""
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -787,6 +794,43 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_LSH = _ann_lsh_sql()
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (self-dedup over the
+    embeddings table) via multi-table hyperplane LSH + exact cosine
+    verify. Oracled like ann_lsh: the hyperplanes are shared constants, so
+    DuckDB recomputes signatures, the candidate self-join and the verify
+    from scratch."""
+    from mrmr_spark.operators.similarity import embedding_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(e, dim=64, threshold=0.30, n_planes=6, n_tables=8)
+    return out.select("id_a", "id_b", r6("sim").alias("sim"))
+
+
+def _embedding_near_dup_sql(dim=64, threshold=0.30, n_planes=6, n_tables=8, seed=7) -> str:
+    sig_selects = _lsh_sig_selects(dim, n_planes, n_tables, seed)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sigs AS (
+  {sig_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(x.e, y.e), 6) AS sim
+FROM cand c
+JOIN base x ON x.vec_id = c.id_a
+JOIN base y ON y.vec_id = c.id_b
+WHERE list_cosine_similarity(x.e, y.e) >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _embedding_near_dup_sql()
 
 
 def q_text_quality(spark, sf_dir):
@@ -1008,6 +1052,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh": q_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
     "text_quality": q_text_quality,
     "media_features": q_media_features,
 }
@@ -1037,6 +1082,7 @@ ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_lsh": SQL_ANN_LSH,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "mrmr_event_features": SQL_MRMR_EVENT_FEATURES,
     # rows-only (not SQL-expressible): media_features (fake codec inside
     # mapInPandas; no image/audio libs in the container)

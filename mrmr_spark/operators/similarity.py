@@ -116,6 +116,52 @@ def lsh_signatures(
     return proj.mapInArrow(mapper, f"`{id_col}` long, table int, bucket long")
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for pairs
+    with cosine >= threshold that collide in >=1 hyperplane-LSH table.
+
+    The self-join analog of ``ann_lsh``: one Arrow GEMM pass computes all
+    tables' signatures, the bucket join generates candidates (never
+    all-pairs), exact cosine verifies. Recall is the standard multi-table
+    amplification 1-(1-p^n_planes)^n_tables with p = 1-θ/π — raise
+    n_tables for near-1.0 recall at high thresholds (θ small). At 10^12
+    vectors the bucket join is the only quadratic-risk stage; raise
+    n_planes so expected bucket sizes stay bounded.
+    """
+    sig = lsh_signatures(
+        corpus, dim, n_planes, seed, id_col, emb_col, n_tables=n_tables
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    c = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    return (
+        cand.join(c.select(F.col(id_col).alias("id_a"), F.col("_e").alias("_ea")), "id_a")
+        .join(c.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb")), "id_b")
+        .select("id_a", "id_b", _cosine("_ea", "_eb").alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -144,3 +144,27 @@ def test_ann_lsh_recall(vectors):
     assert approx.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
         approx2.sort_values(["q_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_embedding_near_dup_finds_planted_pairs(vectors):
+    """Planted near-dups (rows 100-149 = noisy copies of rows 0-49,
+    cos ≈ 0.998) must be recovered with high recall and exact sims; no
+    false positives below the threshold."""
+    from mrmr_spark.operators.similarity import embedding_near_dup
+
+    sdf, X = vectors
+    got = embedding_near_dup(sdf, dim=16, threshold=0.95, n_planes=8,
+                             n_tables=12).toPandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    true_pairs = {(i, 100 + i) for i in range(50) if S[i, 100 + i] >= 0.95}
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # every returned pair is truly above threshold (verify stage is exact)
+    for a, b in got_pairs:
+        assert S[a, b] >= 0.95 - 1e-9
+    # multi-table amplification at cos>=0.95 -> near-1 recall
+    recall = len(got_pairs & true_pairs) / max(len(true_pairs), 1)
+    assert recall >= 0.9, (recall, len(true_pairs))
+    # sims are the exact cosine (not an estimate)
+    for _, r in got.iterrows():
+        np.testing.assert_allclose(r.sim, S[int(r.id_a), int(r.id_b)], rtol=1e-9)
