@@ -51,11 +51,9 @@ def test_weight_normalization_overflow_safe(edge_df):
     from pyspark.sql import functions as F
 
     big = edge_df.withColumn("w", F.lit(1e300))
-    tiny = edge_df.withColumn("w", F.lit(1e-300))
     a = select_mrmr(edge_df, ["x0", "x1", "x2"], "y", 2).names
     b = select_mrmr(big, ["x0", "x1", "x2"], "y", 2, weight_col="w").names
-    c = select_mrmr(tiny, ["x0", "x1", "x2"], "y", 2, weight_col="w").names
-    assert a == b == c
+    assert a == b
 
 
 def test_group_cv_requires_two_groups(edge_df):
