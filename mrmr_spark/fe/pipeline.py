@@ -156,7 +156,10 @@ def build_features(
     wsess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
     df = df.withColumn("sess_turn", (F.row_number().over(wsess) - 1).cast("double"))
 
-    # RANGE (event-time) windows last: they sort by the µs key instead
+    # RANGE (event-time) windows last: they sort by the µs key instead.
+    # In rich mode the first call keeps the materialized µs key so the second
+    # range window orders by the SAME attribute — one physical sort serves
+    # both (the frames differ, the sort spec doesn't).
     df = backfilled_rolling(
         df,
         {
@@ -164,6 +167,7 @@ def build_features(
             "avg_gap": F.avg("gap_s"),
         },
         range_s=range_s,
+        keep_key=rich,
     )
     if rich:
         df = backfilled_rolling(

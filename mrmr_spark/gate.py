@@ -21,6 +21,7 @@ from mrmr_spark.operators.anchors import (
     event_window_anchors,
     first_last_per_group,
     periodic_anchors,
+    quantile_anchors,
 )
 from mrmr_spark.operators.asof import asof_join
 from mrmr_spark.operators.lags import with_lags
@@ -191,6 +192,32 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, day FROM r WHERE rn = 1
+"""
+
+
+def q_anchors_quantile(spark, sf_dir):
+    """Quantile anchors (reference ``sift/sampling/anchors.py:85-131``): per
+    user, the first event whose timeline percent_rank reaches each quantile."""
+    df = quantile_anchors(
+        _events(spark, sf_dir), quantiles=[0.0, 0.5, 1.0], group="user_id", order=ORD
+    )
+    return df.select("user_id", "event_id", "anchor_q")
+
+
+SQL_ANCHORS_QUANTILE = """
+WITH r AS (
+  SELECT user_id, event_id,
+         percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pr
+  FROM events
+), q AS (
+  SELECT unnest(CAST([0.0, 0.5, 1.0] AS DOUBLE[])) AS anchor_q
+), j AS (
+  SELECT r.user_id, r.event_id, q.anchor_q,
+         row_number() OVER (PARTITION BY r.user_id, q.anchor_q
+                            ORDER BY r.pr) AS rn
+  FROM r JOIN q ON r.pr >= q.anchor_q
+)
+SELECT user_id, event_id, anchor_q FROM j WHERE rn = 1
 """
 
 
@@ -1035,6 +1062,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "anchors_first_last": q_anchors_first_last,
     "anchors_daily": q_anchors_daily,
+    "anchors_quantile": q_anchors_quantile,
     "session_stats": q_session_stats,
     "error_window": q_error_window,
     "feature_matrix": q_feature_matrix,
@@ -1065,6 +1093,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "anchors_first_last": SQL_ANCHORS_FIRST_LAST,
     "anchors_daily": SQL_ANCHORS_DAILY,
+    "anchors_quantile": SQL_ANCHORS_QUANTILE,
     "session_stats": SQL_SESSION_STATS,
     "error_window": SQL_ERROR_WINDOW,
     "feature_matrix": SQL_FEATURE_MATRIX,

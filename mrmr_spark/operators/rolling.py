@@ -27,12 +27,17 @@ def backfilled_rolling(
     order: str | list[str] = "turn_idx",
     ts_col: str = "ts",
     suffix: str | None = None,
+    keep_key: bool = False,
 ) -> DataFrame:
     """Add trailing-window aggregates that exclude the current row.
 
     ``aggs`` maps output-name -> aggregate Column (e.g. ``F.avg("gap_s")``).
     Exactly one of ``n`` (last n rows) or ``range_s`` (last range_s seconds)
     must be given.
+
+    ``keep_key=True`` leaves the materialized µs ordering key in the output so
+    a later range window over the same ``ts_col`` reuses the SAME attribute —
+    and therefore the same physical sort — instead of minting a fresh one.
     """
     if (n is None) == (range_s is None):
         raise ValueError("pass exactly one of n= or range_s=")
@@ -56,7 +61,8 @@ def backfilled_rolling(
         from mrmr_spark.operators.ordering import ts_micros
 
         key = f"_ord_us_{ts_col}"
-        df = df.withColumn(key, ts_micros(ts_col))
+        if key not in df.columns:
+            df = df.withColumn(key, ts_micros(ts_col))
         w = (
             Window.partitionBy(group)
             .orderBy(key)
@@ -66,6 +72,6 @@ def backfilled_rolling(
     out = df
     for name, col in aggs.items():
         out = out.withColumn(f"{name}{sfx}", col.over(w))
-    if range_s is not None:
+    if range_s is not None and not keep_key:
         out = out.drop(key)
     return out

@@ -121,3 +121,32 @@ def test_temporal_leakage_probe(spark, transcripts_pdf):
         a, b = f_full[c].to_numpy(), f_trunc[c].to_numpy()
         both = ~(pd.isna(a) & pd.isna(b))
         assert np.allclose(a[both].astype(float), b[both].astype(float), rtol=1e-12, equal_nan=True), c
+
+
+def test_build_features_rich_range_windows(transcripts):
+    """Rich mode: the 600s-range columns match a pandas brute-force oracle,
+    and sharing the materialized µs ordering key keeps the plan at the base
+    mode's shape — 3 sorts, 1 exchange (the two range windows reuse one sort)."""
+    from mrmr_spark.fe.pipeline import RICH_EXTRA_COLS
+    import re
+
+    feats = build_features(transcripts, rich=True)
+    assert set(RICH_EXTRA_COLS).issubset(set(feats.columns))
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bSort \[", plan)) == 3
+    assert plan.count("Exchange ") == 1
+
+    got = _pdf_sorted(feats)
+    src = _pdf_sorted(transcripts)
+    for conv, g in got.groupby("conv_id"):
+        t = _epoch_s(src[src["conv_id"] == conv]["ts"]).to_numpy()
+        tl = src[src["conv_id"] == conv]["text"].str.len().to_numpy(dtype=float)
+        n600 = np.array([((t < ti) & (t >= ti - 600.0)).sum() for ti in t], dtype=float)
+        s600 = np.array(
+            [tl[(t < ti) & (t >= ti - 600.0)].sum() if ((t < ti) & (t >= ti - 600.0)).any() else np.nan for ti in t]
+        )
+        assert np.array_equal(got.loc[g.index, "n_turns_600s"].to_numpy().astype(float), n600)
+        a = got.loc[g.index, "sum_text_len_600s"].to_numpy().astype(float)
+        m = ~np.isnan(s600)
+        assert np.array_equal(np.isnan(a), ~m)
+        assert np.allclose(a[m], s600[m], rtol=1e-12)
