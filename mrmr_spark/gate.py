@@ -823,6 +823,74 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN. Oracled: the gate variant skips k-means and uses the
+    embeddings of vec_id < 16 (normalized) as the coarse centroids — a
+    deterministic, data-dependent centroid set DuckDB can reconstruct with a
+    plain SELECT, so the oracle independently recomputes assignment (1 probe
+    for corpus, 4 for queries), the inverted-list candidate join, and the
+    exact cosine re-rank. Production ``ann_ivf`` trains real centroids via
+    ``ivf_train``; only the centroid source differs."""
+    import numpy as np
+
+    from mrmr_spark.operators.similarity import ann_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = e.where(F.col("vec_id") < 10)
+    out = ann_ivf(e, q, dim=64, k=5, n_probe=4, centroids=C)
+    return out.select("q_id", "vec_id", "rank", r6("sim").alias("sim"))
+
+
+SQL_ANN_IVF = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS list_id, e AS c FROM base WHERE vec_id < 16
+), cos AS (
+  SELECT b.vec_id, c.list_id,
+         list_dot_product(b.e, c.c)
+           / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.c, c.c)))
+           AS csim
+  FROM base b CROSS JOIN cents c
+), casg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS rn
+    FROM cos
+  ) WHERE rn = 1
+), qasg AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS rn
+    FROM cos WHERE vec_id < 10
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT q.q_id, a.vec_id
+  FROM qasg q JOIN casg a USING (list_id)
+  WHERE a.vec_id <> q.q_id
+), scored AS (
+  SELECT cd.q_id, cd.vec_id,
+         list_dot_product(qb.e, cb.e)
+           / (sqrt(list_dot_product(qb.e, qb.e)) * sqrt(list_dot_product(cb.e, cb.e)))
+           AS sim
+  FROM cand cd
+  JOIN base qb ON qb.vec_id = cd.q_id
+  JOIN base cb ON cb.vec_id = cd.vec_id
+)
+SELECT q_id, vec_id, rank, round(sim, 6) AS sim FROM (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (self-dedup over the
     embeddings table) via multi-table hyperplane LSH + exact cosine
@@ -1080,6 +1148,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "text_quality": q_text_quality,
     "media_features": q_media_features,
@@ -1111,6 +1180,7 @@ ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf": SQL_ANN_IVF,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "mrmr_event_features": SQL_MRMR_EVENT_FEATURES,
     # rows-only (not SQL-expressible): media_features (fake codec inside

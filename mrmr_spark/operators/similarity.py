@@ -7,9 +7,15 @@
   partition (NumPy matrix multiply, the legitimate Python-vectorized path),
   bucketed candidate join, exact cosine re-rank inside buckets. The scale
   path: at 10^12 vectors the bucket join replaces the O(Q·N) cross join.
+- ``ann_ivf``: IVF-Flat — spherical k-means coarse quantizer trained on a
+  bounded driver-side sample, distributed one-GEMM-per-batch assignment to
+  inverted lists, query probes ``n_probe`` lists, exact re-rank on the
+  probed candidates only. The second scale path: list sizes are ~n/n_lists
+  by construction (k-means balances mass), vs LSH's distribution-dependent
+  bucket sizes.
 
-Hyperplanes are seeded NumPy normals — deterministic across runs/cluster
-sizes.
+Hyperplanes are seeded NumPy normals and k-means is seeded on a
+deterministic-hash sample — deterministic across runs/cluster sizes.
 """
 
 from __future__ import annotations
@@ -159,6 +165,148 @@ def embedding_near_dup(
         .join(c.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb")), "id_b")
         .select("id_a", "id_b", _cosine("_ea", "_eb").alias("sim"))
         .where(F.col("sim") >= threshold)
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 64,
+    iters: int = 5,
+    sample_n: int = 100_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF coarse-quantizer centroids: spherical k-means (Lloyd on
+    unit vectors) over a deterministic seeded sample collected to the driver.
+
+    The sample is bounded (``sample_n``) and chosen by ``xxhash64(id, seed)``
+    order, so the centroids are identical across runs and cluster sizes —
+    the same determinism contract as the LSH hyperplanes. At 10^12 vectors
+    training still sees only ``sample_n`` rows; the expensive phase
+    (assignment) stays distributed in ``ivf_assign``.
+    Returns (n_lists, dim) float64 unit-norm centroids.
+    """
+    samp = (
+        _as_double(corpus, emb_col, "_e")
+        .select(id_col, "_e")
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(samp["_e"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        asg = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = asg == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+            # empty list: keep the previous centroid (seeded-init row)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine —
+    ONE NumPy GEMM per Arrow batch (same vectorized shape as
+    ``lsh_signatures``). Output: (id, list_id), one row per probe.
+    Ties break toward the lowest list_id (np.argsort is stable on the
+    negated similarities)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+    dim = C.shape[1]
+    proj = df.select(id_col, F.transform(emb_col, lambda x: x.cast("double")).alias("_e"))
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
+            emb = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, dim)
+                .astype(np.float64)
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = emb @ C.T                                  # (n, n_lists)
+            if n_probe == 1:
+                lists = np.argmax(sims, axis=1)[:, None]
+            else:
+                lists = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids_np, n_probe)),
+                    pa.array(lists.reshape(-1).astype(np.int32), type=pa.int32()),
+                ],
+                [id_col, "list_id"],
+            )
+
+    return proj.mapInArrow(mapper, f"`{id_col}` long, list_id int")
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: coarse k-means quantizer -> inverted
+    lists -> exact cosine re-rank inside the probed lists.
+
+    The second scale path next to ``ann_lsh`` (SURVEY task brief: "an IVF or
+    LSH-bucketed variant"): corpus vectors land in exactly ONE list (bucket
+    sizes ~n/n_lists, an equi-join on an int key), queries probe ``n_probe``
+    lists, so the re-rank scans ~n·n_probe/n_lists candidates per query
+    instead of n. Recall/latency dials: n_lists up = cheaper lists, lower
+    recall per probe; n_probe up = recall toward exact. Pass precomputed
+    ``centroids`` to skip training (the gate oracle does, for
+    SQL-reproducibility).
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, dim, n_lists=n_lists, seed=seed, id_col=id_col, emb_col=emb_col
+        )
+    c_asg = ivf_assign(corpus, centroids, 1, id_col, emb_col)
+    q_asg = ivf_assign(queries, centroids, n_probe, id_col, emb_col).select(
+        F.col(id_col).alias("q_id"), "list_id"
+    )
+    cand = (
+        q_asg.join(c_asg, "list_id")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col)
+        .distinct()
+    )
+    c = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    q = _as_double(queries, emb_col, "_qe").select(F.col(id_col).alias("q_id"), "_qe")
+    sims = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", id_col, _cosine("_qe", "_e").alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, F.col("rank").cast("int").alias("rank"), "sim")
     )
 
 

@@ -9,7 +9,15 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM small/fast
 def spark():
     from mrmr_spark.session import get_spark
 
-    s = get_spark(app_name="mrmr_spark-tests", shuffle_partitions=8)
+    # AQE off for the suite: on these tiny fixtures its per-shuffle re-plan +
+    # extra codegen roughly doubles cold job latency (measured 50s -> 12s on
+    # the first gaussian-cache build) and buys nothing at 500-row scale.
+    # Production sessions (bench, gate, pipeline) keep the factory default on.
+    s = get_spark(
+        app_name="mrmr_spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
 
 

@@ -36,7 +36,7 @@ FEATS = [f"x{j}" for j in range(12)]
 
 
 def test_auto_k_time_holdout(autok_data):
-    cfg = AutoKConfig(k_method="evaluate", strategy="time_holdout", max_k=8, min_k=1)
+    cfg = AutoKConfig(k_method="evaluate", strategy="time_holdout", max_k=5, min_k=1)
     res = select_mrmr(
         autok_data, FEATS, "y", "auto", task="regression",
         auto_k_config=cfg, time_col="t",
@@ -46,7 +46,7 @@ def test_auto_k_time_holdout(autok_data):
 
 
 def test_auto_k_group_cv(autok_data):
-    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv", max_k=8, min_k=1, n_splits=2)
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv", max_k=5, min_k=1, n_splits=2)
     res = select_mrmr(
         autok_data, FEATS, "y", "auto", task="regression",
         auto_k_config=cfg, group_col="grp",
@@ -73,7 +73,7 @@ CLS_FEATS = [f"x{j}" for j in range(10)]
 def test_auto_k_classification_logloss(autok_cls_data):
     cfg = AutoKConfig(
         k_method="evaluate", strategy="time_holdout", metric="logloss",
-        max_k=8, min_k=1,
+        max_k=5, min_k=1,
     )
     res = select_mrmr(
         autok_cls_data, CLS_FEATS, "y", "auto", task="classification",
@@ -89,7 +89,7 @@ def test_auto_k_classification_logloss(autok_cls_data):
 def test_auto_k_classification_error_group_cv(autok_cls_data):
     cfg = AutoKConfig(
         k_method="evaluate", strategy="group_cv", metric="error",
-        max_k=8, min_k=1, n_splits=2,
+        max_k=5, min_k=1, n_splits=2,
     )
     res = select_mrmr(
         autok_cls_data, CLS_FEATS, "y", "auto", task="classification",

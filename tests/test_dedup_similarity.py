@@ -168,3 +168,41 @@ def test_embedding_near_dup_finds_planted_pairs(vectors):
     # sims are the exact cosine (not an estimate)
     for _, r in got.iterrows():
         np.testing.assert_allclose(r.sim, S[int(r.id_a), int(r.id_b)], rtol=1e-9)
+
+
+def test_ann_ivf_recall_and_probe_dial(vectors):
+    """IVF-Flat: trained coarse quantizer + probed re-rank recovers most of
+    the exact top-k; probing every list IS the exact search; assignment
+    puts each corpus vector in exactly one inverted list."""
+    from mrmr_spark.operators.similarity import ann_ivf, ivf_assign, ivf_train
+
+    sdf, X = vectors
+    q = sdf.where(F.col("vec_id") < 20)
+    exact = knn_bruteforce(sdf, q, k=3).toPandas()
+    exact_sets = exact.groupby("q_id")["vec_id"].apply(set)
+
+    approx = ann_ivf(sdf, q, dim=16, k=3, n_lists=8, n_probe=3, seed=7).toPandas()
+    approx_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    recalls = [
+        len(approx_sets.get(qi, set()) & exact_sets[qi]) / 3 for qi in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)
+
+    # n_probe = n_lists probes everything -> exact top-k (same tie-break)
+    full = ann_ivf(sdf, q, dim=16, k=3, n_lists=8, n_probe=8, seed=7).toPandas()
+    a = full.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert (a["vec_id"].to_numpy() == e["vec_id"].to_numpy()).all()
+    assert np.allclose(a["sim"], e["sim"], rtol=1e-9)
+
+    # every corpus vector lands in exactly one list; lists are non-degenerate
+    cents = ivf_train(sdf, dim=16, n_lists=8, seed=7)
+    asg = ivf_assign(sdf, cents, 1).toPandas()
+    assert len(asg) == 200 and asg["vec_id"].nunique() == 200
+    assert asg["list_id"].nunique() >= 4  # k-means spread the mass
+
+    # determinism across runs
+    approx2 = ann_ivf(sdf, q, dim=16, k=3, n_lists=8, n_probe=3, seed=7).toPandas()
+    assert approx.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
+        approx2.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
