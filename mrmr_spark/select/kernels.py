@@ -457,8 +457,12 @@ def centered_gram_pass(
 #: below this width the Gram is computed as p(p+1)/2 JVM aggregate
 #: expressions in one codegen scan (no Python at all); above it, the Arrow
 #: GEMM block reduction wins (expression count grows quadratically while the
-#: kernel's per-batch cost is one BLAS call)
-GRAM_JVM_MAX_P = 48
+#: kernel's per-batch cost is one BLAS call). Measured crossover on the
+#: bench corpus: at q=21 the two backends tie (~6 s e2e); at q=41 the JVM
+#: path's ~860-expression codegen compile dominates every call (20 s vs
+#: 12.6 s e2e at sf0.1, 20 s vs 7.8 s at sf0.01), so the threshold sits
+#: just above the tie point.
+GRAM_JVM_MAX_P = 24
 
 
 def _gram_jvm(
