@@ -18,9 +18,25 @@ reference fits sklearn LogisticRegression(C=1.0, lbfgs) per k-prefix on
 the standardized train split. Logistic has no closed form, so here the
 fit runs on the driver over a deterministic bounded subsample of train
 (numpy accelerated-gradient softmax, L2 as in C=1.0) while
-standardization stats AND the validation metric stay distributed — the
-val split is scored by one Spark aggregate of per-row logsumexp/argmax
-expressions per k (no val collect).
+standardization stats AND the validation metric stay distributed.
+
+**Documented deviation from the reference** (auto_k.py:142-161): when a
+``weight_col`` is given, both the softmax fit and the distributed
+logloss/error aggregates are sample-weighted; the reference fits
+LogisticRegression and computes log_loss *unweighted* even when sample
+weights exist. Weighted scoring is the consistent choice with the rest
+of this engine (the ridge path and every relevance kernel honor
+weights); pass ``weight_col=None`` for reference-exact behavior.
+
+Validation scoring plan (both tasks): ALL (k-prefix × hyperparameter)
+models are scored in ONE ``mapInArrow`` scan of the val split — the
+per-row predictions for every model are a single (n×p)·(p×M) GEMM on
+the standardized Arrow batch, reduced to an (M+1)-float64 accumulator
+per partition. This replaces the round-2 design (|k_grid|×|alphas|
+aggregate expressions of up to max_k terms each in one select), which
+hit Spark's codegen width cliff at the default ``max_k=100`` — the same
+measured cliff that capped ``GRAM_JVM_MAX_P`` at 24 in ``kernels.py``.
+Expression width is now O(p) regardless of the k grid.
 
 The k grid replicates ``_build_k_grid`` exactly (auto_k.py:35-48);
 metric resolution replicates ``_resolve_metric`` (auto_k.py:52-60).
@@ -78,6 +94,75 @@ def build_k_grid(min_k: int, max_k: int) -> list[int]:
     return sorted(k for k in grid if min_k <= k <= max_k)
 
 
+def _standardized_batch(
+    batch, cols: list[str], imput: np.ndarray, mu: np.ndarray, sd: np.ndarray
+) -> np.ndarray:
+    """(n, p) standardized matrix from an Arrow batch: impute non-finite
+    with the train means, center/scale with the train stats (no f32
+    quantization — auto-k runs quantize_f32=False end to end)."""
+    X = kernels._batch_cols(batch, cols)
+    fin = np.isfinite(X)
+    Xq = np.where(fin, X, imput[None, :])
+    return (Xq - mu[None, :]) / sd[None, :]
+
+
+def _regression_loss_pass(
+    val: DataFrame,
+    path: list[str],
+    y_col: str,
+    weight_col: str | None,
+    imput: np.ndarray,
+    mu: np.ndarray,
+    sd: np.ndarray,
+    y_wmean: float,
+    B: np.ndarray,
+    metric: str,
+) -> np.ndarray:
+    """Weighted mean squared/absolute error of ALL M ridge models on the
+    val split in ONE Arrow scan: predictions for every (k-prefix, alpha)
+    model are one (n×p)·(p×M) GEMM per batch (prefix models are zero-padded
+    beta columns). Communication: one (M+1)-float64 accumulator per
+    partition. Bounded expression width — this is the fix for the round-2
+    codegen-cliff finding at max_k=100."""
+    M = B.shape[1]
+    proj = [F.col(c).cast("double").alias(c) for c in path]
+    proj.append(F.col(y_col).cast("double").alias("_y_"))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias("_w_"))
+    dfp = val.select(*proj)
+    imput = np.ascontiguousarray(imput, dtype=np.float64)
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    sd = np.ascontiguousarray(sd, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+
+    def term(batch) -> np.ndarray:
+        Z = _standardized_batch(batch, path, imput, mu, sd)
+        y = np.asarray(
+            batch.column(batch.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        w = (
+            np.asarray(
+                batch.column(batch.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else np.ones(Z.shape[0])
+        )
+        R = (y - y_wmean)[:, None] - Z @ B
+        L = np.abs(R) if metric == "mae" else R * R
+        out = np.empty(M + 1, dtype=np.float64)
+        out[:M] = w @ L
+        out[M] = w.sum()
+        return out
+
+    acc = kernels.arrow_reduce(dfp, term, M + 1)
+    sw = acc[M]
+    if sw <= 0.0:
+        return np.full(M, np.inf)
+    return acc[:M] / sw
+
+
 def _ridge_path_scores(
     train: DataFrame,
     val: DataFrame,
@@ -90,8 +175,8 @@ def _ridge_path_scores(
     """Fit closed-form ridge on ``train`` for every (alpha, k-prefix); pick
     alpha per k by... the reference uses RidgeCV on train then one Ridge —
     here: best alpha by validation score directly (one Gram pass per split,
-    the rest is driver algebra). Validation scoring for ALL k at once via a
-    single select of |k_grid| prediction expressions."""
+    the rest is driver algebra). Validation scoring for ALL (k, alpha)
+    models at once via ONE Arrow GEMM pass (``_regression_loss_pass``)."""
     stats = relevance.f_regression_scores(train, path, target_col, weight_col, quantize_f32=False)
     gram = kernels.gram_pass(
         train, path, weight_col,
@@ -104,38 +189,28 @@ def _ridge_path_scores(
     g = gram["r_y"] * sw * stats["y_wstd"]
 
     alphas = np.logspace(-3, 3, 10)
-    w = F.col(weight_col) if weight_col else F.lit(1.0)
-    y = F.col(target_col).cast("double")
-
-    # validation prediction expression for a beta vector on prefix k
-    def pred_expr(beta, kk):
-        pred = F.lit(float(stats["y_wmean"]))
-        for j in range(kk):
-            c = F.col(path[j]).cast("double")
-            fin = ~F.isnull(c) & ~F.isnan(c) & (F.abs(c) != float("inf"))
-            x = F.when(fin, c).otherwise(F.lit(float(stats["impute_means"][j])))
-            z = (x - F.lit(float(stats["wmeans"][j]))) / F.lit(float(stats["wstds"][j]))
-            pred = pred + F.lit(float(beta[j])) * z
-        return pred
-
-    aggs = []
-    keys = []
+    p = len(path)
+    keys: list[tuple[int, int]] = []
+    bcols: list[np.ndarray] = []
     for kk in k_grid:
-        kk_eff = min(kk, len(path))
+        kk_eff = min(kk, p)
         for ai, a in enumerate(alphas):
             beta = np.linalg.solve(G[:kk_eff, :kk_eff] + a * np.eye(kk_eff), g[:kk_eff])
-            pe = pred_expr(beta, kk_eff)
-            if metric == "mae":
-                aggs.append((F.sum(w * F.abs(y - pe)) / F.sum(w)).alias(f"s_{kk}_{ai}"))
-            else:
-                aggs.append((F.sum(w * (y - pe) * (y - pe)) / F.sum(w)).alias(f"s_{kk}_{ai}"))
+            bc = np.zeros(p)
+            bc[:kk_eff] = beta
+            bcols.append(bc)
             keys.append((kk, ai))
-    row = val.select(*aggs).collect()[0]
+    B = np.column_stack(bcols)
+
+    losses = _regression_loss_pass(
+        val, path, target_col, weight_col,
+        stats["impute_means"], stats["wmeans"], stats["wstds"],
+        float(stats["y_wmean"]), B, metric,
+    )
     scores: dict[int, float] = {}
-    for (kk, ai), name in zip(keys, [f"s_{kk}_{ai}" for kk, ai in keys]):
-        v = row[name]
-        v = float(v) if v is not None else np.inf
-        if metric == "rmse":
+    for (kk, _ai), v in zip(keys, losses):
+        v = float(v) if np.isfinite(v) else np.inf
+        if metric == "rmse" and np.isfinite(v):
             v = float(np.sqrt(v))
         scores[kk] = min(scores.get(kk, np.inf), v)
     return scores
@@ -198,7 +273,8 @@ def _logistic_path_scores(
 ) -> dict[int, float]:
     """Classification evaluate: per-k softmax fit on a bounded train
     subsample (driver), logloss/error scored distributed on the FULL val
-    split via one multi-aggregate select (reference auto_k.py:142-161)."""
+    split via one Arrow GEMM pass (reference auto_k.py:142-161; weighted
+    scoring is a documented deviation — see module docstring)."""
     from mrmr_spark.select.preprocess import deterministic_subsample
 
     stats = relevance.f_classif_scores(
@@ -230,37 +306,101 @@ def _logistic_path_scores(
     if len(np.unique(y)) < 2:
         return {kk: float("inf") for kk in k_grid}
 
-    w = F.col(weight_col) if weight_col else F.lit(1.0)
-    yc = F.col(y_code_col).cast("int")
-    aggs = []
-    for kk in k_grid:
-        kk_eff = min(kk, len(path))
+    # one softmax fit per k-prefix; pack all models into a single (p, M·C)
+    # coefficient matrix so the val split is scored in ONE Arrow GEMM pass
+    # (see module docstring — the per-k aggregate-expression select hit the
+    # codegen width cliff at max_k=100)
+    p = len(path)
+    M = len(k_grid)
+    C = n_classes
+    Ws = np.zeros((p, M * C))
+    bs = np.zeros(M * C)
+    for mi, kk in enumerate(k_grid):
+        kk_eff = min(kk, p)
         # sklearn C=1.0: loss = sum(CE) + 0.5||W||^2  ->  mean-CE lam = 1/n
         Wk, bk = _softmax_fit(Z[:, :kk_eff], y, n_classes, wv, lam=1.0 / max(ntr, 1))
-        zs = []
-        for c in range(n_classes):
-            e = F.lit(float(bk[c]))
-            for j in range(kk_eff):
-                e = e + F.lit(float(Wk[j, c])) * std_expr(j)
-            zs.append(e)
-        if metric == "logloss":
-            m = F.greatest(*zs) if len(zs) > 1 else zs[0]
-            lse = m + F.log(sum(F.exp(z - m) for z in zs))
-            z_y = None
-            for c, z in enumerate(zs):
-                term = F.when(yc == c, z)
-                z_y = term if z_y is None else z_y.when(yc == c, z)
-            loss = lse - z_y
-        else:  # error rate: first-argmax prediction, like np.argmax
-            arr = F.array(*zs)
-            pred = F.array_position(arr, F.array_max(arr)) - 1
-            loss = F.when(pred == yc, 0.0).otherwise(1.0)
-        aggs.append((F.sum(w * loss) / F.sum(w)).alias(f"s_{kk}"))
-    row = val.select(*aggs).collect()[0]
+        Ws[:kk_eff, mi * C : (mi + 1) * C] = Wk
+        bs[mi * C : (mi + 1) * C] = bk
+
+    losses = _classification_loss_pass(
+        val, path, y_code_col, weight_col, imput, mu, sd, Ws, bs, C, metric
+    )
     return {
-        kk: (float(row[f"s_{kk}"]) if row[f"s_{kk}"] is not None else float("inf"))
-        for kk in k_grid
+        kk: (float(v) if np.isfinite(v) else float("inf"))
+        for kk, v in zip(k_grid, losses)
     }
+
+
+def _classification_loss_pass(
+    val: DataFrame,
+    path: list[str],
+    y_code_col: str,
+    weight_col: str | None,
+    imput: np.ndarray,
+    mu: np.ndarray,
+    sd: np.ndarray,
+    Ws: np.ndarray,
+    bs: np.ndarray,
+    n_classes: int,
+    metric: str,
+) -> np.ndarray:
+    """Weighted mean logloss / error rate of ALL M softmax models on the
+    val split in ONE Arrow scan: class scores for every model are one
+    (n×p)·(p×M·C) GEMM per batch, reshaped (n, M, C); logloss is a
+    row-wise logsumexp, error rate is first-argmax (np.argmax, matching
+    the reference's prediction tie-break). Returns the M weighted means."""
+    p = len(path)
+    C = int(n_classes)
+    M = Ws.shape[1] // C
+    proj = [F.col(c).cast("double").alias(c) for c in path]
+    proj.append(F.col(y_code_col).cast("double").alias("_y_"))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias("_w_"))
+    dfp = val.select(*proj)
+    imput = np.ascontiguousarray(imput, dtype=np.float64)
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    sd = np.ascontiguousarray(sd, dtype=np.float64)
+    Ws = np.ascontiguousarray(Ws, dtype=np.float64)
+    bs = np.ascontiguousarray(bs, dtype=np.float64)
+
+    def term(batch) -> np.ndarray:
+        Z = _standardized_batch(batch, path, imput, mu, sd)
+        yraw = np.asarray(
+            batch.column(batch.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        w = (
+            np.asarray(
+                batch.column(batch.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else np.ones(Z.shape[0])
+        )
+        ok = np.isfinite(yraw)
+        if not ok.all():
+            Z, yraw, w = Z[ok], yraw[ok], w[ok]
+        y = yraw.astype(np.int64)
+        n = Z.shape[0]
+        out = np.zeros(M + 1, dtype=np.float64)
+        if n:
+            S = (Z @ Ws + bs[None, :]).reshape(n, M, C)
+            if metric == "logloss":
+                mx = S.max(axis=2, keepdims=True)
+                lse = mx[:, :, 0] + np.log(np.exp(S - mx).sum(axis=2))
+                sy = S[np.arange(n)[:, None], np.arange(M)[None, :], y[:, None]]
+                L = lse - sy
+            else:  # error rate; argmax = first max, as np.argmax
+                L = (S.argmax(axis=2) != y[:, None]).astype(np.float64)
+            out[:M] = w @ L
+            out[M] = w.sum()
+        return out
+
+    acc = kernels.arrow_reduce(dfp, term, M + 1)
+    sw = acc[M]
+    if sw <= 0.0:
+        return np.full(M, np.inf)
+    return acc[:M] / sw
 
 
 def select_k_evaluate(

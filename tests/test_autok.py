@@ -130,6 +130,94 @@ def test_softmax_fit_matches_closed_form_separable():
     assert d[0] > 0 and d[1] < 0 and abs(d[0]) > abs(d[2]) and abs(d[0]) > abs(d[3])
 
 
+def test_regression_loss_pass_parity(spark):
+    """The distributed Arrow loss pass must equal the driver-side numpy
+    loss exactly (same impute/standardize/GEMM algebra, float64)."""
+    from mrmr_spark.select.autok import _regression_loss_pass
+
+    rng = np.random.default_rng(11)
+    n, p, M = 400, 6, 9
+    X = rng.normal(size=(n, p))
+    X[rng.random(size=(n, p)) < 0.05] = np.nan
+    y = rng.normal(size=n)
+    w = rng.uniform(0.5, 2.0, size=n)
+    pdf = pd.DataFrame(X, columns=[f"x{j}" for j in range(p)])
+    pdf["y"], pdf["w"] = y, w
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    imput = np.nanmean(X, axis=0)
+    mu = rng.normal(size=p)
+    sd = rng.uniform(0.5, 2.0, size=p)
+    B = rng.normal(size=(p, M))
+    ym = 0.37
+
+    Xi = np.where(np.isfinite(X), X, imput[None, :])
+    Z = (Xi - mu[None, :]) / sd[None, :]
+    R = (y - ym)[:, None] - Z @ B
+    for metric, L in (("rmse", R * R), ("mae", np.abs(R))):
+        want = (w @ L) / w.sum()
+        got = _regression_loss_pass(
+            df, [f"x{j}" for j in range(p)], "y", "w", imput, mu, sd, ym, B, metric
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_classification_loss_pass_parity(spark):
+    from mrmr_spark.select.autok import _classification_loss_pass
+
+    rng = np.random.default_rng(12)
+    n, p, M, C = 300, 5, 4, 3
+    X = rng.normal(size=(n, p))
+    y = rng.integers(0, C, size=n)
+    w = rng.uniform(0.5, 2.0, size=n)
+    pdf = pd.DataFrame(X, columns=[f"x{j}" for j in range(p)])
+    pdf["yc"], pdf["w"] = y.astype(float), w
+    df = spark.createDataFrame(pdf).repartition(5)
+
+    imput = np.zeros(p)
+    mu = np.zeros(p)
+    sd = np.ones(p)
+    Ws = rng.normal(size=(p, M * C))
+    bs = rng.normal(size=M * C)
+
+    S = (X @ Ws + bs[None, :]).reshape(n, M, C)
+    mx = S.max(axis=2, keepdims=True)
+    lse = mx[:, :, 0] + np.log(np.exp(S - mx).sum(axis=2))
+    sy = S[np.arange(n)[:, None], np.arange(M)[None, :], y[:, None]]
+    want_ll = (w @ (lse - sy)) / w.sum()
+    want_er = (w @ (S.argmax(axis=2) != y[:, None]).astype(float)) / w.sum()
+
+    cols = [f"x{j}" for j in range(p)]
+    got_ll = _classification_loss_pass(df, cols, "yc", "w", imput, mu, sd, Ws, bs, C, "logloss")
+    got_er = _classification_loss_pass(df, cols, "yc", "w", imput, mu, sd, Ws, bs, C, "error")
+    np.testing.assert_allclose(got_ll, want_ll, rtol=1e-12)
+    np.testing.assert_allclose(got_er, want_er, rtol=1e-12)
+
+
+def test_auto_k_wide_path_no_codegen_cliff(spark):
+    """Round-2 verdict #1: at the default max_k=100 the evaluate path must
+    not build |k_grid|x|alphas| aggregate expressions of up to 100 terms
+    each (the measured Spark codegen-compile cliff); the Arrow GEMM loss
+    pass keeps JVM expression width O(p) regardless of the k grid."""
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    rng = np.random.default_rng(3)
+    n, p = 1200, 100
+    pdf = pd.DataFrame({f"x{j}": rng.normal(size=n) for j in range(p)})
+    pdf["t"] = np.arange(n).astype(float)
+    pdf["y"] = 3 * pdf["x0"] - 2 * pdf["x1"] + 0.5 * rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+
+    path = [f"x{j}" for j in range(p)]
+    cfg = AutoKConfig(max_k=100, min_k=5)
+    best_k, sel, scores = select_k_evaluate(df, path, "y", cfg, time_col="t")
+    assert set(scores) == set(build_k_grid(5, 100))
+    assert all(np.isfinite(v) for v in scores.values())
+    # signal features lead the path: a small prefix must win over the
+    # noise-padded k=100 model
+    assert best_k < 100 and scores[best_k] <= scores[100]
+
+
 def test_auto_k_gaussian_elbow(autok_data):
     cfg = AutoKConfig(k_method="elbow", max_k=10, min_k=2)
     res = select_mrmr(
