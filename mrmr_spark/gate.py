@@ -981,17 +981,61 @@ FROM s
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing demo: synthetic media -> mapInPandas feature
-    extraction (deterministic fake codec; real decode is stubbed)."""
-    from mrmr_spark.operators.multimodal import extract_media_features, synth_media_df
+    """Multimodal plumbing, now fully SQL-oracled: media blobs are the
+    UTF-8 bytes of `documents.text` (ASCII-only in the fixtures, so DuckDB
+    can recompute each byte as ascii(char)), pushed through the REAL
+    mapInPandas extract pass with the deterministic fake codec
+    (byte-histogram features, multimodal.py:_fake_features). The real
+    decoder stays stubbed (no codec libs in this container); everything
+    Spark-side — binary column, Arrow batch shape, blob projection — is
+    the production path."""
+    from mrmr_spark.operators.multimodal import extract_media_features
 
-    media = synth_media_df(spark, n=64, seed=9)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
     out = extract_media_features(media)
+    # 16-dim byte histogram; ASCII text populates bins 2 (space/punct),
+    # 4-7 (letters/digits). element_at is 1-indexed: bin b -> position b+1.
     return out.select(
         "media_id", "kind", "n_bytes",
-        r6(F.element_at("feature", 1)).alias("f0"),
-        r6(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)).alias("f_sum"),
+        r6(F.element_at("feature", 3)).alias("f_bin2"),
+        r6(F.element_at("feature", 7)).alias("f_bin6"),
+        r6(F.element_at("feature", 8)).alias("f_bin7"),
     )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents WHERE doc_id < 64
+),
+ch AS (
+  SELECT media_id, ascii(c) // 16 AS bin
+  FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM m)
+),
+h AS (
+  SELECT media_id, count(*) AS n,
+         sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+         sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS b6,
+         sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS b7
+  FROM ch GROUP BY media_id
+)
+SELECT m.media_id, m.kind, h.n AS n_bytes,
+       round(b2 * 1.0 / n, 6) AS f_bin2,
+       round(b6 * 1.0 / n, 6) AS f_bin6,
+       round(b7 * 1.0 / n, 6) AS f_bin7
+FROM m JOIN h USING (media_id)
+"""
 
 
 def _event_feature_df(spark, sf_dir):
@@ -1183,6 +1227,5 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "mrmr_event_features": SQL_MRMR_EVENT_FEATURES,
-    # rows-only (not SQL-expressible): media_features (fake codec inside
-    # mapInPandas; no image/audio libs in the container)
+    "media_features": SQL_MEDIA_FEATURES,
 }
