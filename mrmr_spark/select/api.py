@@ -79,6 +79,40 @@ def _maybe_subsample(df, subsample, seed, key_cols=None):
     return deterministic_subsample(df, subsample, seed, key_cols)
 
 
+def _cluster_storage_bytes(spark) -> float:
+    """Aggregate unified-memory pool across the cluster, estimated from
+    session confs + the live block-manager count: per-member JVM heap ×
+    spark.memory.fraction × members. Storage can borrow the whole unified
+    pool, so no storageFraction cut. Conservative by design — it ignores
+    off-heap and overhead, which only makes the auto flip earlier."""
+    sc = spark.sparkContext
+    local = sc.master.startswith("local")
+    mem = spark.conf.get(
+        "spark.driver.memory" if local else "spark.executor.memory", "1g"
+    )
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    m = mem.strip().lower()
+    mult = units.get(m[-1], 1)
+    heap = float(m[:-1] if m[-1] in units else m) * (mult if mult > 1 else 1)
+    try:
+        # block managers registered right now = driver + executors
+        members = int(sc._jsc.sc().getExecutorMemoryStatus().size())
+    except Exception:
+        members = 1
+    n_exec = 1 if local else max(1, members - 1)
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    return heap * frac * n_exec
+
+
+def _should_single_pass(n_rows: int, p: int, storage_bytes: float) -> bool:
+    """Flip to the no-persist single-pass backend when the projected
+    persisted matrix (n × (p+2) float64 columns) would take more than half
+    the cluster's storage pool — at that point the 2-scan path's persist
+    starts evicting/spilling and the one-Arrow-scan plan wins."""
+    projected = float(n_rows) * (p + 2) * 8.0
+    return projected > 0.5 * storage_bytes
+
+
 def select_mrmr(
     df: DataFrame,
     feature_cols: list[str],
@@ -180,8 +214,19 @@ def select_mrmr(
         # augmented-Gram backend with NO persist — the right plan when the
         # full matrix exceeds cluster memory (subsample=None at 100 TB);
         # measured slower at single-node bench scale (JVM row→Arrow
-        # conversion costs more than the in-memory encode it saves), so it
-        # is opt-in.
+        # conversion costs more than the in-memory encode it saves).
+        # ``single_pass=None`` (default) auto-selects: project the
+        # persisted matrix size against the cluster storage pool and flip
+        # when it would not comfortably fit. Sizing is free in the bounded
+        # default config (rows ≤ subsample); with subsample=None it adds
+        # one cheap count scan — noise next to the two full-data scans it
+        # is sizing.
+        if single_pass is None and relevance != "rf":
+            n_sizing = subsample if subsample is not None else df.count()
+            single_pass = _should_single_pass(
+                n_sizing, len(feature_cols),
+                _cluster_storage_bytes(df.sparkSession),
+            )
         use_sp = bool(single_pass) and relevance != "rf"  # rf re-reads the matrix
         if use_sp:
             stats = rel_est.fused_regression_stats(
