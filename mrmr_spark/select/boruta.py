@@ -20,6 +20,7 @@ are not bit-identical to sklearn's, SURVEY.md §7 hard-point 5):
 
 from __future__ import annotations
 
+import time
 import zlib
 from dataclasses import dataclass, field
 
@@ -171,6 +172,10 @@ def boruta_select(
     idle = 0
     n_trials = 0
     key_cols = ([group_col] if group_col else []) + ([time_col] if time_col else [])
+    # per-iteration cost telemetry: the RF fit over [live | shadow] is where
+    # a 100-TB run spends its time (the permutation plan is lazy and lands
+    # inside the fit action), so surface it in the result metadata
+    iter_seconds: list[dict] = []
 
     for it in range(max_iter):
         active = np.where(status == 0)[0]
@@ -196,6 +201,7 @@ def boruta_select(
         shadow_cols = [out for _, out, _ in specs]
 
         all_cols = live_cols + shadow_cols
+        t0 = time.perf_counter()
         if importance == "shap":
             model = _fit_rf(
                 work, all_cols, label, task, n_est, max_depth, seed + it, weight_col
@@ -207,6 +213,14 @@ def boruta_select(
             imp = _rf_importances(
                 work, all_cols, label, task, n_est, max_depth, seed + it, weight_col
             )
+        iter_seconds.append(
+            {
+                "iter": it,
+                "n_live": len(live_cols),
+                "n_model_cols": len(all_cols),
+                "fit_s": round(time.perf_counter() - t0, 3),
+            }
+        )
         imp_live = imp[: len(live_cols)]
         imp_shadow = imp[len(live_cols):]
 
@@ -269,5 +283,10 @@ def boruta_select(
         hits={names[i]: int(h) for i, h in enumerate(hits)},
         n_iter=n_trials,
         mean_importance={names[i]: float(mean_imp[i]) for i in range(p)},
-        extras={"n_estimators": n_est, "shadow_method": method},
+        extras={
+            "n_estimators": n_est,
+            "shadow_method": method,
+            "iteration_seconds": iter_seconds,
+            "total_fit_s": round(sum(d["fit_s"] for d in iter_seconds), 3),
+        },
     )

@@ -27,6 +27,8 @@ folds, else a seeded random holdout — the same split machinery as auto-k.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -168,19 +170,31 @@ def select_gbdt(
             n_classes = len(labels)
             label_col = "_y_code"
 
+        # fit-cost telemetry: per-fit seconds by stage — model fits dominate
+        # the wrapper tier's runtime at scale, so the result metadata shows
+        # where the time went (stage, #features, seconds)
+        fit_log: list[dict] = []
+
+        def _timed_fit(stage, frame, cols, n_est_, depth_):
+            t0 = time.perf_counter()
+            m, _ = _fit_model(frame, cols, label_col, task, n_classes,
+                              n_est_, depth_, seed, wcol)
+            fit_log.append({"stage": stage, "n_features": len(cols),
+                            "seconds": round(time.perf_counter() - t0, 3)})
+            return m
+
         def rank_features(frame, cols):
             """Importance ranking on ``frame`` (leakage-safe: per fold)."""
             use = list(cols)
             if prefilter_k is not None and len(use) > prefilter_k:
                 # shallow-model prefilter (reference prefilter_method
                 # 'catboost': a fast low-depth fit, catboost.py:1068-1069)
-                m, _ = _fit_model(frame, use, label_col, task, n_classes,
-                                  max(10, n_estimators // 4), 3, seed, wcol)
+                m = _timed_fit("prefilter", frame, use,
+                               max(10, n_estimators // 4), 3)
                 imp = np.asarray(m.featureImportances.toArray())
                 top = np.argsort(-imp)[:prefilter_k]
                 use = [use[i] for i in sorted(top)]
-            m, _ = _fit_model(frame, use, label_col, task, n_classes,
-                              n_estimators, max_depth, seed, wcol)
+            m = _timed_fit("rank", frame, use, n_estimators, max_depth)
             imp = np.asarray(m.featureImportances.toArray())
             order = np.argsort(-imp)
             return [use[i] for i in order], imp[order]
@@ -192,8 +206,14 @@ def select_gbdt(
             for nm, iv in zip(ranked, imp):
                 rel[feature_cols.index(nm)] = iv
             idx = np.array([feature_cols.index(nm) for nm in names], dtype=np.int64)
-            return SelectionResult(names, idx, rel, list(feature_cols), labels,
-                                   extras={"importance_ranking": ranked})
+            return SelectionResult(
+                names, idx, rel, list(feature_cols), labels,
+                extras={
+                    "importance_ranking": ranked,
+                    "fit_seconds": fit_log,
+                    "total_fit_s": round(sum(d["seconds"] for d in fit_log), 3),
+                },
+            )
 
         # --- k search over the geometric grid, multi-split evaluation ----
         def splits():
@@ -225,8 +245,8 @@ def select_gbdt(
                 rank_votes[nm] = rank_votes.get(nm, 0.0) + float(imp[pos])
             for c in grid:
                 cols_c = ranked[: min(c, len(ranked))]
-                m, _ = _fit_model(train, cols_c, label_col, task, n_classes,
-                                  n_estimators, max_depth, seed, wcol)
+                m = _timed_fit(f"grid_{c}", train, cols_c,
+                               n_estimators, max_depth)
                 scores[c].append(_score(m, val, cols_c, label_col, task, wcol))
 
         mean_scores = {c: float(np.mean(v)) for c, v in scores.items() if v}
@@ -242,7 +262,12 @@ def select_gbdt(
         idx = np.array([feature_cols.index(nm) for nm in names], dtype=np.int64)
         return SelectionResult(
             names, idx, rel, list(feature_cols), labels,
-            extras={"k_scores": mean_scores, "chosen_k": chosen},
+            extras={
+                "k_scores": mean_scores,
+                "chosen_k": chosen,
+                "fit_seconds": fit_log,
+                "total_fit_s": round(sum(d["seconds"] for d in fit_log), 3),
+            },
         )
     finally:
         df.unpersist()

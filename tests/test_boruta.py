@@ -61,6 +61,11 @@ def test_boruta_accepts_signal_rejects_noise(boruta_data):
         assert res.status[f"x{j}"] != "accepted" or res.mean_importance[f"x{j}"] < 0.05
     assert res.extras["shadow_method"] == "circular_shift"
     assert res.n_iter <= 10
+    # iteration cost telemetry: one entry per RF fit, positive seconds
+    tel = res.extras["iteration_seconds"]
+    assert len(tel) == res.n_iter
+    assert all(d["fit_s"] > 0 and d["n_model_cols"] >= d["n_live"] for d in tel)
+    assert res.extras["total_fit_s"] >= max(d["fit_s"] for d in tel)
 
 
 def test_boruta_max_features(boruta_data):

@@ -54,6 +54,11 @@ def test_gbdt_k_search_time_holdout(gbdt_data):
     # 3 signal features; the noise-padded count must not win by > tolerance
     assert res.extras["chosen_k"] == 3
     assert set(res.extras["k_scores"]) == {8, 3}
+    # fit telemetry: one rank fit + one grid fit per count, positive seconds
+    stages = [d["stage"] for d in res.extras["fit_seconds"]]
+    assert stages.count("rank") == 1
+    assert {"grid_8", "grid_3"}.issubset(set(stages))
+    assert all(d["seconds"] > 0 for d in res.extras["fit_seconds"])
 
 
 def test_gbdt_classification_wrapper(gbdt_data):
