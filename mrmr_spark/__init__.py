@@ -22,4 +22,14 @@ row-at-a-time Python.
 
 __version__ = "0.1.0"
 
-from mrmr_spark.session import get_spark  # noqa: F401
+import os as _os
+
+# BLAS thread cap BEFORE any numpy-backed module loads: OpenBLAS/MKL read
+# these at library initialization, so setting them only inside get_spark is
+# too late for driver-side GEMMs (ivf_train, auto-k softmax, Chan merges)
+# in processes that imported numpy first. Harmless if already set.
+for _var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_var, "1")
+del _os, _var
+
+from mrmr_spark.session import get_spark  # noqa: E402,F401

@@ -43,26 +43,50 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def iceberg_session_conf(
+    catalog: str, warehouse: str, catalog_type: str = "hadoop"
+) -> dict[str, str]:
+    """Session confs wiring an Iceberg catalog (the SURVEY.md §2.A A1
+    'prod' path: transcripts live in an Iceberg table partitioned by
+    days(ts) + bucket(conv_id, N)). Requires ``iceberg-spark-runtime`` on
+    the classpath — absent in this offline sandbox, so the wiring is
+    exercised by a skipped-unless-jar test and plain parquet stands in.
+    ``catalog_type='hadoop'`` is the file-based catalog; pass 'rest'/'hive'
+    plus extra ``spark.sql.catalog.<name>.*`` confs for managed catalogs.
+    """
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def get_spark(
     app_name: str = "mrmr_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_catalog: str | None = None,
+    iceberg_warehouse: str | None = None,
+    iceberg_catalog_type: str = "hadoop",
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with engine defaults.
 
-    On a real cluster this is replaced by ``spark-submit --py-files`` plus an
-    Iceberg catalog config, e.g.::
-
-        spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
-        spark.sql.catalog.lake.type = ...
-
-    The engine code only ever sees a DataFrame, so parquet (sandbox) and
-    Iceberg (prod) share every code path (SURVEY.md §2.A A1).
+    On a real cluster this is submitted via ``spark-submit --py-files``;
+    pass ``iceberg_catalog`` + ``iceberg_warehouse`` (or set
+    ``SPARK_GRAFT_ICEBERG_CATALOG`` / ``SPARK_GRAFT_ICEBERG_WAREHOUSE``)
+    to wire an Iceberg catalog into the session — see
+    ``iceberg_session_conf``. The engine code only ever sees a DataFrame,
+    so parquet (sandbox) and Iceberg (prod) share every code path
+    (SURVEY.md §2.A A1).
     """
     # one BLAS thread per Python worker: with N workers per host, letting
     # each numpy GEMM spawn N BLAS threads oversubscribes N×N-fold (measured
-    # 2-5x slowdowns on the Arrow kernels). Local-mode workers inherit the
+    # 2-5x slowdowns on the Arrow kernels). Also set at package import time
+    # (mrmr_spark/__init__.py) so driver-side GEMMs are capped even when
+    # numpy loads before this factory runs. Local-mode workers inherit the
     # driver env; on a cluster, set these via spark.executorEnv.*.
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
@@ -72,6 +96,12 @@ def get_spark(
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    iceberg_catalog = iceberg_catalog or os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG")
+    iceberg_warehouse = iceberg_warehouse or os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if iceberg_catalog and iceberg_warehouse:
+        conf.update(
+            iceberg_session_conf(iceberg_catalog, iceberg_warehouse, iceberg_catalog_type)
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -169,6 +169,23 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_transcripts(spark, source: str):
+    """Load the transcript table from either backing store (SURVEY.md A1):
+
+    - ``iceberg://<catalog>.<db>.<table>`` → the Iceberg catalog wired by
+      ``session.iceberg_session_conf`` (prod; partition pruning on
+      days(ts)/bucket(conv_id) comes from the table spec, and Spark's
+      catalog read pushes filters into the Iceberg scan);
+    - anything else → a parquet path (sandbox).
+
+    Both return the same DataFrame schema, so every downstream operator is
+    storage-agnostic.
+    """
+    if source.startswith("iceberg://"):
+        return spark.table(source[len("iceberg://"):])
+    return spark.read.parquet(source)
+
+
 def transcripts_from_events(spark, sf_dir: str):
     """View the driver's ``events`` table through the transcript schema.
 
