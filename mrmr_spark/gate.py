@@ -196,8 +196,11 @@ SELECT user_id, event_id, day FROM r WHERE rn = 1
 
 
 def q_anchors_quantile(spark, sf_dir):
-    """Quantile anchors (reference ``sift/sampling/anchors.py:85-131``): per
-    user, the first event whose timeline percent_rank reaches each quantile."""
+    """Quantile anchors: per user, the first event whose timeline
+    percent_rank reaches each quantile. A timeline-position *adaptation* of
+    the reference's anchor factory (``sift/sampling/anchors.py:85-131``,
+    which anchors rows at/above per-group quantiles of a VALUE column) —
+    same per-group-quantile-anchor concept, different anchored axis."""
     df = quantile_anchors(
         _events(spark, sf_dir), quantiles=[0.0, 0.5, 1.0], group="user_id", order=ORD
     )

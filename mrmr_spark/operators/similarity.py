@@ -195,6 +195,13 @@ def ivf_train(
         .limit(sample_n)
         .toPandas()
     )
+    if len(samp) == 0:
+        # match the selection APIs' degenerate-input behavior: a clear
+        # error instead of np.stack/rng.choice exploding on empties
+        raise ValueError(
+            f"ivf_train: corpus has no rows in column '{emb_col}' — "
+            "cannot train a quantizer on an empty sample"
+        )
     X = np.stack(samp["_e"].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -40,10 +40,10 @@ def stopword_hits(
     stopwords: list[str] | None = None,
     split: str = DEFAULT_SPLIT,
 ) -> Column:
-    words = stopwords or EN_STOPWORDS
-    lst = ",".join(f"'{w}'" for w in words)
-    pat = split.replace("\\", "\\\\")
-    return F.size(F.expr(f"filter(split({text_col}, '{pat}'), t -> lower(t) in ({lst}))"))
+    # pure Column functions (no string-built F.expr: a quote in the column
+    # name, pattern, or a stopword must not be able to break the SQL parse)
+    words = [w.lower() for w in (stopwords or EN_STOPWORDS)]
+    return F.size(F.filter(_tok(text_col, split), lambda t: F.lower(t).isin(words)))
 
 
 def punct_ratio(text_col: str = "text") -> Column:

@@ -66,3 +66,14 @@ def test_group_cv_requires_two_groups(edge_df):
     with pytest.raises(ValueError, match="at least 2 groups"):
         select_mrmr(one_grp, ["x0", "x1"], "y", "auto",
                     auto_k_config=cfg, group_col="g")
+
+
+def test_ivf_train_empty_corpus_raises(spark):
+    """ivf_train on an empty corpus must raise a clear ValueError, not an
+    opaque numpy error from np.stack/rng.choice on empties — matching the
+    selection APIs' degenerate-input contract above."""
+    from mrmr_spark.operators.similarity import ivf_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty sample"):
+        ivf_train(empty, dim=4, n_lists=4)
