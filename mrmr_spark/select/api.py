@@ -113,6 +113,24 @@ def _should_single_pass(n_rows: int, p: int, storage_bytes: float) -> bool:
     return projected > 0.5 * storage_bytes
 
 
+def _estimate_rows(df: DataFrame) -> float | None:
+    """Row-count estimate from Catalyst plan statistics — NO job is run
+    (an exact count() would evaluate the whole upstream plan once more,
+    unpersisted: measurably wrong on the flagship FE pipeline). Uses the
+    optimizer's rowCount when available, else sizeInBytes / row width.
+    Returns None when no estimate exists (caller keeps the default plan)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        size = float(str(stats.sizeInBytes()))
+        width = max(1, len(df.columns)) * 8.0
+        return size / width
+    except Exception:
+        return None
+
+
 def select_mrmr(
     df: DataFrame,
     feature_cols: list[str],
@@ -217,16 +235,17 @@ def select_mrmr(
         # conversion costs more than the in-memory encode it saves).
         # ``single_pass=None`` (default) auto-selects: project the
         # persisted matrix size against the cluster storage pool and flip
-        # when it would not comfortably fit. Sizing is free in the bounded
-        # default config (rows ≤ subsample); with subsample=None it adds
-        # one cheap count scan — noise next to the two full-data scans it
-        # is sizing.
+        # when it would not comfortably fit. Sizing runs NO job: rows are
+        # bounded by the subsample budget in the default config, and at
+        # subsample=None the Catalyst plan-statistics estimate is used
+        # (None -> keep the 2-scan default).
         if single_pass is None and relevance != "rf":
-            n_sizing = subsample if subsample is not None else df.count()
-            single_pass = _should_single_pass(
-                n_sizing, len(feature_cols),
-                _cluster_storage_bytes(df.sparkSession),
-            )
+            n_sizing = subsample if subsample is not None else _estimate_rows(df)
+            if n_sizing is not None:
+                single_pass = _should_single_pass(
+                    n_sizing, len(feature_cols),
+                    _cluster_storage_bytes(df.sparkSession),
+                )
         use_sp = bool(single_pass) and relevance != "rf"  # rf re-reads the matrix
         if use_sp:
             stats = rel_est.fused_regression_stats(

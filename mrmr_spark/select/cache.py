@@ -91,10 +91,14 @@ def build_cache(
         "weight",
         *[_imputed(c, p1["impute_means"][i]).alias(c) for i, c in zip(valid, valid_names)],
     )
+    pins: list = []
     z = rank_gauss_transform(
-        imputed, valid_names, "weight", ROW_KEY, z_prefix="z_", store_f32=True
+        imputed, valid_names, "weight", ROW_KEY, z_prefix="z_", store_f32=True,
+        pin=pins,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     z.count()
+    for dep in pins:  # the ranged melt is only needed until Z materializes
+        dep.unpersist()
 
     return FeatureCache(
         src=src,
@@ -121,7 +125,8 @@ def select_cached(
     ysrc = cache.src.select(
         ROW_KEY, "weight", F.col(target_col).cast("float").cast("double").alias("_yv")
     )
-    zy = rank_gauss_transform(ysrc, ["_yv"], "weight", ROW_KEY, z_prefix="zy_")
+    pins: list = []
+    zy = rank_gauss_transform(ysrc, ["_yv"], "weight", ROW_KEY, z_prefix="zy_", pin=pins)
     joined = cache.z.join(zy.select(ROW_KEY, "zy__yv"), ROW_KEY)
 
     p = len(cache.z_cols)
@@ -132,6 +137,8 @@ def select_cached(
         y_col="zy__yv", y_wmean=0.0, y_wstd=1.0,
         quantize_f32=True, clip=0.999999,
     )
+    for dep in pins:  # gram collected -> the y-melt pin can go
+        dep.unpersist()
     R_full, r = gram["R"], gram["r_y"]
     rel = loops.gaussian_mi_from_corr(r)
 

@@ -6,17 +6,28 @@ Reference semantics (copula.py:85-117) per column:
   midrank u_i = (Σ_{j<i} w_j + w_i/2) / Σw, clipped to [1e-6, 1−1e-6] →
   z = ndtri(u) → weighted standardize (mean 0, var 1; var ≤ 1e-12 → std 1)
 
-The Spark formulation is ONE shuffle for all p columns: melt to
-(row_key, col_idx, value, w), range-partition the per-column global sort via
-``Window.partitionBy(col_idx).orderBy(value, row_key)`` (the tie order is
-deterministic; the reference's unstable argsort makes ties
-implementation-defined, so parity fixtures are tie-free — SURVEY.md §7
-hard-point 1), cumulative-sum weights, apply ndtri in an Arrow batch, and
-re-assemble the wide Z row via groupBy(row_key) + array positioning.
+The Spark formulation: melt to (row_key, col_idx, value, w), then a
+**range-partitioned two-phase cumulative weight sum** per column — the
+same scan pattern as the KS ECDF (relevance.py): ``repartitionByRange``
+on (col, value, row_key) splits every column's sort across tasks, tiny
+per-(range, col) weight totals are prefix-summed over range ids and
+broadcast back as offsets, and the in-range window partitions by
+(range, col), so no column ever funnels through a single task. Tie order
+is deterministic via the row key (the reference's unstable argsort makes
+ties implementation-defined, so parity fixtures are tie-free — SURVEY.md
+§7 hard-point 1). ndtri runs in an Arrow batch; the wide Z row is
+re-assembled via groupBy(row_key) + array positioning.
+
+The melted range partitioning is persisted and pinned (count()) before
+the offset join: range ids come from ``spark_partition_id`` after a
+sampled range shuffle, so both consumers MUST read the same shuffle
+output. Callers pass ``pin`` to receive the persisted handle and
+unpersist it once the returned frame is materialized.
 
 At 10^12 rows the copula path follows the reference's own scale answer —
 it runs on the bounded subsample (default 50k) that ``build_cache`` defines
-(copula.py:29) — so the sort is over subsample×p melted rows.
+(copula.py:29) — but the transform itself no longer has a
+single-task-per-column stage even at ``subsample=None``.
 """
 
 from __future__ import annotations
@@ -41,11 +52,17 @@ def rank_gauss_transform(
     row_key: str,
     z_prefix: str = "z_",
     store_f32: bool = True,
+    pin: list | None = None,
 ) -> DataFrame:
     """Return (row_key, weight, z_<col>...) with each column copula-transformed.
 
     Output z columns are float32-quantized when ``store_f32`` (the cache
     stores float32 Z, copula.py:77) but typed double for downstream kernels.
+
+    ``pin``: the range-partitioned melt is persisted (required — see module
+    docstring); when a list is passed, the persisted DataFrame is appended
+    to it so the caller can unpersist after materializing the result.
+    Without ``pin`` it stays cached until the session drops it.
     """
     p = len(feature_cols)
     w = F.col(weight_col) if weight_col else F.lit(1.0)
@@ -59,19 +76,59 @@ def rank_gauss_transform(
     )
     finite = ~F.isnull("_val") & ~F.isnan("_val") & (F.abs("_val") != float("inf"))
     melted = melted.withColumn("_fin", finite)
-
-    ws = Window.partitionBy("_cid").orderBy(F.col("_val").asc(), F.col("_rk").asc())
-    wtot = Window.partitionBy("_cid")
     fin_w = F.when(F.col("_fin"), F.col("_w")).otherwise(F.lit(0.0))
+
+    # phase 1: range-partition each column's sort across tasks; pin the
+    # shuffle (persist + count) so every consumer sees one rid assignment
+    ranged = (
+        melted.repartitionByRange("_cid", "_val", "_rk")
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    ranged.count()
+    if pin is not None:
+        pin.append(ranged)
+
+    # per-column totals (replaces the unordered per-column window — that
+    # window was the other single-task-per-column stage)
+    totals = ranged.groupBy("_cid").agg(
+        F.sum(fin_w).alias("_tot"),
+        F.sum(F.col("_fin").cast("long")).alias("_nfin"),
+    )
+    # tiny per-(range, col) weight totals -> exclusive prefix over ranges
+    wo = Window.partitionBy("_cid").orderBy("_rid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_rid", "_cid")
+        .agg(F.sum(fin_w).alias("_rw"))
+        .select(
+            "_rid", "_cid",
+            F.coalesce(F.sum("_rw").over(wo), F.lit(0.0)).alias("_off"),
+        )
+    )
+
+    # phase 2: in-range exclusive cumsum + cross-range offset = the global
+    # prefix weight; group sizes bounded by the range-partition size
+    ws = Window.partitionBy("_rid", "_cid").orderBy(
+        F.col("_val").asc(), F.col("_rk").asc()
+    )
     ranked = (
-        melted.withColumn("_cum", F.sum(fin_w).over(ws.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("_tot", F.sum(fin_w).over(wtot))
-        .withColumn("_nfin", F.sum(F.col("_fin").cast("long")).over(wtot))
+        ranged.join(F.broadcast(offsets), ["_rid", "_cid"])
+        .join(F.broadcast(totals), "_cid")
+        .withColumn(
+            "_cum",
+            F.coalesce(
+                F.sum(fin_w).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            )
+            + F.col("_off"),
+        )
         .withColumn(
             "_u",
             F.when(
                 F.col("_fin") & (F.col("_nfin") > 1),
-                (F.coalesce(F.col("_cum"), F.lit(0.0)) + F.col("_w") / 2.0) / F.col("_tot"),
+                (F.col("_cum") + F.col("_w") / 2.0) / F.col("_tot"),
             ),
         )
     )

@@ -202,7 +202,7 @@ def test_auto_k_wide_path_no_codegen_cliff(spark):
     from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
 
     rng = np.random.default_rng(3)
-    n, p = 1200, 100
+    n, p = 800, 100
     pdf = pd.DataFrame({f"x{j}": rng.normal(size=n) for j in range(p)})
     pdf["t"] = np.arange(n).astype(float)
     pdf["y"] = 3 * pdf["x0"] - 2 * pdf["x1"] + 0.5 * rng.normal(size=n)

@@ -52,7 +52,7 @@ def boruta_data(spark):
 def test_boruta_accepts_signal_rejects_noise(boruta_data):
     feats = [f"x{j}" for j in range(8)]
     res = boruta_select(
-        boruta_data, feats, "y", max_iter=10, n_estimators=60, seed=1,
+        boruta_data, feats, "y", max_iter=10, n_estimators=45, seed=1,
         group_col="grp", time_col="t",
     )
     assert "x0" in res.selected and "x1" in res.selected
@@ -81,7 +81,7 @@ def test_boruta_reproducible_across_runs(boruta_data):
     round-1 Python hash(c) shadow-seed salting made this fail; seeds are
     now crc32 of the column name)."""
     feats = [f"x{j}" for j in range(8)]
-    kw = dict(max_iter=4, n_estimators=30, seed=5, group_col="grp", time_col="t")
+    kw = dict(max_iter=3, n_estimators=25, seed=5, group_col="grp", time_col="t")
     a = boruta_select(boruta_data, feats, "y", **kw)
     b = boruta_select(boruta_data, feats, "y", **kw)
     assert a.status == b.status

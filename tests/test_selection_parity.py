@@ -181,15 +181,82 @@ def test_determinism(fixture_small):
 # --- gaussian / copula path ---------------------------------------------------
 
 
-def test_cefsplus_parity(fixture_small):
+def test_rank_gauss_cross_range_offsets(spark):
+    """The scale-safe copula scan (range-partitioned two-phase cumulative
+    weight sum, same pattern as the KS ECDF) must reproduce the reference's
+    weighted midrank→ndtri→standardize chain exactly when one column's
+    values span MANY range partitions — exercises the cross-range offset
+    join directly."""
+    import pandas as pd
+
+    from mrmr_spark.functions.ndtri import ndtri
+    from mrmr_spark.select.copula import rank_gauss_transform
+
+    rng = np.random.default_rng(29)
+    n = 4000  # all-distinct >> the 8 test shuffle partitions
+    x = rng.permutation(n).astype(np.float64)
+    w = rng.uniform(0.5, 2.0, size=n)
+    pdf = pd.DataFrame({"rk": np.arange(n), "x": x, "w": w})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    pins: list = []
+    out = (
+        rank_gauss_transform(sdf, ["x"], "w", "rk", store_f32=False, pin=pins)
+        .toPandas()
+        .sort_values("rk")
+    )
+    for d in pins:
+        d.unpersist()
+
+    # numpy oracle: reference copula.py:85-117 midrank chain
+    order = np.argsort(x, kind="mergesort")
+    ws = w[order]
+    cum = np.concatenate([[0.0], np.cumsum(ws)[:-1]])
+    u = (cum + ws / 2.0) / w.sum()
+    z = ndtri(np.clip(u, 1e-6, 1.0 - 1e-6))
+    zm = np.average(z, weights=ws)
+    zv = np.average((z - zm) ** 2, weights=ws)
+    zfin = (z - zm) / (np.sqrt(zv) if zv > 1e-12 else 1.0)
+    exp = np.empty(n)
+    exp[order] = zfin
+    np.testing.assert_allclose(out["z_x"].to_numpy(), exp, rtol=1e-9, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def gauss_cache(fixture_small, spark):
+    """ONE copula cache shared by every cached-gaussian parity test in this
+    module (the cache is target-independent by design — reference
+    copula.py:25-82 — so sharing it across tests is exactly the intended
+    reuse, and it keeps the suite inside its serial wall-clock budget)."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.cache import build_cache
+
     pdf, sdf, cols = fixture_small
-    res = select_cefsplus(sdf, cols, "target_reg", 5, subsample=None)
-    exp = oracle.gaussian_select(pdf[cols].to_numpy(), pdf["target_reg"].to_numpy(), 5, method="cefsplus")
+    sdf2 = sdf.withColumn("target2", F.col("f2") + 0.3 * F.col("f3"))
+    cache = build_cache(sdf2, cols, subsample=None)
+    yield cache
+    cache.unpersist()
+
+
+def test_cefsplus_parity_and_objective(fixture_small):
+    """CEFS+ names AND objective path vs the oracle in one call (greedy
+    selection is nested, so the k=8 run covers every shorter prefix)."""
+    pdf, sdf, cols = fixture_small
+    res = select_cefsplus(sdf, cols, "target_reg", 8, subsample=None, return_objective=True)
+    exp, exp_obj = oracle.gaussian_select(
+        pdf[cols].to_numpy(), pdf["target_reg"].to_numpy(), 8,
+        method="cefsplus", return_objective=True,
+    )
     assert res.names == [cols[i] for i in exp]
     assert "f0" in res.names
+    obj = res.extras["objective"]
+    assert len(obj) == 8
+    assert (np.diff(obj) >= -1e-8).all()
+    assert np.allclose(obj, exp_obj, rtol=1e-6, atol=1e-9)
 
 
-def test_gaussian_mrmr_and_jmi_parity(fixture_small):
+def test_gaussian_mrmr_and_jmi_parity(fixture_small, gauss_cache):
     pdf, sdf, cols = fixture_small
     X = pdf[cols].to_numpy()
     y = pdf["target_reg"].to_numpy()
@@ -197,48 +264,24 @@ def test_gaussian_mrmr_and_jmi_parity(fixture_small):
     exp = oracle.gaussian_select(X, y, 5, method="mrmr_quot")
     assert res.names == [cols[i] for i in exp]
 
-    from mrmr_spark.select.cache import build_cache, select_cached
+    from mrmr_spark.select.cache import select_cached
 
-    cache = build_cache(sdf, cols, subsample=None)
-    try:
-        for method in ("jmi", "jmim", "mrmr_diff"):
-            got = select_cached(cache, "target_reg", 5, method=method)
-            want = oracle.gaussian_select(X, y, 5, method=method)
-            assert got.names == [cols[i] for i in want], method
-    finally:
-        cache.unpersist()
+    for method in ("jmi", "jmim", "mrmr_diff"):
+        got = select_cached(gauss_cache, "target_reg", 5, method=method)
+        want = oracle.gaussian_select(X, y, 5, method=method)
+        assert got.names == [cols[i] for i in want], method
 
 
-def test_cefsplus_objective_monotone(fixture_small):
-    pdf, sdf, cols = fixture_small
-    res = select_cefsplus(sdf, cols, "target_reg", 8, subsample=None, return_objective=True)
-    obj = res.extras["objective"]
-    assert len(obj) == 8
-    assert (np.diff(obj) >= -1e-8).all()
-    _, exp_obj = oracle.gaussian_select(
-        pdf[cols].to_numpy(), pdf["target_reg"].to_numpy(), 8,
-        method="cefsplus", return_objective=True,
-    )
-    assert np.allclose(obj, exp_obj, rtol=1e-6, atol=1e-9)
-
-
-def test_cache_reuse_across_targets(fixture_small, spark):
+def test_cache_reuse_across_targets(fixture_small, gauss_cache):
     """Z cache built once serves multiple targets (test_cefsplus.py:18-34)."""
     pdf, sdf, cols = fixture_small
-    from pyspark.sql import functions as F
+    from mrmr_spark.select.cache import select_cached
 
-    from mrmr_spark.select.cache import build_cache, select_cached
-
-    sdf2 = sdf.withColumn("target2", F.col("f2") + 0.3 * F.col("f3"))
-    cache = build_cache(sdf2, cols, subsample=None)
-    try:
-        r1 = select_cached(cache, "target_reg", 4)
-        r2 = select_cached(cache, "target2", 4)
-        assert "f0" in r1.names
-        assert "f2" in r2.names
-        assert r1.names != r2.names
-    finally:
-        cache.unpersist()
+    r1 = select_cached(gauss_cache, "target_reg", 4)
+    r2 = select_cached(gauss_cache, "target2", 4)
+    assert "f0" in r1.names
+    assert "f2" in r2.names
+    assert r1.names != r2.names
 
 
 def test_ks_classif_parity(fixture_small):
@@ -325,13 +368,13 @@ def test_jmi_binned_distributed_matches_collected(fixture_small):
     # classification exercises the JMIM (min) aggregation; regression
     # (binned y) exercises the y-binning leg — together they cover both
     # estimator states of the distributed per-step histogram path
-    a = select_jmi(sdf, cols, "target_cls", 5, task="classification",
+    a = select_jmi(sdf, cols, "target_cls", 3, task="classification",
                    aggregation="min")                    # collected (50k budget)
-    b = select_jmi(sdf, cols, "target_cls", 5, task="classification",
+    b = select_jmi(sdf, cols, "target_cls", 3, task="classification",
                    aggregation="min", subsample=None)    # distributed
     assert a.names == b.names
-    a = select_jmi(sdf, cols, "target_reg", 4, task="regression", estimator="binned")
-    b = select_jmi(sdf, cols, "target_reg", 4, task="regression", estimator="binned",
+    a = select_jmi(sdf, cols, "target_reg", 3, task="regression", estimator="binned")
+    b = select_jmi(sdf, cols, "target_reg", 3, task="regression", estimator="binned",
                    subsample=None)
     assert a.names == b.names
 

@@ -71,7 +71,7 @@ def test_boruta_shap_backend(spark):
     pdf["y"] = pdf["f0"] + 0.8 * pdf["f1"] + rng.normal(size=n) * 0.3
     sdf = spark.createDataFrame(pdf).cache()
     res = boruta_select(
-        sdf, [f"f{i}" for i in range(p)], "y", max_iter=6, n_estimators=30,
+        sdf, [f"f{i}" for i in range(p)], "y", max_iter=5, n_estimators=25,
         importance="shap", seed=1,
     )
     assert "f0" in res.selected and "f1" in res.selected
