@@ -456,13 +456,15 @@ def centered_gram_pass(
 
 #: below this width the Gram is computed as p(p+1)/2 JVM aggregate
 #: expressions in one codegen scan (no Python at all); above it, the Arrow
-#: GEMM block reduction wins (expression count grows quadratically while the
-#: kernel's per-batch cost is one BLAS call). Measured crossover on the
-#: bench corpus: at q=21 the two backends tie (~6 s e2e); at q=41 the JVM
-#: path's ~860-expression codegen compile dominates every call (20 s vs
-#: 12.6 s e2e at sf0.1, 20 s vs 7.8 s at sf0.01), so the threshold sits
-#: just above the tie point.
-GRAM_JVM_MAX_P = 24
+#: GEMM block reduction wins. Round-3 re-measurement (after worker-BLAS
+#: pinning and warm Python worker pools) moved the crossover far below the
+#: round-2 estimate of 24: per-call wall at p=20 is 2.4 s JVM vs 0.41 s
+#: Arrow even on 500 ROWS (the cost is Catalyst planning + codegen of
+#: ~p²/2 deep expression trees, not execution), and at p=10 it is 0.94 vs
+#: 0.31. The backends tie around p=3 (0.32 vs 0.27), so the JVM path is
+#: kept only for trivial widths where the Python-worker round-trip buys
+#: nothing.
+GRAM_JVM_MAX_P = 4
 
 
 def _gram_jvm(

@@ -379,19 +379,15 @@ def test_jmi_binned_distributed_matches_collected(fixture_small):
     assert a.names == b.names
 
 
-def test_single_pass_auto_selection(fixture_small, monkeypatch):
-    """single_pass=None (default) sizes the projected persist against the
-    cluster storage pool: a too-big-matrix session flips to the no-persist
-    single-pass plan, a roomy one keeps the faster 2-scan path — and both
-    select identically (round-2 verdict #6)."""
+def test_single_pass_default_and_forced_2scan(fixture_small, monkeypatch):
+    """The no-persist single-pass backend is the DEFAULT plan for the fused
+    regression path (round-3 measurement: faster at every scale tested AND
+    the only viable plan at 100 TB); ``single_pass=False`` forces the
+    persisted 2-scan parity reference — and both select identically."""
     from mrmr_spark.select import api as api_mod
     from mrmr_spark.select import relevance as rel_mod
 
     pdf, sdf, cols = fixture_small
-
-    # pure decision rule: 50k×22 doubles is tiny next to 8 GiB; 10⁹×202 is not
-    assert not api_mod._should_single_pass(50_000, 20, 8 * 2**30)
-    assert api_mod._should_single_pass(10**9, 200, 8 * 2**30)
 
     seen = {}
     orig = rel_mod.fused_regression_stats
@@ -402,18 +398,13 @@ def test_single_pass_auto_selection(fixture_small, monkeypatch):
 
     monkeypatch.setattr(api_mod.rel_est, "fused_regression_stats", spy)
 
-    monkeypatch.setattr(api_mod, "_cluster_storage_bytes", lambda s: 1024.0)
     r_sp = select_mrmr(sdf, cols, "target_reg", 3, task="regression")
-    assert seen["single_pass"] is True
+    assert seen["single_pass"] is True  # default = one no-persist Arrow scan
 
-    monkeypatch.setattr(api_mod, "_cluster_storage_bytes", lambda s: 1e15)
-    r_2s = select_mrmr(sdf, cols, "target_reg", 3, task="regression")
+    r_2s = select_mrmr(sdf, cols, "target_reg", 3, task="regression",
+                       single_pass=False)
     assert seen["single_pass"] is False
     assert r_sp.names == r_2s.names
-
-    # the live sizing helper returns something sane on this session
-    b = api_mod._cluster_storage_bytes(sdf.sparkSession)
-    assert b > 100 * 2**20
 
 
 def test_single_pass_backend_matches_two_pass(spark):
