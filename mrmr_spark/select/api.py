@@ -226,6 +226,37 @@ def select_mrmr(
             extras={"R_cand": R_cand, "cand": cand},
         )
 
+    if (
+        task == "classification"
+        and relevance == "f"
+        and len(feature_cols) <= FUSED_REGRESSION_MAX_P
+        and single_pass is not False
+    ):
+        # fused classification fast path — the single-scan twin of the
+        # regression branch above: ONE no-persist Arrow scan yields the
+        # weighted-ANOVA F relevance AND the full |corr| redundancy
+        # matrix (kernels.fused_singlepass_class_stats). ks/rf fall
+        # through to the persisted general path (they re-read the
+        # matrix); ``single_pass=False`` forces it too (parity reference).
+        df, labels = factorize_target(df, target_col, "_y_code")
+        stats = rel_est.fused_classification_stats(
+            df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
+        )
+        rel = stats["scores"]
+        cand = _prefilter(rel, k, top_m)
+        if cand.size == 0:
+            return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
+        R_cand = stats["R"][np.ix_(cand, cand)]
+        sel_local = loops.mrmr_greedy(
+            R_cand, rel[cand], k, use_quotient=(formula == "quotient"),
+            redundancy="abs_corr",
+        )
+        idx = cand[sel_local]
+        return SelectionResult(
+            [feature_cols[i] for i in idx], idx, rel, feature_cols, labels,
+            extras={"R_cand": R_cand, "cand": cand},
+        )
+
     # general path: relevance scans -> prefilter -> Gram on candidates;
     # persist pays for itself once >= 3 scans read the matrix.
     # For ks/rf the moment passes still run (they feed standardization and

@@ -254,6 +254,161 @@ def fused_singlepass_stats(
     }
 
 
+def fused_singlepass_class_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    ycode_col: str,
+    n_classes: int,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+) -> dict:
+    """Classification twin of ``fused_singlepass_stats``: ONE ``mapInArrow``
+    scan — no persist, no separate means/class/Gram passes — computing
+    everything the weighted-ANOVA relevance + |corr| redundancy pipeline
+    needs:
+
+    - the centered Gram of the indicator-augmented vector ``V = [f⊙x_q, f]``
+      (per-batch centering + Chan merge) → imputed correlation matrix via
+      the same affine algebra as the regression kernel;
+    - per-class weighted sums ``Σw, Σw·(f⊙x_q), Σw·f, Σw·(f⊙x_q)²`` →
+      exact per-class imputed moments on the driver
+      (``Σw·x_imp = S1 + m(sw_c − Sf)``, ``Σw·x_imp² = S2 + m²(sw_c − Sf)``
+      because the finite and imputed parts of ``x_imp`` are disjoint);
+    - exact raw-f64 finite sums for the imputation means.
+
+    Communication: one ``(2p)² + C·(3p+1) + O(p)`` float64 accumulator per
+    partition. Rows with a null/NaN class code are skipped (factorization
+    rejects missing labels upstream, so this only guards malformed input).
+    """
+    p = len(feature_cols)
+    q = 2 * p
+    C_CLS = int(n_classes)
+    cols = list(feature_cols)
+    wname = weight_col
+
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    proj.append(F.col(ycode_col).cast("double").alias("_yc_"))
+    if wname:
+        proj.append(F.col(wname).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+
+    # accumulator: [sw, mu(q), G(q²), rawsum(p), nfin(p), n,
+    #               per-class (sw_c, S1(p), Sf(p), S2(p)) × C]
+    base = 1 + q + q * q + 2 * p + 1
+    cls_block = 1 + 3 * p
+    out_len = base + C_CLS * cls_block
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sw = 0.0
+        mu = np.zeros(q)
+        G = np.zeros((q, q))
+        rawsum = np.zeros(p)
+        nfin = np.zeros(p)
+        n = 0.0
+        cls = np.zeros((C_CLS, cls_block))
+        nonempty = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            nonempty = True
+            X = _batch_cols(b, cols)
+            yc = np.asarray(
+                b.column(b.schema.get_field_index("_yc_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            w = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if wname
+                else np.ones(X.shape[0])
+            )
+            fin = np.isfinite(X)
+            Xz = np.where(fin, X, 0.0)
+            rawsum += Xz.sum(axis=0)
+            nfin += fin.sum(axis=0)
+            n += X.shape[0]
+            Xq = _quantize(Xz, quantize_f32) * fin
+            V = np.concatenate([Xq, fin.astype(np.float64)], axis=1)
+            swb = float(w.sum())
+            if swb > 0.0:
+                mub = (w @ V) / swb
+                Vc = V - mub[None, :]
+                Gb = Vc.T @ (Vc * w[:, None])
+                sw, mu, G = _chan_merge(sw, mu, G, swb, mub, Gb)
+            ok = np.isfinite(yc)
+            yi = yc[ok].astype(np.int64)
+            Xo, fo, wo = Xq[ok], fin[ok], w[ok]
+            for c in np.unique(yi):
+                m_ = yi == c
+                wc = wo[m_]
+                cls[c, 0] += wc.sum()
+                cls[c, 1 : 1 + p] += wc @ Xo[m_]
+                cls[c, 1 + p : 1 + 2 * p] += wc @ fo[m_]
+                cls[c, 1 + 2 * p :] += wc @ (Xo[m_] * Xo[m_])
+        if nonempty:
+            acc = np.concatenate(
+                [[sw], mu, G.ravel(), rawsum, nfin, [n], cls.ravel()]
+            )
+            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+
+    sw = 0.0
+    mu = np.zeros(q)
+    G = np.zeros((q, q))
+    rawsum = np.zeros(p)
+    nfin = np.zeros(p)
+    n = 0.0
+    cls = np.zeros((C_CLS, cls_block))
+    for row in dfp.mapInArrow(mapper, _ACC_SCHEMA).collect():
+        acc = np.frombuffer(row.acc, dtype=np.float64)
+        sw_b = float(acc[0])
+        mu_b = acc[1 : 1 + q]
+        G_b = acc[1 + q : 1 + q + q * q].reshape(q, q)
+        sw, mu, G = _chan_merge(sw, mu, G, sw_b, mu_b, G_b)
+        rawsum += acc[1 + q + q * q : 1 + q + q * q + p]
+        nfin += acc[1 + q + q * q + p : 1 + q + q * q + 2 * p]
+        n += float(acc[base - 1])
+        cls += acc[base:].reshape(C_CLS, cls_block)
+
+    impute_means = _quantize(
+        np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
+    )
+    m = impute_means
+    mu_a, mu_f = mu[:p], mu[p:]
+    Caa = G[:p, :p]
+    Caf = G[:p, p:]
+    Cff = G[p:, p:]
+    afm = Caf * m[None, :]
+    C_imp = Caa - afm - afm.T + np.outer(m, m) * Cff
+    col_wmeans = mu_a + m * (1.0 - mu_f)
+
+    class_w = cls[:, 0].copy()
+    S1 = cls[:, 1 : 1 + p]
+    Sf = cls[:, 1 + p : 1 + 2 * p]
+    S2 = cls[:, 1 + 2 * p :]
+    miss = class_w[:, None] - Sf
+    sum_imp = S1 + m[None, :] * miss          # Σ_{i∈c} w·x_imp
+    sumsq_imp = S2 + (m * m)[None, :] * miss  # Σ_{i∈c} w·x_imp²
+    # centered at the global weighted mean, like class_moments_pass
+    B = sum_imp - col_wmeans[None, :] * class_w[:, None]
+    A = (
+        sumsq_imp
+        - 2.0 * col_wmeans[None, :] * sum_imp
+        + (col_wmeans * col_wmeans)[None, :] * class_w[:, None]
+    )
+    return {
+        "sw": np.float64(sw),
+        "n": n,
+        "impute_means": impute_means,
+        "col_wmeans": col_wmeans,
+        "C": C_imp,
+        "class_w": class_w,
+        "B": B,
+        "A": A,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Pass 1: finite-value means (imputation) + weighted means — pure JVM aggs
 # ---------------------------------------------------------------------------

@@ -146,6 +146,63 @@ def fused_regression_stats(
     }
 
 
+def _anova_f_from_moments(
+    A: np.ndarray, B: np.ndarray, class_w: np.ndarray, sw: float, n_classes: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Weighted one-way ANOVA F from per-class centered moments (reference
+    relevance.py:57-107 algebra) → (scores, ss_between, ss_within)."""
+    live = class_w >= 1e-12
+    wc = np.where(live, class_w, 1.0)[:, None]
+    ss_between = ((B * B) / wc * live[:, None]).sum(axis=0)
+    ss_within = ((A - (B * B) / wc) * live[:, None]).sum(axis=0)
+
+    df_between = n_classes - 1
+    df_within = sw - n_classes
+    scores = np.zeros(A.shape[1], dtype=np.float64)
+    if df_within > 0 and df_between > 0:
+        ok = ss_within >= 1e-12
+        scores[ok] = (ss_between[ok] / df_between) / (ss_within[ok] / df_within)
+    return scores, ss_between, ss_within
+
+
+def fused_classification_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    ycode_col: str,
+    n_classes: int,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+) -> dict:
+    """Fused classification fast path: ONE no-persist Arrow scan
+    (kernels.fused_singlepass_class_stats) yields the weighted-ANOVA F
+    relevance AND the full |corr| redundancy matrix — the classification
+    twin of ``fused_regression_stats(single_pass=True)``. Statistic parity
+    with the persisted multi-pass path at float64 rounding."""
+    st = kernels.fused_singlepass_class_stats(
+        df, feature_cols, ycode_col, n_classes, weight_col, quantize_f32
+    )
+    sw = st["sw"]
+    scores, ssb, ssw = _anova_f_from_moments(
+        st["A"], st["B"], st["class_w"], sw, n_classes
+    )
+    C = st["C"]
+    x_ss = np.diag(C).copy()
+    var = x_ss / sw
+    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+    denom = np.outer(wstds, wstds) * sw
+    R = 0.5 * (C + C.T) / denom
+    return {
+        "scores": scores,
+        "sw": sw,
+        "wmeans": st["col_wmeans"],
+        "wstds": wstds,
+        "impute_means": st["impute_means"],
+        "n": st["n"],
+        "R": R,
+        "class_w": st["class_w"],
+    }
+
+
 def f_classif_scores(
     df: DataFrame,
     feature_cols: list[str],
@@ -163,17 +220,9 @@ def f_classif_scores(
     )
     A, B, class_w = cm["A"], cm["B"], cm["class_w"]  # (C,p),(C,p),(C,)
 
-    live = class_w >= 1e-12
-    wc = np.where(live, class_w, 1.0)[:, None]
-    ss_between = ((B * B) / wc * live[:, None]).sum(axis=0)
-    ss_within = ((A - (B * B) / wc) * live[:, None]).sum(axis=0)
-
-    df_between = n_classes - 1
-    df_within = sw - n_classes
-    scores = np.zeros(len(feature_cols), dtype=np.float64)
-    if df_within > 0 and df_between > 0:
-        ok = ss_within >= 1e-12
-        scores[ok] = (ss_between[ok] / df_between) / (ss_within[ok] / df_within)
+    scores, ss_between, ss_within = _anova_f_from_moments(
+        A, B, class_w, sw, n_classes
+    )
 
     # weighted variance for downstream standardization: total SS = SSB + SSW
     var = (ss_between + ss_within) / sw

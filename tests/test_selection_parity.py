@@ -407,6 +407,54 @@ def test_single_pass_default_and_forced_2scan(fixture_small, monkeypatch):
     assert r_sp.names == r_2s.names
 
 
+def test_fused_classification_matches_multipass(spark):
+    """The one-scan classification backend (augmented Gram + per-class
+    imputed-moment algebra) must reproduce the persisted multi-pass path's
+    ANOVA-F scores, standardization stats and correlation matrix — under
+    NaN/inf contamination and weights."""
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import f_classif_scores, fused_classification_stats
+
+    rng = np.random.default_rng(17)
+    n, p, C = 3000, 8, 3
+    X = rng.normal(loc=rng.uniform(-5, 5, p), scale=rng.uniform(0.5, 3, p),
+                   size=(n, p))
+    y = rng.integers(0, C, size=n)
+    X[:, 0] += 2.0 * y  # planted signal
+    X[rng.random((n, p)) < 0.04] = np.nan
+    X[rng.random((n, p)) < 0.01] = np.inf
+    w = rng.uniform(0.1, 3.0, n)
+    cols = [f"x{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = [f"c{v}" for v in y]
+    pdf["w"] = w
+    sdf = spark.createDataFrame(pdf).repartition(7).cache()
+    sdf.count()
+
+    sdf2, labels = factorize_target(sdf, "y")
+    for wcol in (None, "w"):
+        multi = f_classif_scores(sdf2, cols, "_y_code", len(labels), wcol)
+        fused = fused_classification_stats(sdf2, cols, "_y_code", len(labels), wcol)
+        for key in ("scores", "wmeans", "wstds", "impute_means"):
+            np.testing.assert_allclose(fused[key], multi[key], rtol=1e-9,
+                                       atol=1e-12, err_msg=f"{key} w={wcol}")
+        assert np.isclose(fused["sw"], multi["sw"])
+        # R parity vs an explicit candidate-gram on the same stats
+        from mrmr_spark.select import kernels
+        gram = kernels.gram_pass(
+            sdf2, cols, wcol, multi["impute_means"], multi["wmeans"],
+            multi["wstds"], quantize_f32=True, clip=None,
+        )
+        np.testing.assert_allclose(fused["R"], gram["R"], rtol=1e-9, atol=1e-12)
+    assert np.argmax(fused["scores"]) == 0  # the planted signal wins
+
+    # end-to-end: the fused default and the forced multi-pass path select
+    # identically through select_mrmr
+    a = select_mrmr(sdf, cols, "y", 3, task="classification")
+    b = select_mrmr(sdf, cols, "y", 3, task="classification", single_pass=False)
+    assert a.names == b.names and a.labels == b.labels
+
+
 def test_single_pass_backend_matches_two_pass(spark):
     """The no-persist single-Arrow-scan backend (indicator-augmented Gram +
     Chan merge + affine imputation algebra) must reproduce the persisted
