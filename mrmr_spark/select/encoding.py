@@ -5,13 +5,21 @@ All three encoders are two Spark operations: one groupBy over the category
 (tiny result) and one **broadcast** join back — no shuffle of the fact
 table, which is what makes them usable at 10^12 rows.
 
-- loo:  (Σy_g − y_i) / (n_g − 1)         (exact leave-one-out)
-- target: smoothed group mean  (n_g·ȳ_g + k·ȳ) / (n_g + k)
+- loo:  (Σy_g − y_i) / (n_g − 1), singletons → prior — matches
+  category_encoders.LeaveOneOutEncoder's train-time transform exactly
+  (sigma noise off, its default).
+- target: category_encoders.TargetEncoder's published sigmoid blend —
+  ``w = 1 / (1 + exp(−(n_g − min_samples_leaf)/smoothing))``,
+  ``enc = (1−w)·ȳ + w·ȳ_g``, singletons → prior (CE defaults
+  min_samples_leaf=20, smoothing=10).
 - james_stein: shrink group means toward the prior by
-  B = σ²_between / (σ²_between + σ²_within/n_g)
+  B = σ²_between / (σ²_between + σ²_within/n_g).
 
-Parity note: category_encoders' exact smoothing curves differ (sigmoid
-smoothing in TargetEncoder); this is the approximate tier — the reference's
+Parity note: category_encoders is an OPTIONAL dependency of the reference
+(_preprocess.py:278-282) and is absent from this runtime (as from any
+runtime without the extra install), so value-level parity cannot be
+executed here; loo/target replicate CE's public formulas, james_stein is
+a documented approximation of CE's 'independent' model. The reference's
 own tests never assert encoded values, only downstream selections.
 """
 
@@ -40,7 +48,8 @@ def target_encode(
     cat_cols: list[str],
     y_col: str,
     method: str = "loo",
-    smoothing: float = 20.0,
+    smoothing: float = 10.0,
+    min_samples_leaf: float = 20.0,
     suffix: str = "_enc",
 ) -> DataFrame:
     """Append ``{col}{suffix}`` double columns; originals are kept."""
@@ -53,8 +62,13 @@ def target_encode(
                 (F.col("_sum_y") - F.col(y_col).cast("double")) / (F.col("_cnt") - 1),
             ).otherwise(F.lit(prior_mean))
         elif method == "target":
-            enc = (F.col("_cnt") * F.col("_mean_y") + smoothing * F.lit(prior_mean)) / (
-                F.col("_cnt") + smoothing
+            # CE TargetEncoder sigmoid blend; singletons get the prior
+            w = 1.0 / (
+                1.0
+                + F.exp(-(F.col("_cnt") - F.lit(float(min_samples_leaf))) / F.lit(float(smoothing)))
+            )
+            enc = F.when(F.col("_cnt") <= 1, F.lit(prior_mean)).otherwise(
+                F.lit(prior_mean) * (1.0 - w) + F.col("_mean_y") * w
             )
         elif method == "james_stein":
             within = F.coalesce(F.col("_var_y"), F.lit(0.0)) / F.greatest(F.col("_cnt"), F.lit(1))
