@@ -115,6 +115,29 @@ def _chan_merge(sw_a, mu_a, C_a, sw_b, mu_b, C_b):
     return tot, mu, C
 
 
+def _tree_combine_fused(reduced: DataFrame, n_parts: int, merge_two) -> DataFrame:
+    """Executor-side pre-merge of fused-kernel accumulator rows when the
+    input has many partitions: without it the driver collects one
+    accumulator per partition (e.g. ~13 KB × 100k partitions ≈ 1.3 GB on
+    a 1000-executor job). ``merge_two(a, b) -> acc`` must implement the
+    kernel's exact merge (Chan for centered blocks, plain sum for raw
+    sums) so the tree is associative."""
+    if n_parts <= TREE_COMBINE_THRESHOLD:
+        return reduced
+
+    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = None
+        for b in batches:
+            col = b.column(0)
+            for i in range(b.num_rows):
+                cur = np.frombuffer(col[i].as_py(), dtype=np.float64)
+                acc = cur.copy() if acc is None else merge_two(acc, cur)
+        if acc is not None:
+            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+
+    return reduced.repartition(8).mapInArrow(combine, _ACC_SCHEMA)
+
+
 def fused_singlepass_stats(
     df: DataFrame,
     feature_cols: list[str],
@@ -207,21 +230,31 @@ def fused_singlepass_stats(
             acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [n]])
             yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
 
-    sw = 0.0
-    mu = np.zeros(q)
-    C = np.zeros((q, q))
-    rawsum = np.zeros(p)
-    nfin = np.zeros(p)
-    n = 0.0
-    for row in dfp.mapInArrow(mapper, _ACC_SCHEMA).collect():
-        acc = np.frombuffer(row.acc, dtype=np.float64)
-        sw_b = float(acc[0])
-        mu_b = acc[1 : 1 + q]
-        C_b = acc[1 + q : 1 + q + q * q].reshape(q, q)
-        sw, mu, C = _chan_merge(sw, mu, C, sw_b, mu_b, C_b)
-        rawsum += acc[1 + q + q * q : 1 + q + q * q + p]
-        nfin += acc[1 + q + q * q + p : 1 + q + q * q + 2 * p]
-        n += float(acc[-1])
+    def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        sw_m, mu_m, C_m = _chan_merge(
+            float(a[0]), a[1 : 1 + q], a[1 + q : 1 + q + q * q].reshape(q, q),
+            float(b[0]), b[1 : 1 + q], b[1 + q : 1 + q + q * q].reshape(q, q),
+        )
+        return np.concatenate(
+            [[sw_m], np.asarray(mu_m).ravel(), np.asarray(C_m).ravel(),
+             a[1 + q + q * q :] + b[1 + q + q * q :]]
+        )
+
+    reduced = _tree_combine_fused(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
+    )
+    total = None
+    for row in reduced.collect():
+        cur = np.frombuffer(row.acc, dtype=np.float64)
+        total = cur.copy() if total is None else merge_two(total, cur)
+    if total is None:
+        total = np.zeros(out_len)
+    sw = float(total[0])
+    mu = total[1 : 1 + q]
+    C = total[1 + q : 1 + q + q * q].reshape(q, q)
+    rawsum = total[1 + q + q * q : 1 + q + q * q + p]
+    nfin = total[1 + q + q * q + p : 1 + q + q * q + 2 * p]
+    n = float(total[-1])
 
     impute_means = _quantize(
         np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
@@ -341,6 +374,8 @@ def fused_singlepass_class_stats(
             yi = yc[ok].astype(np.int64)
             Xo, fo, wo = Xq[ok], fin[ok], w[ok]
             for c in np.unique(yi):
+                if not (0 <= c < C_CLS):  # malformed code: skip, don't crash
+                    continue
                 m_ = yi == c
                 wc = wo[m_]
                 cls[c, 0] += wc.sum()
@@ -353,23 +388,34 @@ def fused_singlepass_class_stats(
             )
             yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
 
-    sw = 0.0
-    mu = np.zeros(q)
-    G = np.zeros((q, q))
-    rawsum = np.zeros(p)
-    nfin = np.zeros(p)
-    n = 0.0
-    cls = np.zeros((C_CLS, cls_block))
-    for row in dfp.mapInArrow(mapper, _ACC_SCHEMA).collect():
-        acc = np.frombuffer(row.acc, dtype=np.float64)
-        sw_b = float(acc[0])
-        mu_b = acc[1 : 1 + q]
-        G_b = acc[1 + q : 1 + q + q * q].reshape(q, q)
-        sw, mu, G = _chan_merge(sw, mu, G, sw_b, mu_b, G_b)
-        rawsum += acc[1 + q + q * q : 1 + q + q * q + p]
-        nfin += acc[1 + q + q * q + p : 1 + q + q * q + 2 * p]
-        n += float(acc[base - 1])
-        cls += acc[base:].reshape(C_CLS, cls_block)
+    def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        sw_m, mu_m, G_m = _chan_merge(
+            float(a[0]), a[1 : 1 + q], a[1 + q : 1 + q + q * q].reshape(q, q),
+            float(b[0]), b[1 : 1 + q], b[1 + q : 1 + q + q * q].reshape(q, q),
+        )
+        # everything past the centered block is a plain sum (raw sums,
+        # finite counts, n, per-class sums)
+        return np.concatenate(
+            [[sw_m], np.asarray(mu_m).ravel(), np.asarray(G_m).ravel(),
+             a[1 + q + q * q :] + b[1 + q + q * q :]]
+        )
+
+    reduced = _tree_combine_fused(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
+    )
+    total = None
+    for row in reduced.collect():
+        cur = np.frombuffer(row.acc, dtype=np.float64)
+        total = cur.copy() if total is None else merge_two(total, cur)
+    if total is None:
+        total = np.zeros(out_len)
+    sw = float(total[0])
+    mu = total[1 : 1 + q]
+    G = total[1 + q : 1 + q + q * q].reshape(q, q)
+    rawsum = total[1 + q + q * q : 1 + q + q * q + p]
+    nfin = total[1 + q + q * q + p : 1 + q + q * q + 2 * p]
+    n = float(total[base - 1])
+    cls = total[base:].reshape(C_CLS, cls_block)
 
     impute_means = _quantize(
         np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32

@@ -407,6 +407,42 @@ def test_single_pass_default_and_forced_2scan(fixture_small, monkeypatch):
     assert r_sp.names == r_2s.names
 
 
+def test_fused_kernels_tree_combine_many_partitions(spark):
+    """Past TREE_COMBINE_THRESHOLD partitions the fused kernels pre-merge
+    accumulators executor-side (Chan for centered blocks, plain sum for the
+    rest) before the driver collect — results must be identical to the
+    multi-pass paths through that combine."""
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import (
+        f_classif_scores,
+        fused_classification_stats,
+        fused_regression_stats,
+    )
+
+    rng = np.random.default_rng(21)
+    n, p = 2000, 5
+    X = rng.normal(loc=3.0, size=(n, p))
+    X[rng.random((n, p)) < 0.05] = np.nan
+    cols = [f"x{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = X[:, 0] + rng.normal(size=n)
+    pdf["yc"] = (rng.random(n) * 3).astype(int).astype(str)
+    sdf = spark.createDataFrame(pdf).repartition(100).cache()  # > threshold (64)
+    sdf.count()
+
+    a = fused_regression_stats(sdf, cols, "y", None, True, single_pass=False)
+    b = fused_regression_stats(sdf, cols, "y", None, True, single_pass=True)
+    for key in ("scores", "wmeans", "wstds", "impute_means"):
+        np.testing.assert_allclose(b[key], a[key], rtol=1e-9, atol=1e-12, err_msg=key)
+    np.testing.assert_allclose(b["R"], a["R"], rtol=1e-9, atol=1e-12)
+
+    sdf2, labels = factorize_target(sdf, "yc")
+    m = f_classif_scores(sdf2, cols, "_y_code", len(labels), None)
+    f = fused_classification_stats(sdf2, cols, "_y_code", len(labels), None)
+    for key in ("scores", "wmeans", "wstds", "impute_means"):
+        np.testing.assert_allclose(f[key], m[key], rtol=1e-9, atol=1e-12, err_msg=key)
+
+
 def test_fused_classification_matches_multipass(spark):
     """The one-scan classification backend (augmented Gram + per-class
     imputed-moment algebra) must reproduce the persisted multi-pass path's
