@@ -455,6 +455,193 @@ def fused_singlepass_class_stats(
     }
 
 
+#: width above which the per-column moment statistics run as ONE Arrow
+#: scan instead of the 6p+3 / 3p+1 JVM aggregate selects. Same cost class
+#: as the Gram crossover: Catalyst planning + codegen of O(p) deep
+#: expression trees dominates — measured 5.7 s at p=50, 11.1 s at p=100,
+#: 24 s (with janino 64KB-method overflow → interpreted fallback) at
+#: p=200 for the JVM 2-pass, vs a flat sub-second Arrow pass.
+MOMENTS_JVM_MAX_P = 24
+
+
+def _colwise_chan_merge(sw_a, st_a, sw_b, st_b, p):
+    """Vectorized per-column Chan merge for the O(p) moments kernel.
+
+    ``st`` packs, for p independent (a=f⊙x_q, f, y) triples sharing one
+    weight column: mu (2p+1) then the tracked centered products
+    Caa, Caf, Cff, Cay, Cfy (p each) and Cyy (1). Only within-column and
+    column↔y covariances are tracked — O(p), never the p×p Gram.
+    """
+    if sw_b == 0.0:
+        return sw_a, st_a
+    if sw_a == 0.0:
+        return sw_b, st_b.copy()
+    tot = sw_a + sw_b
+    k = sw_a * sw_b / tot
+    mu_a, mu_b = st_a[: 2 * p + 1], st_b[: 2 * p + 1]
+    d = mu_b - mu_a
+    da, df_, dy = d[:p], d[p : 2 * p], d[2 * p]
+    out = np.empty_like(st_a)
+    out[: 2 * p + 1] = mu_a + (sw_b / tot) * d
+    o = 2 * p + 1
+    prods = (da * da, da * df_, df_ * df_, da * dy, df_ * dy)
+    for blk, pr in enumerate(prods):
+        s = o + blk * p
+        out[s : s + p] = st_a[s : s + p] + st_b[s : s + p] + k * pr
+    out[o + 5 * p] = st_a[o + 5 * p] + st_b[o + 5 * p] + k * dy * dy
+    return tot, out
+
+
+def moments_singlepass_pass(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str | None,
+    weight_col: str | None,
+    quantize_f32: bool = True,
+) -> dict:
+    """ONE Arrow scan replacing impute_mean_pass + centered_moments_pass
+    for wide frames: per-column weighted moments of the indicator pair
+    ``(f⊙x_q, f)`` and y, centered per batch and Chan-merged (stable), plus
+    exact raw-f64 finite sums. O(p) accumulator — never the p×p Gram.
+    Driver algebra (the same affine identities as the fused Gram kernels)
+    yields impute means, weighted means, x_ss, xy_cov, y_ss and the
+    unweighted centered sumsq used for constant-column pruning."""
+    p = len(feature_cols)
+    cols = list(feature_cols)
+    HAS_Y = y_col is not None
+    wname = weight_col
+
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    if HAS_Y:
+        proj.append(F.col(y_col).cast("double").alias("_y_"))
+    if wname:
+        proj.append(F.col(wname).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+
+    st_len = (2 * p + 1) + 5 * p + 1
+    # acc: [sw, st(st_len), rawsum(p), nfin(p), sumq(p), sumsqq(p), n]
+    out_len = 1 + st_len + 4 * p + 1
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sw = 0.0
+        st = np.zeros(st_len)
+        rawsum = np.zeros(p)
+        nfin = np.zeros(p)
+        sumq = np.zeros(p)
+        sumsqq = np.zeros(p)
+        n = 0.0
+        nonempty = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            nonempty = True
+            X = _batch_cols(b, cols)
+            y = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if HAS_Y
+                else np.zeros(X.shape[0])
+            )
+            w = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if wname
+                else np.ones(X.shape[0])
+            )
+            fin = np.isfinite(X)
+            Xz = np.where(fin, X, 0.0)
+            rawsum += Xz.sum(axis=0)
+            nfin += fin.sum(axis=0)
+            Aq = _quantize(Xz, quantize_f32) * fin
+            sumq += Aq.sum(axis=0)
+            sumsqq += (Aq * Aq).sum(axis=0)
+            n += X.shape[0]
+            swb = float(w.sum())
+            if swb <= 0.0:
+                continue
+            yq = _quantize(y, quantize_f32)
+            Fm = fin.astype(np.float64)
+            mu_a = (w @ Aq) / swb
+            mu_f = (w @ Fm) / swb
+            mu_y = float(w @ yq) / swb
+            Ac = Aq - mu_a[None, :]
+            Fc = Fm - mu_f[None, :]
+            yc = yq - mu_y
+            wA = Ac * w[:, None]
+            stb = np.concatenate([
+                mu_a, mu_f, [mu_y],
+                (wA * Ac).sum(axis=0),
+                (wA * Fc).sum(axis=0),
+                (Fc * Fc * w[:, None]).sum(axis=0),
+                wA.T @ yc,
+                (Fc * w[:, None]).T @ yc,
+                [float(w @ (yc * yc))],
+            ])
+            sw, st = _colwise_chan_merge(sw, st, swb, stb, p)
+        if nonempty:
+            acc = np.concatenate([[sw], st, rawsum, nfin, sumq, sumsqq, [n]])
+            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+
+    def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        sw_m, st_m = _colwise_chan_merge(
+            float(a[0]), a[1 : 1 + st_len], float(b[0]), b[1 : 1 + st_len], p
+        )
+        return np.concatenate([[sw_m], st_m, a[1 + st_len :] + b[1 + st_len :]])
+
+    reduced = _tree_combine_fused(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
+    )
+    total = None
+    for row in reduced.collect():
+        cur = np.frombuffer(row.acc, dtype=np.float64)
+        total = cur.copy() if total is None else merge_two(total, cur)
+    if total is None:
+        total = np.zeros(out_len)
+
+    sw = float(total[0])
+    st = total[1 : 1 + st_len]
+    tail = total[1 + st_len :]
+    rawsum, nfin = tail[:p], tail[p : 2 * p]
+    sumq, sumsqq = tail[2 * p : 3 * p], tail[3 * p : 4 * p]
+    n = float(tail[-1])
+
+    mu_a, mu_f, mu_y = st[:p], st[p : 2 * p], float(st[2 * p])
+    o = 2 * p + 1
+    Caa = st[o : o + p]
+    Caf = st[o + p : o + 2 * p]
+    Cff = st[o + 2 * p : o + 3 * p]
+    Cay = st[o + 3 * p : o + 4 * p]
+    Cfy = st[o + 4 * p : o + 5 * p]
+    Cyy = float(st[o + 5 * p])
+
+    impute_means = _quantize(
+        np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
+    )
+    m = impute_means
+    # affine identities: x_imp = a + m(1−f) ⇒ shifts vanish in covariances
+    x_ss = Caa - 2.0 * m * Caf + m * m * Cff
+    xy_cov = Cay - m * Cfy
+    col_wmeans = mu_a + m * (1.0 - mu_f)
+    # unweighted centered sumsq around the impute mean (constant pruning):
+    # non-finite entries contribute exactly 0 (imputed to m)
+    x_ss_unw = sumsqq - 2.0 * m * sumq + m * m * nfin
+    return {
+        "impute_means": impute_means,
+        "col_wmeans": col_wmeans,
+        "sw": np.float64(sw),
+        "n": n,
+        "wy": mu_y * sw,
+        "x_ss": x_ss,
+        "xy_cov": xy_cov,
+        "x_ss_unw": np.maximum(x_ss_unw, 0.0),
+        "y_ss": Cyy,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Pass 1: finite-value means (imputation) + weighted means — pure JVM aggs
 # ---------------------------------------------------------------------------
@@ -578,6 +765,124 @@ def centered_moments_pass(
         "xy_cov": per[1],
         "x_ss_unw": per[2],
         "y_ss": float(vals[3 * p]),
+    }
+
+
+def class_moments_singlepass_pass(
+    df: DataFrame,
+    feature_cols: list[str],
+    ycode_col: str,
+    n_classes: int,
+    weight_col: str | None = None,
+    quantize_f32: bool = True,
+) -> dict:
+    """O(C·p)-accumulator Arrow twin of impute_mean_pass +
+    class_moments_pass for wide frames (no Gram): per-class raw weighted
+    sums of ``(f⊙x_q, f, (f⊙x_q)²)`` plus exact f64 finite sums; the
+    ANOVA moments follow from the same affine identities as the fused
+    classification kernel. Per-class second moments accumulate raw f64
+    (not batch-centered) — fine to ~1e-9 relative for |mean|/std up to
+    ~1e3; for pathological scales use the JVM path (p ≤ MOMENTS_JVM_MAX_P
+    routes there automatically)."""
+    p = len(feature_cols)
+    C_CLS = int(n_classes)
+    cols = list(feature_cols)
+    wname = weight_col
+
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    proj.append(F.col(ycode_col).cast("double").alias("_yc_"))
+    if wname:
+        proj.append(F.col(wname).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+
+    cls_block = 1 + 3 * p
+    # acc: [rawsum(p), nfin(p), n, cls(C×cls_block)]
+    out_len = 2 * p + 1 + C_CLS * cls_block
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        rawsum = np.zeros(p)
+        nfin = np.zeros(p)
+        n = 0.0
+        cls = np.zeros((C_CLS, cls_block))
+        nonempty = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            nonempty = True
+            X = _batch_cols(b, cols)
+            yc = np.asarray(
+                b.column(b.schema.get_field_index("_yc_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            w = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if wname
+                else np.ones(X.shape[0])
+            )
+            fin = np.isfinite(X)
+            Xz = np.where(fin, X, 0.0)
+            rawsum += Xz.sum(axis=0)
+            nfin += fin.sum(axis=0)
+            n += X.shape[0]
+            Xq = _quantize(Xz, quantize_f32) * fin
+            ok = np.isfinite(yc)
+            yi = yc[ok].astype(np.int64)
+            Xo, fo, wo = Xq[ok], fin[ok], w[ok]
+            for c in np.unique(yi):
+                if not (0 <= c < C_CLS):
+                    continue
+                m_ = yi == c
+                wc = wo[m_]
+                cls[c, 0] += wc.sum()
+                cls[c, 1 : 1 + p] += wc @ Xo[m_]
+                cls[c, 1 + p : 1 + 2 * p] += wc @ fo[m_]
+                cls[c, 1 + 2 * p :] += wc @ (Xo[m_] * Xo[m_])
+        if nonempty:
+            acc = np.concatenate([rawsum, nfin, [n], cls.ravel()])
+            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+
+    reduced = _tree_combine_fused(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(),
+        lambda a, b: a + b,  # everything is a plain sum
+    )
+    total = np.zeros(out_len)
+    for row in reduced.collect():
+        total = total + np.frombuffer(row.acc, dtype=np.float64)
+
+    rawsum, nfin, n = total[:p], total[p : 2 * p], float(total[2 * p])
+    cls = total[2 * p + 1 :].reshape(C_CLS, cls_block)
+    impute_means = _quantize(
+        np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
+    )
+    m = impute_means
+    class_w = cls[:, 0].copy()
+    S1 = cls[:, 1 : 1 + p]
+    Sf = cls[:, 1 + p : 1 + 2 * p]
+    S2 = cls[:, 1 + 2 * p :]
+    sw = float(class_w.sum())
+    miss = class_w[:, None] - Sf
+    sum_imp = S1 + m[None, :] * miss
+    sumsq_imp = S2 + (m * m)[None, :] * miss
+    col_wmeans = (
+        (S1.sum(axis=0) + m * (sw - Sf.sum(axis=0))) / sw if sw > 0 else np.zeros(p)
+    )
+    B = sum_imp - col_wmeans[None, :] * class_w[:, None]
+    A = (
+        sumsq_imp
+        - 2.0 * col_wmeans[None, :] * sum_imp
+        + (col_wmeans * col_wmeans)[None, :] * class_w[:, None]
+    )
+    return {
+        "sw": np.float64(sw),
+        "n": n,
+        "impute_means": impute_means,
+        "col_wmeans": col_wmeans,
+        "class_w": class_w,
+        "B": B,
+        "A": A,
     }
 
 

@@ -34,15 +34,30 @@ def f_regression_scores(
 ) -> dict:
     """Returns {'scores', 'x_ss', 'xy_cov', 'y_ss', 'sw', 'wmeans',
     'wstds', 'impute_means', ...} — the moments are reused by the Gram pass
-    so the full classic-mRMR pipeline costs exactly 3 scans."""
-    p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
-    sw = p1["sw"]
-    y_wmean = p1["wy"] / sw
-    p2 = kernels.centered_moments_pass(
-        df, feature_cols, y_col, weight_col,
-        p1["impute_means"], p1["col_wmeans"], y_wmean, quantize_f32,
-    )
-    x_ss, xy, y_ss = p2["x_ss"], p2["xy_cov"], p2["y_ss"]
+    so the full classic-mRMR pipeline costs exactly 3 scans. Beyond
+    MOMENTS_JVM_MAX_P columns the two JVM moment selects are replaced by
+    ONE O(p)-accumulator Arrow scan (kernels.moments_singlepass_pass) —
+    the 6p+3 / 3p+1 aggregate plans hit the measured Catalyst planning
+    cliff (24 s + janino overflow at p=200)."""
+    if stats is None and len(feature_cols) > kernels.MOMENTS_JVM_MAX_P:
+        mo = kernels.moments_singlepass_pass(
+            df, feature_cols, y_col, weight_col, quantize_f32
+        )
+        p1 = mo
+        sw = mo["sw"]
+        y_wmean = mo["wy"] / sw
+        x_ss, xy, y_ss = mo["x_ss"], mo["xy_cov"], mo["y_ss"]
+        x_ss_unw = mo["x_ss_unw"]
+    else:
+        p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
+        sw = p1["sw"]
+        y_wmean = p1["wy"] / sw
+        p2 = kernels.centered_moments_pass(
+            df, feature_cols, y_col, weight_col,
+            p1["impute_means"], p1["col_wmeans"], y_wmean, quantize_f32,
+        )
+        x_ss, xy, y_ss = p2["x_ss"], p2["xy_cov"], p2["y_ss"]
+        x_ss_unw = p2["x_ss_unw"]
 
     scores = np.zeros(len(feature_cols), dtype=np.float64)
     ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
@@ -62,7 +77,7 @@ def f_regression_scores(
         "impute_means": p1["impute_means"],
         "y_wmean": y_wmean,
         "y_wstd": float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0,
-        "x_ss_unw": p2["x_ss_unw"],
+        "x_ss_unw": x_ss_unw,
         "n": p1["n"],
         "pass1": p1,
     }
@@ -212,12 +227,21 @@ def f_classif_scores(
     quantize_f32: bool = True,
     stats: dict | None = None,
 ) -> dict:
-    p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, None, quantize_f32)
-    sw = p1["sw"]
-    cm = kernels.class_moments_pass(
-        df, feature_cols, ycode_col, weight_col, n_classes,
-        p1["impute_means"], p1["col_wmeans"], quantize_f32,
-    )
+    if stats is None and len(feature_cols) > kernels.MOMENTS_JVM_MAX_P:
+        # wide frames: one O(C·p) Arrow scan instead of the two JVM
+        # aggregate selects (same planning-cliff rationale as regression)
+        cm = kernels.class_moments_singlepass_pass(
+            df, feature_cols, ycode_col, n_classes, weight_col, quantize_f32
+        )
+        p1 = cm
+        sw = cm["sw"]
+    else:
+        p1 = stats or kernels.impute_mean_pass(df, feature_cols, weight_col, None, quantize_f32)
+        sw = p1["sw"]
+        cm = kernels.class_moments_pass(
+            df, feature_cols, ycode_col, weight_col, n_classes,
+            p1["impute_means"], p1["col_wmeans"], quantize_f32,
+        )
     A, B, class_w = cm["A"], cm["B"], cm["class_w"]  # (C,p),(C,p),(C,)
 
     scores, ss_between, ss_within = _anova_f_from_moments(

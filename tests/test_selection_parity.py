@@ -407,6 +407,50 @@ def test_single_pass_default_and_forced_2scan(fixture_small, monkeypatch):
     assert r_sp.names == r_2s.names
 
 
+def test_wide_moments_singlepass_parity(spark):
+    """Beyond MOMENTS_JVM_MAX_P columns the relevance moment statistics run
+    as one O(p) Arrow scan (the 6p+3 / 3p+1 JVM aggregate selects hit the
+    measured Catalyst planning cliff). Must equal the JVM 2-pass results —
+    regression AND classification — under NaN/inf + weights."""
+    from mrmr_spark.select import kernels
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import f_classif_scores, f_regression_scores
+
+    rng = np.random.default_rng(33)
+    n, p = 2500, 30  # p > MOMENTS_JVM_MAX_P (24)
+    X = rng.normal(loc=rng.uniform(-8, 8, p), scale=rng.uniform(0.5, 3, p),
+                   size=(n, p))
+    y_clean = X[:, 0] * 0.4 + rng.normal(size=n)  # y must stay finite
+    X[rng.random((n, p)) < 0.04] = np.nan
+    X[rng.random((n, p)) < 0.01] = -np.inf
+    cols = [f"x{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = y_clean
+    pdf["yc"] = [f"c{v}" for v in rng.integers(0, 3, size=n)]
+    pdf["w"] = rng.uniform(0.2, 2.5, size=n)
+    sdf = spark.createDataFrame(pdf).repartition(7).cache()
+    sdf.count()
+
+    for wcol in (None, "w"):
+        # regression: arrow route (p>24) vs forced JVM route (stats=pass1)
+        arrow = f_regression_scores(sdf, cols, "y", wcol)
+        p1 = kernels.impute_mean_pass(sdf, cols, wcol, "y")
+        jvm = f_regression_scores(sdf, cols, "y", wcol, stats=p1)
+        for key in ("scores", "wmeans", "wstds", "impute_means", "x_ss_unw"):
+            np.testing.assert_allclose(arrow[key], jvm[key], rtol=1e-9,
+                                       atol=1e-9, err_msg=f"{key} w={wcol}")
+        assert np.isclose(arrow["y_wmean"], jvm["y_wmean"])
+
+        # classification
+        sdf2, labels = factorize_target(sdf, "yc")
+        arrow_c = f_classif_scores(sdf2, cols, "_y_code", len(labels), wcol)
+        p1c = kernels.impute_mean_pass(sdf2, cols, wcol, None)
+        jvm_c = f_classif_scores(sdf2, cols, "_y_code", len(labels), wcol, stats=p1c)
+        for key in ("scores", "wmeans", "wstds", "impute_means"):
+            np.testing.assert_allclose(arrow_c[key], jvm_c[key], rtol=1e-9,
+                                       atol=1e-9, err_msg=f"cls {key} w={wcol}")
+
+
 def test_fused_kernels_tree_combine_many_partitions(spark):
     """Past TREE_COMBINE_THRESHOLD partitions the fused kernels pre-merge
     accumulators executor-side (Chan for centered blocks, plain sum for the
