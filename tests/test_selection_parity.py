@@ -451,6 +451,30 @@ def test_wide_moments_singlepass_parity(spark):
                                        atol=1e-9, err_msg=f"cls {key} w={wcol}")
 
 
+def test_wide_cache_build_oracle_parity(spark):
+    """build_cache/select_cached at p>MOMENTS_JVM_MAX_P routes the pruning
+    moments through the Arrow scan — the gaussian selection must still
+    match the pandas oracle exactly."""
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    rng = np.random.default_rng(41)
+    n, p = 600, 30
+    X = rng.normal(size=(n, p))
+    cols = [f"g{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = X[:, 0] + 0.5 * X[:, 1] + 0.1 * rng.normal(size=n)
+    sdf = spark.createDataFrame(pdf).repartition(5).cache()
+    sdf.count()
+
+    cache = build_cache(sdf, cols, subsample=None)
+    try:
+        got = select_cached(cache, "y", 5, method="mrmr_quot")
+    finally:
+        cache.unpersist()
+    exp = oracle.gaussian_select(X, pdf["y"].to_numpy(), 5, method="mrmr_quot")
+    assert got.names == [cols[i] for i in exp]
+
+
 def test_fused_kernels_tree_combine_many_partitions(spark):
     """Past TREE_COMBINE_THRESHOLD partitions the fused kernels pre-merge
     accumulators executor-side (Chan for centered blocks, plain sum for the
