@@ -115,7 +115,13 @@ def fused_regression_stats(
         col_wmeans, impute_means, n = st["col_wmeans"], st["impute_means"], st["n"]
         p1 = st
     else:
-        p1 = kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
+        if len(feature_cols) > kernels.MOMENTS_JVM_MAX_P:
+            # keep the persisted-path pass 1 off the JVM planning cliff too
+            p1 = kernels.moments_singlepass_pass(
+                df, feature_cols, y_col, weight_col, quantize_f32
+            )
+        else:
+            p1 = kernels.impute_mean_pass(df, feature_cols, weight_col, y_col, quantize_f32)
         sw = p1["sw"]
         y_wmean = p1["wy"] / sw
         cg = kernels.centered_gram_pass(
