@@ -150,6 +150,14 @@ def _regression_loss_pass(
             if weight_col
             else np.ones(Z.shape[0])
         )
+        # drop rows with a null/NaN val target (their weight too): one bad
+        # y row would make R NaN and poison w@L for ALL M models at once.
+        # The old aggregate-expression path skipped null y implicitly
+        # (Spark sum ignores nulls) and the classification twin masks —
+        # this keeps the three paths consistent.
+        ok = np.isfinite(y)
+        if not ok.all():
+            Z, y, w = Z[ok], y[ok], w[ok]
         R = (y - y_wmean)[:, None] - Z @ B
         L = np.abs(R) if metric == "mae" else R * R
         out = np.empty(M + 1, dtype=np.float64)

@@ -29,12 +29,28 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pyarrow as pa
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_ACC_SCHEMA = "acc binary"
+#: accumulator rows carry their source partition id so every downstream
+#: merge can run in sorted-pid order — Chan merging (and fp addition) is
+#: not associative, and shuffle-fetch arrival order is not deterministic;
+#: a fixed merge tree makes results bit-identical run to run.
+_ACC_SCHEMA = "pid long, acc binary"
 #: partition counts above this get a two-level (tree) combine before collect
 TREE_COMBINE_THRESHOLD = 64
+
+
+def _acc_batch(acc: np.ndarray, pid: int | None = None) -> pa.RecordBatch:
+    """One (source-partition-id, accumulator-bytes) row."""
+    if pid is None:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+    return pa.RecordBatch.from_arrays(
+        [pa.array([pid], type=pa.int64()), pa.array([acc.tobytes()])],
+        ["pid", "acc"],
+    )
 
 
 def _batch_cols(batch: pa.RecordBatch, cols: list[str]) -> np.ndarray:
@@ -47,6 +63,49 @@ def _batch_cols(batch: pa.RecordBatch, cols: list[str]) -> np.ndarray:
     return np.column_stack(arrs) if arrs else np.empty((batch.num_rows, 0))
 
 
+def _merge_collect(reduced: DataFrame, n_parts: int, merge_two) -> np.ndarray | None:
+    """Deterministically merge (pid, acc) accumulator rows into one vector.
+
+    Above ``TREE_COMBINE_THRESHOLD`` source partitions, a hash-on-pid
+    executor-side pre-merge keeps the driver collect flat (without it the
+    driver collects one accumulator per partition — e.g. ~13 KB × 100k
+    partitions ≈ 1.3 GB on a 1000-executor job). Every merge — inside the
+    combine tasks and on the driver — runs in sorted source-pid order, and
+    each combine task reports its min pid, so the whole merge tree is a
+    fixed function of the data: bit-identical results run to run even
+    though Chan merging is not floating-point associative.
+
+    ``merge_two(a, b) -> acc`` must implement the kernel's exact merge
+    (Chan for centered blocks, plain sum for raw sums). Returns None when
+    the input was empty.
+    """
+    if n_parts > TREE_COMBINE_THRESHOLD:
+
+        def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            pairs: list[tuple[int, np.ndarray]] = []
+            for b in batches:
+                pids = b.column(0).to_pylist()
+                col = b.column(1)
+                for i in range(b.num_rows):
+                    pairs.append(
+                        (int(pids[i]), np.frombuffer(col[i].as_py(), dtype=np.float64))
+                    )
+            if pairs:
+                pairs.sort(key=lambda t: t[0])
+                acc = pairs[0][1].copy()
+                for _, cur in pairs[1:]:
+                    acc = merge_two(acc, cur)
+                yield _acc_batch(acc, pid=pairs[0][0])
+
+        reduced = reduced.repartition(8, F.col("pid")).mapInArrow(combine, _ACC_SCHEMA)
+
+    total = None
+    for row in sorted(reduced.collect(), key=lambda r: r.pid):
+        cur = np.frombuffer(row.acc, dtype=np.float64)
+        total = cur.copy() if total is None else merge_two(total, cur)
+    return total
+
+
 def arrow_reduce(
     df: DataFrame,
     partition_term: Callable[[pa.RecordBatch], np.ndarray],
@@ -55,7 +114,8 @@ def arrow_reduce(
     """Sum ``partition_term(batch)`` over all batches of ``df``.
 
     ``partition_term`` must return a 1-D float64 array of length ``out_len``
-    (flatten matrices). Returns the global float64 sum.
+    (flatten matrices). Returns the global float64 sum (summed in sorted
+    source-partition order — deterministic run to run).
     """
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -66,30 +126,14 @@ def arrow_reduce(
                 acc += partition_term(b)
                 nonempty = True
         if nonempty:
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+            yield _acc_batch(acc)
 
-    reduced = df.mapInArrow(mapper, _ACC_SCHEMA)
-    n_parts = df.rdd.getNumPartitions()
-    if n_parts > TREE_COMBINE_THRESHOLD:
-        # tree combine: shuffle the tiny accumulator rows down to a handful
-        # of partitions and pre-sum executor-side (treeAggregate depth=2).
-        def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            acc = np.zeros(out_len, dtype=np.float64)
-            nonempty = False
-            for b in batches:
-                col = b.column(0)
-                for i in range(b.num_rows):
-                    acc += np.frombuffer(col[i].as_py(), dtype=np.float64)
-                    nonempty = True
-            if nonempty:
-                yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
-
-        reduced = reduced.repartition(8).mapInArrow(combine, _ACC_SCHEMA)
-
-    total = np.zeros(out_len, dtype=np.float64)
-    for row in reduced.collect():
-        total += np.frombuffer(row.acc, dtype=np.float64)
-    return total
+    total = _merge_collect(
+        df.mapInArrow(mapper, _ACC_SCHEMA),
+        df.rdd.getNumPartitions(),
+        lambda a, b: a + b,
+    )
+    return total if total is not None else np.zeros(out_len, dtype=np.float64)
 
 
 def _quantize(X: np.ndarray, quantize_f32: bool) -> np.ndarray:
@@ -115,27 +159,86 @@ def _chan_merge(sw_a, mu_a, C_a, sw_b, mu_b, C_b):
     return tot, mu, C
 
 
-def _tree_combine_fused(reduced: DataFrame, n_parts: int, merge_two) -> DataFrame:
-    """Executor-side pre-merge of fused-kernel accumulator rows when the
-    input has many partitions: without it the driver collects one
-    accumulator per partition (e.g. ~13 KB × 100k partitions ≈ 1.3 GB on
-    a 1000-executor job). ``merge_two(a, b) -> acc`` must implement the
-    kernel's exact merge (Chan for centered blocks, plain sum for raw
-    sums) so the tree is associative."""
-    if n_parts <= TREE_COMBINE_THRESHOLD:
-        return reduced
+def _class_batch_block(A_: np.ndarray, F_: np.ndarray, wc: np.ndarray, p: int):
+    """Per-class centered statistics of one batch's class subset.
 
-    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc = None
-        for b in batches:
-            col = b.column(0)
-            for i in range(b.num_rows):
-                cur = np.frombuffer(col[i].as_py(), dtype=np.float64)
-                acc = cur.copy() if acc is None else merge_two(acc, cur)
-        if acc is not None:
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+    Returns ``(swb, stb)`` with ``stb = [mu_a(p), mu_f(p), Caa(p), Caf(p),
+    Cff(p)]`` — weighted means and centered second moments of the
+    indicator pair ``(a = f⊙x_q, f)`` within the class. Centering per
+    batch (instead of raw Σw·a² sums cancelled on the driver) avoids the
+    catastrophic cancellation that raw sums hit for |mean|/std ≳ 1e3."""
+    swb = float(wc.sum())
+    if swb <= 0.0:
+        return 0.0, None
+    mu_a = (wc @ A_) / swb
+    mu_f = (wc @ F_) / swb
+    Ac = A_ - mu_a[None, :]
+    Fc = F_ - mu_f[None, :]
+    wAc = Ac * wc[:, None]
+    stb = np.concatenate([
+        mu_a, mu_f,
+        (wAc * Ac).sum(axis=0),
+        (wAc * Fc).sum(axis=0),
+        (Fc * Fc * wc[:, None]).sum(axis=0),
+    ])
+    return swb, stb
 
-    return reduced.repartition(8).mapInArrow(combine, _ACC_SCHEMA)
+
+def _class_block_merge(cls: np.ndarray, c: int, swb: float, stb: np.ndarray, p: int):
+    """In-place Chan merge of one class row ``cls[c] = [sw, mu_a(p),
+    mu_f(p), Caa(p), Caf(p), Cff(p)]`` with a batch block."""
+    sw_a = float(cls[c, 0])
+    if swb <= 0.0:
+        return
+    if sw_a == 0.0:
+        cls[c, 0] = swb
+        cls[c, 1:] = stb
+        return
+    tot = sw_a + swb
+    k = sw_a * swb / tot
+    mu = cls[c, 1 : 1 + 2 * p]
+    d = stb[: 2 * p] - mu
+    da, df_ = d[:p], d[p:]
+    cls[c, 1 : 1 + 2 * p] = mu + (swb / tot) * d
+    o = 1 + 2 * p
+    cls[c, o : o + p] += stb[2 * p : 3 * p] + k * da * da
+    cls[c, o + p : o + 2 * p] += stb[3 * p : 4 * p] + k * da * df_
+    cls[c, o + 2 * p :] += stb[4 * p : 5 * p] + k * df_ * df_
+    cls[c, 0] = tot
+
+
+def _class_blocks_merge(blk_a: np.ndarray, blk_b: np.ndarray, p: int) -> np.ndarray:
+    """Pairwise Chan merge of two per-class centered block matrices
+    (C × (1+5p)) — the cross-accumulator twin of ``_class_block_merge``."""
+    out = blk_a.copy()
+    for c in range(blk_a.shape[0]):
+        if blk_b[c, 0] > 0.0:
+            _class_block_merge(out, c, float(blk_b[c, 0]), blk_b[c, 1:], p)
+    return out
+
+
+def _class_anova_moments(
+    cls: np.ndarray, m: np.ndarray, col_wmeans: np.ndarray, p: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver algebra: per-class centered (a, f) blocks → the ANOVA moments
+    ``B[c,j] = Σ_{i∈c} w·(x_imp − x̄_j)`` and ``A[c,j] = Σ_{i∈c}
+    w·(x_imp − x̄_j)²``. Because ``x_imp = a − m·f + m`` is affine, its
+    within-class centered SS is ``Caa − 2m·Caf + m²·Cff`` and its class
+    mean is ``mu_a + m(1 − mu_f)``; the shift to the global mean adds
+    ``sw_c·d²`` (exact, no cancellation of large raw sums)."""
+    class_w = cls[:, 0].copy()
+    mu_a_c = cls[:, 1 : 1 + p]
+    mu_f_c = cls[:, 1 + p : 1 + 2 * p]
+    o = 1 + 2 * p
+    Caa_c = cls[:, o : o + p]
+    Caf_c = cls[:, o + p : o + 2 * p]
+    Cff_c = cls[:, o + 2 * p :]
+    mu_imp_c = mu_a_c + m[None, :] * (1.0 - mu_f_c)
+    C_imp_c = Caa_c - 2.0 * m[None, :] * Caf_c + (m * m)[None, :] * Cff_c
+    d = mu_imp_c - col_wmeans[None, :]
+    B = class_w[:, None] * d
+    A = C_imp_c + class_w[:, None] * d * d
+    return class_w, B, A
 
 
 def fused_singlepass_stats(
@@ -228,7 +331,7 @@ def fused_singlepass_stats(
             sw, mu, C = _chan_merge(sw, mu, C, swb, mub, Cb)
         if nonempty:
             acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [n]])
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+            yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         sw_m, mu_m, C_m = _chan_merge(
@@ -240,13 +343,9 @@ def fused_singlepass_stats(
              a[1 + q + q * q :] + b[1 + q + q * q :]]
         )
 
-    reduced = _tree_combine_fused(
+    total = _merge_collect(
         dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
     )
-    total = None
-    for row in reduced.collect():
-        cur = np.frombuffer(row.acc, dtype=np.float64)
-        total = cur.copy() if total is None else merge_two(total, cur)
     if total is None:
         total = np.zeros(out_len)
     sw = float(total[0])
@@ -303,13 +402,15 @@ def fused_singlepass_class_stats(
     - the centered Gram of the indicator-augmented vector ``V = [f⊙x_q, f]``
       (per-batch centering + Chan merge) → imputed correlation matrix via
       the same affine algebra as the regression kernel;
-    - per-class weighted sums ``Σw, Σw·(f⊙x_q), Σw·f, Σw·(f⊙x_q)²`` →
-      exact per-class imputed moments on the driver
-      (``Σw·x_imp = S1 + m(sw_c − Sf)``, ``Σw·x_imp² = S2 + m²(sw_c − Sf)``
-      because the finite and imputed parts of ``x_imp`` are disjoint);
+    - per-class CENTERED blocks ``(sw_c, mu_a, mu_f, Caa, Caf, Cff)``,
+      centered per batch and Chan-merged like the Gram block → exact
+      per-class imputed ANOVA moments on the driver
+      (``_class_anova_moments``). Raw Σw·a² sums cancelled against the
+      global mean would lose ~all precision at |mean|/std ≳ 1e3 — the
+      round-3 advice finding; the centered scheme is stable at any scale;
     - exact raw-f64 finite sums for the imputation means.
 
-    Communication: one ``(2p)² + C·(3p+1) + O(p)`` float64 accumulator per
+    Communication: one ``(2p)² + C·(5p+1) + O(p)`` float64 accumulator per
     partition. Rows with a null/NaN class code are skipped (factorization
     rejects missing labels upstream, so this only guards malformed input).
     """
@@ -326,9 +427,9 @@ def fused_singlepass_class_stats(
     dfp = df.select(*proj)
 
     # accumulator: [sw, mu(q), G(q²), rawsum(p), nfin(p), n,
-    #               per-class (sw_c, S1(p), Sf(p), S2(p)) × C]
+    #               per-class (sw_c, mu_a(p), mu_f(p), Caa(p), Caf(p), Cff(p)) × C]
     base = 1 + q + q * q + 2 * p + 1
-    cls_block = 1 + 3 * p
+    cls_block = 1 + 5 * p
     out_len = base + C_CLS * cls_block
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -372,41 +473,39 @@ def fused_singlepass_class_stats(
                 sw, mu, G = _chan_merge(sw, mu, G, swb, mub, Gb)
             ok = np.isfinite(yc)
             yi = yc[ok].astype(np.int64)
-            Xo, fo, wo = Xq[ok], fin[ok], w[ok]
+            Xo, fo, wo = Xq[ok], fin[ok].astype(np.float64), w[ok]
             for c in np.unique(yi):
                 if not (0 <= c < C_CLS):  # malformed code: skip, don't crash
                     continue
                 m_ = yi == c
-                wc = wo[m_]
-                cls[c, 0] += wc.sum()
-                cls[c, 1 : 1 + p] += wc @ Xo[m_]
-                cls[c, 1 + p : 1 + 2 * p] += wc @ fo[m_]
-                cls[c, 1 + 2 * p :] += wc @ (Xo[m_] * Xo[m_])
+                swb_c, stb = _class_batch_block(Xo[m_], fo[m_], wo[m_], p)
+                _class_block_merge(cls, c, swb_c, stb, p)
         if nonempty:
             acc = np.concatenate(
                 [[sw], mu, G.ravel(), rawsum, nfin, [n], cls.ravel()]
             )
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+            yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         sw_m, mu_m, G_m = _chan_merge(
             float(a[0]), a[1 : 1 + q], a[1 + q : 1 + q + q * q].reshape(q, q),
             float(b[0]), b[1 : 1 + q], b[1 + q : 1 + q + q * q].reshape(q, q),
         )
-        # everything past the centered block is a plain sum (raw sums,
-        # finite counts, n, per-class sums)
+        # raw sums, finite counts and n are plain sums; the per-class
+        # centered blocks Chan-merge like the Gram block
+        cls_m = _class_blocks_merge(
+            a[base:].reshape(C_CLS, cls_block),
+            b[base:].reshape(C_CLS, cls_block),
+            p,
+        )
         return np.concatenate(
             [[sw_m], np.asarray(mu_m).ravel(), np.asarray(G_m).ravel(),
-             a[1 + q + q * q :] + b[1 + q + q * q :]]
+             a[1 + q + q * q : base] + b[1 + q + q * q : base], cls_m.ravel()]
         )
 
-    reduced = _tree_combine_fused(
+    total = _merge_collect(
         dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
     )
-    total = None
-    for row in reduced.collect():
-        cur = np.frombuffer(row.acc, dtype=np.float64)
-        total = cur.copy() if total is None else merge_two(total, cur)
     if total is None:
         total = np.zeros(out_len)
     sw = float(total[0])
@@ -429,20 +528,9 @@ def fused_singlepass_class_stats(
     C_imp = Caa - afm - afm.T + np.outer(m, m) * Cff
     col_wmeans = mu_a + m * (1.0 - mu_f)
 
-    class_w = cls[:, 0].copy()
-    S1 = cls[:, 1 : 1 + p]
-    Sf = cls[:, 1 + p : 1 + 2 * p]
-    S2 = cls[:, 1 + 2 * p :]
-    miss = class_w[:, None] - Sf
-    sum_imp = S1 + m[None, :] * miss          # Σ_{i∈c} w·x_imp
-    sumsq_imp = S2 + (m * m)[None, :] * miss  # Σ_{i∈c} w·x_imp²
-    # centered at the global weighted mean, like class_moments_pass
-    B = sum_imp - col_wmeans[None, :] * class_w[:, None]
-    A = (
-        sumsq_imp
-        - 2.0 * col_wmeans[None, :] * sum_imp
-        + (col_wmeans * col_wmeans)[None, :] * class_w[:, None]
-    )
+    # centered at the global weighted mean, like class_moments_pass —
+    # from the per-class centered blocks (no raw-sum cancellation)
+    class_w, B, A = _class_anova_moments(cls, m, col_wmeans, p)
     return {
         "sw": np.float64(sw),
         "n": n,
@@ -584,7 +672,7 @@ def moments_singlepass_pass(
             sw, st = _colwise_chan_merge(sw, st, swb, stb, p)
         if nonempty:
             acc = np.concatenate([[sw], st, rawsum, nfin, sumq, sumsqq, [n]])
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+            yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         sw_m, st_m = _colwise_chan_merge(
@@ -592,13 +680,9 @@ def moments_singlepass_pass(
         )
         return np.concatenate([[sw_m], st_m, a[1 + st_len :] + b[1 + st_len :]])
 
-    reduced = _tree_combine_fused(
+    total = _merge_collect(
         dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
     )
-    total = None
-    for row in reduced.collect():
-        cur = np.frombuffer(row.acc, dtype=np.float64)
-        total = cur.copy() if total is None else merge_two(total, cur)
     if total is None:
         total = np.zeros(out_len)
 
@@ -777,13 +861,12 @@ def class_moments_singlepass_pass(
     quantize_f32: bool = True,
 ) -> dict:
     """O(C·p)-accumulator Arrow twin of impute_mean_pass +
-    class_moments_pass for wide frames (no Gram): per-class raw weighted
-    sums of ``(f⊙x_q, f, (f⊙x_q)²)`` plus exact f64 finite sums; the
-    ANOVA moments follow from the same affine identities as the fused
-    classification kernel. Per-class second moments accumulate raw f64
-    (not batch-centered) — fine to ~1e-9 relative for |mean|/std up to
-    ~1e3; for pathological scales use the JVM path (p ≤ MOMENTS_JVM_MAX_P
-    routes there automatically)."""
+    class_moments_pass for wide frames (no Gram): per-class CENTERED
+    weighted blocks of the indicator pair ``(f⊙x_q, f)`` (per-batch
+    centering + Chan merge — stable at any |mean|/std, unlike the raw
+    Σw·a² sums this replaced) plus exact f64 finite sums; the ANOVA
+    moments follow from the same affine identities as the fused
+    classification kernel (``_class_anova_moments``)."""
     p = len(feature_cols)
     C_CLS = int(n_classes)
     cols = list(feature_cols)
@@ -795,8 +878,8 @@ def class_moments_singlepass_pass(
         proj.append(F.col(wname).cast("double").alias("_w_"))
     dfp = df.select(*proj)
 
-    cls_block = 1 + 3 * p
-    # acc: [rawsum(p), nfin(p), n, cls(C×cls_block)]
+    cls_block = 1 + 5 * p
+    # acc: [rawsum(p), nfin(p), n, per-class centered blocks (C×cls_block)]
     out_len = 2 * p + 1 + C_CLS * cls_block
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -830,27 +913,31 @@ def class_moments_singlepass_pass(
             Xq = _quantize(Xz, quantize_f32) * fin
             ok = np.isfinite(yc)
             yi = yc[ok].astype(np.int64)
-            Xo, fo, wo = Xq[ok], fin[ok], w[ok]
+            Xo, fo, wo = Xq[ok], fin[ok].astype(np.float64), w[ok]
             for c in np.unique(yi):
                 if not (0 <= c < C_CLS):
                     continue
                 m_ = yi == c
-                wc = wo[m_]
-                cls[c, 0] += wc.sum()
-                cls[c, 1 : 1 + p] += wc @ Xo[m_]
-                cls[c, 1 + p : 1 + 2 * p] += wc @ fo[m_]
-                cls[c, 1 + 2 * p :] += wc @ (Xo[m_] * Xo[m_])
+                swb_c, stb = _class_batch_block(Xo[m_], fo[m_], wo[m_], p)
+                _class_block_merge(cls, c, swb_c, stb, p)
         if nonempty:
             acc = np.concatenate([rawsum, nfin, [n], cls.ravel()])
-            yield pa.RecordBatch.from_arrays([pa.array([acc.tobytes()])], ["acc"])
+            yield _acc_batch(acc)
 
-    reduced = _tree_combine_fused(
-        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(),
-        lambda a, b: a + b,  # everything is a plain sum
+    def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        head = a[: 2 * p + 1] + b[: 2 * p + 1]  # raw sums, finite counts, n
+        cls_m = _class_blocks_merge(
+            a[2 * p + 1 :].reshape(C_CLS, cls_block),
+            b[2 * p + 1 :].reshape(C_CLS, cls_block),
+            p,
+        )
+        return np.concatenate([head, cls_m.ravel()])
+
+    total = _merge_collect(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
     )
-    total = np.zeros(out_len)
-    for row in reduced.collect():
-        total = total + np.frombuffer(row.acc, dtype=np.float64)
+    if total is None:
+        total = np.zeros(out_len)
 
     rawsum, nfin, n = total[:p], total[p : 2 * p], float(total[2 * p])
     cls = total[2 * p + 1 :].reshape(C_CLS, cls_block)
@@ -858,23 +945,12 @@ def class_moments_singlepass_pass(
         np.where(nfin > 0, rawsum / np.maximum(nfin, 1), 0.0), quantize_f32
     )
     m = impute_means
-    class_w = cls[:, 0].copy()
-    S1 = cls[:, 1 : 1 + p]
-    Sf = cls[:, 1 + p : 1 + 2 * p]
-    S2 = cls[:, 1 + 2 * p :]
+    class_w = cls[:, 0]
     sw = float(class_w.sum())
-    miss = class_w[:, None] - Sf
-    sum_imp = S1 + m[None, :] * miss
-    sumsq_imp = S2 + (m * m)[None, :] * miss
-    col_wmeans = (
-        (S1.sum(axis=0) + m * (sw - Sf.sum(axis=0))) / sw if sw > 0 else np.zeros(p)
-    )
-    B = sum_imp - col_wmeans[None, :] * class_w[:, None]
-    A = (
-        sumsq_imp
-        - 2.0 * col_wmeans[None, :] * sum_imp
-        + (col_wmeans * col_wmeans)[None, :] * class_w[:, None]
-    )
+    # global weighted mean of the imputed columns from the class blocks
+    mu_imp_c = cls[:, 1 : 1 + p] + m[None, :] * (1.0 - cls[:, 1 + p : 1 + 2 * p])
+    col_wmeans = (class_w @ mu_imp_c) / sw if sw > 0 else np.zeros(p)
+    class_w, B, A = _class_anova_moments(cls, m, col_wmeans, p)
     return {
         "sw": np.float64(sw),
         "n": n,
@@ -1092,7 +1168,8 @@ def _finish_gram(
         else:
             out["C"] = G
         return out
-    R = G / sw
+    with np.errstate(invalid="ignore", divide="ignore"):  # sw=0 nan-degrade
+        R = G / sw
     R = 0.5 * (R + R.T)
     if clip is not None:
         # gaussian path clips (copula.py:187-189); classic corr-with-last

@@ -62,13 +62,15 @@ def f_regression_scores(
     scores = np.zeros(len(feature_cols), dtype=np.float64)
     ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
     r = np.zeros_like(scores)
-    r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
-    r2 = np.minimum(r * r, 0.99999)
-    scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
-
-    var = x_ss / sw
-    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
-    y_var = y_ss / sw
+    # errstate: an empty frame (sw = 0) degrades to nan statistics by
+    # design — silence only the intended invalid/zero divides
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
+        r2 = np.minimum(r * r, 0.99999)
+        scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
+        var = x_ss / sw
+        wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+        y_var = y_ss / sw
     return {
         "scores": scores,
         "sw": sw,
@@ -138,19 +140,22 @@ def fused_regression_stats(
     scores = np.zeros(p, dtype=np.float64)
     ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
     r = np.zeros(p)
-    r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
-    r2 = np.minimum(r * r, 0.99999)
-    scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
+    # errstate: an empty frame (sw = 0) degrades to nan statistics by
+    # design — silence only the intended invalid/zero divides
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r[ok] = xy[ok] / np.sqrt(x_ss[ok] * y_ss)
+        r2 = np.minimum(r * r, 0.99999)
+        scores[ok] = (r2[ok] / (1.0 - r2[ok])) * (sw - 2.0)
 
-    var = x_ss / sw
-    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
-    y_var = y_ss / sw
-    y_wstd = float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0
+        var = x_ss / sw
+        wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+        y_var = y_ss / sw
+        y_wstd = float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0
 
-    # standardized correlation structures (driver algebra, z = (x−μ)/σ)
-    denom = np.outer(wstds, wstds) * sw
-    R = 0.5 * (C + C.T) / denom
-    r_y_vec = c_y / (wstds * y_wstd * sw)
+        # standardized correlation structures (driver algebra, z = (x−μ)/σ)
+        denom = np.outer(wstds, wstds) * sw
+        R = 0.5 * (C + C.T) / denom
+        r_y_vec = c_y / (wstds * y_wstd * sw)
 
     return {
         "scores": scores,
@@ -208,10 +213,11 @@ def fused_classification_stats(
     )
     C = st["C"]
     x_ss = np.diag(C).copy()
-    var = x_ss / sw
-    wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
-    denom = np.outer(wstds, wstds) * sw
-    R = 0.5 * (C + C.T) / denom
+    with np.errstate(invalid="ignore", divide="ignore"):  # sw=0 nan-degrade
+        var = x_ss / sw
+        wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+        denom = np.outer(wstds, wstds) * sw
+        R = 0.5 * (C + C.T) / denom
     return {
         "scores": scores,
         "sw": sw,
@@ -302,6 +308,16 @@ def ks_classif_scores(
     range ids and broadcast back as offsets, so the in-range window
     partitions by (range, fid) — bounded by partition size regardless of
     per-feature cardinality.
+
+    Cost note (``subsample=None``): the melt materializes n × p rows
+    before the (fid, x) groupBy collapses them to distinct values — that
+    shuffle volume is INHERENT to the exact global ECDF (every feature's
+    full value multiset must be co-sorted somewhere). It is fully parallel
+    (no per-feature funnel) but at 10¹² rows × 100s of features it is a
+    multi-PB exchange; prefer the reference's own bounded-subsample
+    default (50k rows) for KS relevance and reserve ``subsample=None``
+    for low-cardinality/heavily-duplicated features where the groupBy
+    collapses early via partial aggregation.
     """
     from pyspark.sql.window import Window
 
@@ -337,6 +353,12 @@ def ks_classif_scores(
         .withColumn("_rid", F.spark_partition_id())
         .persist()
     )
+    # materialize BEFORE both consumers read it: the offsets aggregate and
+    # the probe join must see ONE _rid assignment. If the cache were lazy
+    # and a block got lost, the range exchange could re-sample boundaries
+    # and assign different rids per consumer, silently corrupting the
+    # cumulative ECDF (same pin rule as copula.rank_gauss_transform).
+    ranged.count()
     wo = Window.partitionBy("_fid").orderBy("_rid").rowsBetween(
         Window.unboundedPreceding, -1
     )
