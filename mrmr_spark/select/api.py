@@ -258,12 +258,23 @@ def select_mrmr(
         )
 
     # general path: relevance scans -> prefilter -> Gram on candidates;
-    # persist pays for itself once >= 3 scans read the matrix.
+    # persist pays for itself once >= 3 scans read the matrix. relevance='f'
+    # reads it exactly twice (ONE Arrow moments scan + the candidate Gram),
+    # so it runs no-persist like the fused fast paths — at 10¹²-row
+    # subsample=None a MEMORY_AND_DISK persist would be exactly the
+    # materialization the single-pass redesign exists to avoid. ks/rf
+    # genuinely re-read the matrix (ECDF melt / forest fits) and keep it.
     # For ks/rf the moment passes still run (they feed standardization and
     # the Gram pass); only the relevance VECTOR is swapped — exactly the
     # reference's structure (relevance dispatch feeds the same mrmr_select).
-    df = df.persist()
+    do_persist = relevance != "f"
+    pinned = df.persist() if do_persist else None
+    if pinned is not None:
+        df = pinned
     if task == "classification":
+        # NOTE: factorize_target rebinds df to a derived frame; its scans
+        # still hit the persisted parent, but unpersist must target
+        # ``pinned``, not the rebound df (which was never persisted).
         df, labels = factorize_target(df, target_col, "_y_code")
         stats = rel_est.f_classif_scores(
             df, feature_cols, "_y_code", len(labels), wcol, quantize_f32
@@ -291,7 +302,8 @@ def select_mrmr(
     rel = stats["scores"]
     cand = _prefilter(rel, k, top_m)
     if cand.size == 0:
-        df.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
 
     cand_cols = [feature_cols[i] for i in cand]
@@ -308,7 +320,8 @@ def select_mrmr(
     sel_local = loops.mrmr_greedy(
         gram["R"], rel[cand], k, use_quotient=(formula == "quotient"), redundancy="abs_corr"
     )
-    df.unpersist()
+    if pinned is not None:
+        pinned.unpersist()
     idx = cand[sel_local]
     return SelectionResult(
         [feature_cols[i] for i in idx], idx, rel, feature_cols, labels,

@@ -138,25 +138,42 @@ def select_cached(
     joined = cache.z.join(zy.select(ROW_KEY, "zy__yv"), ROW_KEY)
 
     p = len(cache.z_cols)
-    zero = np.zeros(p)
-    one = np.ones(p)
-    gram = kernels.gram_pass(
-        joined, cache.z_cols, "weight", zero, zero, one,
-        y_col="zy__yv", y_wmean=0.0, y_wstd=1.0,
-        quantize_f32=True, clip=0.999999,
-    )
-    for dep in pins:  # gram collected -> the y-melt pin can go
-        dep.unpersist()
-    R_full, r = gram["R"], gram["r_y"]
-    rel = loops.gaussian_mi_from_corr(r)
-
     tm = min(_default_top_m(top_m, k), p)
     if tm < p:
+        # two-job lifecycle (SURVEY.md §3.2; reference cefsplus.py:464-487):
+        # job 2 ranks ALL p features with an O(p)-accumulator r-vector scan;
+        # job 3 computes the O(m²) Gram on the top_m candidates ONLY. A full
+        # p×p Gram here would put an O(p²)-double accumulator in every task
+        # (p = 5,000 → 200 MB/partition) to produce rows/columns the greedy
+        # loop never reads.
+        rv = kernels.r_vector_pass(
+            joined, cache.z_cols, "weight", "zy__yv", quantize_f32=True,
+            clip=0.999999,
+        )
+        r = rv["r_y"]
         cand = np.argpartition(np.abs(r), -tm)[-tm:]
+        cand_cols = [cache.z_cols[i] for i in cand]
+        zero_m = np.zeros(len(cand))
+        gram = kernels.gram_pass(
+            joined, cand_cols, "weight", zero_m, zero_m, np.ones(len(cand)),
+            quantize_f32=True, clip=0.999999,
+        )
+        R_cand = gram["R"]
     else:
+        # no prefilter: ONE fused scan yields the full Gram and r together
+        zero = np.zeros(p)
+        gram = kernels.gram_pass(
+            joined, cache.z_cols, "weight", zero, zero, np.ones(p),
+            y_col="zy__yv", y_wmean=0.0, y_wstd=1.0,
+            quantize_f32=True, clip=0.999999,
+        )
+        r = gram["r_y"]
         cand = np.arange(p)
+        R_cand = gram["R"]
+    for dep in pins:  # reductions collected -> the y-melt pin can go
+        dep.unpersist()
+    rel = loops.gaussian_mi_from_corr(r)
 
-    R_cand = R_full[np.ix_(cand, cand)]
     keep = loops.greedy_corr_prune(R_cand, np.abs(r[cand]), corr_prune)
     cand = cand[keep]
     R_cand = R_cand[np.ix_(keep, keep)]

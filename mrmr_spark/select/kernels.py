@@ -1183,3 +1183,65 @@ def _finish_gram(
     else:
         result["R"] = R
     return result
+
+
+def r_vector_pass(
+    df: DataFrame,
+    feature_cols: list[str],
+    weight_col: str | None,
+    y_col: str,
+    quantize_f32: bool = True,
+    clip: float | None = 0.999999,
+) -> dict:
+    """Job 2 of the cached-selection lifecycle (SURVEY.md §3.2; reference
+    cefsplus.py:464-487): the corr-with-target vector ALONE, as one O(p)
+    Arrow scan over already-standardized columns (copula Z: mean 0, std 1,
+    non-finite impossible by construction but treated as 0 like
+    ``gram_pass`` with zero impute means).
+
+    The accumulator is ``[Σ w·z_j·z_y (p), Σ w·z_y², Σw]`` — O(p) doubles
+    per partition, never O(p²). This lets ``select_cached`` rank ALL p
+    cached features cheaply and reserve the O(m²) Gram (job 3) for the
+    top_m ≤ max(5k, 250) candidates, instead of a full p×p Gram whose
+    per-partition accumulator would be 200 MB at p = 5,000.
+    """
+    p = len(feature_cols)
+    cols = list(feature_cols)
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    proj.append(F.col(y_col).cast("double").alias(y_col))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias(weight_col))
+    dfp = df.select(*proj)
+
+    def term(batch: pa.RecordBatch) -> np.ndarray:
+        X = _batch_cols(batch, cols)
+        n = X.shape[0]
+        w = (
+            np.asarray(
+                batch.column(batch.schema.get_field_index(weight_col)).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else np.ones(n)
+        )
+        fin = np.isfinite(X)
+        Z = np.where(fin, _quantize(np.where(fin, X, 0.0), quantize_f32), 0.0)
+        y = np.asarray(
+            batch.column(batch.schema.get_field_index(y_col)).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        zy = _quantize(np.where(np.isfinite(y), y, 0.0), quantize_f32)
+        wzy = w * zy
+        out = np.empty(p + 2, dtype=np.float64)
+        out[:p] = wzy @ Z
+        out[p] = wzy @ zy
+        out[p + 1] = w.sum()
+        return out
+
+    acc = arrow_reduce(dfp, term, p + 2)
+    sw = float(acc[p + 1])
+    with np.errstate(invalid="ignore", divide="ignore"):  # sw=0 nan-degrade
+        r = acc[:p] / sw
+    if clip is not None:
+        np.clip(r, -clip, clip, out=r)
+    return {"r_y": r, "sw": sw, "c_yy": float(acc[p])}

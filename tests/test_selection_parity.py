@@ -9,6 +9,7 @@ import pytest
 
 import oracle_sift as oracle
 from mrmr_spark.select import select_cefsplus, select_jmi, select_mrmr
+from mrmr_spark.select.api import FUSED_REGRESSION_MAX_P
 from mrmr_spark.select.relevance import f_classif_scores, f_regression_scores
 
 
@@ -473,6 +474,79 @@ def test_wide_cache_build_oracle_parity(spark):
         cache.unpersist()
     exp = oracle.gaussian_select(X, pdf["y"].to_numpy(), 5, method="mrmr_quot")
     assert got.names == [cols[i] for i in exp]
+
+
+def test_cached_top_m_two_job_lifecycle(spark, monkeypatch):
+    """When top_m < p, select_cached must run the SURVEY §3.2 two-job
+    lifecycle: an O(p) r-vector scan ranks all features, and the Gram pass
+    sees ONLY the top_m candidate columns (accumulator sized by len(cand),
+    not p) — and the selection still matches the pandas oracle given the
+    same prefilter."""
+    from mrmr_spark.select import kernels
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    rng = np.random.default_rng(17)
+    n, p, tm, k = 500, 30, 8, 4
+    X = rng.normal(size=(n, p))
+    cols = [f"h{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = 2.0 * X[:, 3] - X[:, 7] + 0.1 * rng.normal(size=n)
+    sdf = spark.createDataFrame(pdf).repartition(4).cache()
+    sdf.count()
+
+    gram_widths: list[int] = []
+    real_gram = kernels.gram_pass
+
+    def spy(df, feature_cols, *a, **kw):
+        gram_widths.append(len(feature_cols))
+        return real_gram(df, feature_cols, *a, **kw)
+
+    cache = build_cache(sdf, cols, subsample=None)
+    try:
+        monkeypatch.setattr(kernels, "gram_pass", spy)
+        got = select_cached(cache, "y", k, method="mrmr_quot", top_m=tm)
+    finally:
+        monkeypatch.setattr(kernels, "gram_pass", real_gram)
+        cache.unpersist()
+        sdf.unpersist()
+    assert gram_widths == [tm], gram_widths  # Gram sized by candidates, not p
+    exp = oracle.gaussian_select(
+        X, pdf["y"].to_numpy(), k, method="mrmr_quot", top_m=tm
+    )
+    assert got.names == [cols[i] for i in exp]
+
+
+def test_wide_f_path_runs_no_persist(spark, monkeypatch):
+    """p > FUSED_REGRESSION_MAX_P with relevance='f' reads the matrix
+    exactly twice (one Arrow moments scan + the candidate Gram) — below
+    the >= 3-scan persist threshold, so the general path must NOT persist:
+    at 10¹² rows a MEMORY_AND_DISK persist is exactly the materialization
+    the single-pass redesign avoids. ks/rf keep their persist (they
+    genuinely re-read)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    rng = np.random.default_rng(23)
+    n, p = 400, FUSED_REGRESSION_MAX_P + 6
+    X = rng.normal(size=(n, p))
+    cols = [f"w{j}" for j in range(p)]
+    pdf = pd.DataFrame(X, columns=cols)
+    pdf["y"] = X[:, 2] + 0.2 * rng.normal(size=n)
+    pdf["yc"] = (X[:, 2] > 0).astype(int).astype(str)
+    sdf = spark.createDataFrame(pdf)
+
+    persists: list[str] = []
+    real_persist = SparkDF.persist
+
+    def spy(self, *a, **kw):
+        persists.append("persist")
+        return real_persist(self, *a, **kw)
+
+    monkeypatch.setattr(SparkDF, "persist", spy)
+    res = select_mrmr(sdf, cols, "y", 3, task="regression", subsample=None)
+    res_c = select_mrmr(sdf, cols, "yc", 3, task="classification", subsample=None)
+    monkeypatch.setattr(SparkDF, "persist", real_persist)
+    assert persists == [], persists  # f-path: zero persists end to end
+    assert res.names[0] == "w2" and res_c.names[0] == "w2"
 
 
 def test_fused_kernels_tree_combine_many_partitions(spark):
