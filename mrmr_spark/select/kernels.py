@@ -41,6 +41,13 @@ _ACC_SCHEMA = "pid long, acc binary"
 #: partition counts above this get a two-level (tree) combine before collect
 TREE_COMBINE_THRESHOLD = 64
 
+#: plan-audit hook (tools/audit_plans.py): when set to a list, every kernel
+#: scan appends its executed physical plan string after its collect. The
+#: selection passes drive their own Spark jobs internally (the caller only
+#: sees numpy results), so the PLANS.md audit cannot reach these plans from
+#: any returned DataFrame — this is the tap. None (the default) is free.
+PLAN_LOG: list[str] | None = None
+
 
 def _acc_batch(acc: np.ndarray, pid: int | None = None) -> pa.RecordBatch:
     """One (source-partition-id, accumulator-bytes) row."""
@@ -103,6 +110,8 @@ def _merge_collect(reduced: DataFrame, n_parts: int, merge_two) -> np.ndarray | 
     for row in sorted(reduced.collect(), key=lambda r: r.pid):
         cur = np.frombuffer(row.acc, dtype=np.float64)
         total = cur.copy() if total is None else merge_two(total, cur)
+    if PLAN_LOG is not None:
+        PLAN_LOG.append(reduced._jdf.queryExecution().executedPlan().toString())
     return total
 
 

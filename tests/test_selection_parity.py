@@ -549,6 +549,37 @@ def test_wide_f_path_runs_no_persist(spark, monkeypatch):
     assert res.names[0] == "w2" and res_c.names[0] == "w2"
 
 
+def test_default_selection_plan_shapes(spark, monkeypatch):
+    """Physical-plan invariants of the default selection paths (the PLANS.md
+    selection-scan audit, as a regression test): fused p<=64 runs exactly ONE
+    kernel scan, the wide f-path exactly TWO (moments + candidate Gram), and
+    every scan is a single MapInArrow stage with no exchange and no
+    InMemoryRelation — the matrix is never shuffled or materialized."""
+    from mrmr_spark.select import kernels
+
+    rng = np.random.default_rng(31)
+
+    def run(p):
+        n = 300
+        X = rng.normal(size=(n, p))
+        cols = [f"s{j}" for j in range(p)]
+        pdf = pd.DataFrame(X, columns=cols)
+        pdf["y"] = X[:, 1] + 0.2 * rng.normal(size=n)
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(kernels, "PLAN_LOG", [])
+        select_mrmr(sdf, cols, "y", 3, task="regression", subsample=None)
+        return kernels.PLAN_LOG
+
+    for p, expected_scans in ((8, 1), (FUSED_REGRESSION_MAX_P + 6, 2)):
+        plans = run(p)
+        assert len(plans) == expected_scans, (p, len(plans))
+        for s in plans:
+            s = s.split("== Initial Plan ==")[0]
+            assert s.count("MapInArrow") == 1, s
+            assert "Exchange" not in s, s
+            assert "InMemory" not in s, s
+
+
 def test_fused_kernels_tree_combine_many_partitions(spark):
     """Past TREE_COMBINE_THRESHOLD partitions the fused kernels pre-merge
     accumulators executor-side (Chan for centered blocks, plain sum for the

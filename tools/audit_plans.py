@@ -30,10 +30,10 @@ def formatted(df) -> str:
     )
 
 
-def summarize(df):
+def summarize_str(s: str):
     # executed AQE plans print final plan + "== Initial Plan ==" echo; count
     # only the final plan's nodes
-    s = plan_str(df).split("== Initial Plan ==")[0]
+    s = s.split("== Initial Plan ==")[0]
     return {
         "exchanges": len(re.findall(r"\bExchange hashpartitioning", s)),
         "range_or_single_exchanges": len(re.findall(r"Exchange (rangepartitioning|SinglePartition)", s)),
@@ -42,7 +42,12 @@ def summarize(df):
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", s))),
         "python_nodes": len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInArrow|FlatMapGroupsInPandas|MapInPandas)", s)),
         "sorts": len(re.findall(r"\bSort \[", s)),
+        "inmemory": len(re.findall(r"InMemoryTableScan|InMemoryRelation", s)),
     }
+
+
+def summarize(df):
+    return summarize_str(plan_str(df))
 
 
 def pushed_filters(df) -> str:
@@ -105,7 +110,60 @@ def main():
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
-          "already run (2 aggregate jobs over the persisted matrix)")
+          "already run (see the selection-scan section below for those plans)")
+
+    # ---- selection scans (captured via kernels.PLAN_LOG) ----------------
+    # The selection passes drive their own Spark jobs internally and return
+    # numpy, so their plans are invisible from any returned DataFrame. The
+    # PLAN_LOG tap records each kernel scan's executed plan at collect time.
+    from mrmr_spark.select import kernels as sel_kernels
+    from mrmr_spark.select.api import select_mrmr
+
+    def feature_frame(p: int, n: int = 20_000, classes: int = 0):
+        cols = [F.sin(F.col("id") * (j + 1)).alias(f"f{j}") for j in range(p)]
+        y = ((F.col("id") % classes).cast("double") if classes
+             else F.sin(F.col("id")) + F.sin(F.col("id") * 3.0) * 0.5).alias("y")
+        return spark.range(n).select(*cols, y), [f"f{j}" for j in range(p)]
+
+    sel_sections = []
+    violations = []
+
+    def audit_selection(name, p, expect_scans, expect, classes=0, **kw):
+        df, cols = feature_frame(p, classes=classes)
+        sel_kernels.PLAN_LOG = []
+        try:
+            select_mrmr(df, cols, "y", k=5, subsample=None, **kw)
+            scans = [summarize_str(s) for s in sel_kernels.PLAN_LOG]
+        finally:
+            sel_kernels.PLAN_LOG = None
+        sel_sections.append((name, scans, expect))
+        if len(scans) != expect_scans:
+            violations.append(f"{name}: expected {expect_scans} scans, saw {len(scans)}")
+        for i, m in enumerate(scans):
+            if m["python_nodes"] != 1:
+                violations.append(f"{name} scan{i}: expected exactly 1 Python stage, "
+                                  f"saw {m['python_nodes']}")
+            if m["exchanges"] + m["range_or_single_exchanges"] > 0:
+                violations.append(f"{name} scan{i}: unexpected exchange")
+            if m["inmemory"] > 0:
+                violations.append(f"{name} scan{i}: unexpected InMemoryRelation "
+                                  "(path should run no-persist)")
+
+    audit_selection(
+        "select_mrmr fused single-pass (p=20, default plan)", 20, 1,
+        "ONE no-persist MapInArrow scan computes the full augmented Gram "
+        "(relevance + redundancy + imputation in a single reduction); "
+        "0 exchanges, 0 InMemoryRelation — the matrix is never materialized")
+    audit_selection(
+        "select_mrmr wide f-path (p=200: moments scan + candidate Gram)", 200, 2,
+        "TWO no-persist MapInArrow scans — an O(p) Chan-merged moments scan "
+        "(relevance), then the Gram on the top_m candidates only; "
+        "0 exchanges, 0 InMemoryRelation on either scan")
+    audit_selection(
+        "select_mrmr fused classification (p=20, default plan)", 20, 1,
+        "single-scan twin of the regression fast path: weighted-ANOVA F "
+        "relevance AND the full |corr| redundancy from ONE MapInArrow scan",
+        classes=3, task="classification", relevance="f")
 
     lines = [
         "# PLANS — physical-plan audit of the key operators",
@@ -131,11 +189,45 @@ def main():
         if pf:
             lines.append(f"- pushed filters: `{pf}`")
         lines.append("")
+
+    lines += [
+        "# Selection scans (captured via `mrmr_spark.select.kernels.PLAN_LOG`)",
+        "",
+        "The selection kernels drive their own Spark jobs and return numpy, so",
+        "their plans are captured at collect time. Asserted per scan: exactly",
+        "one Python stage (the Arrow reduction), zero exchanges, zero",
+        "InMemoryRelation (the default paths run no-persist).",
+        "",
+        "| selection path | scan | hash exch | other exch | codegen spans | python nodes | in-memory |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, scans, expect in sel_sections:
+        for i, m in enumerate(scans):
+            lines.append(
+                f"| {name} | {i} | {m['exchanges']} | {m['range_or_single_exchanges']} | "
+                f"{m['codegen_spans']} | {m['python_nodes']} | {m['inmemory']} |"
+            )
+    lines.append("")
+    for name, scans, expect in sel_sections:
+        lines.append(f"## {name}")
+        lines.append(f"- expectation: {expect}")
+        lines.append(f"- scans observed: {len(scans)}")
+        lines.append("")
+    if violations:
+        lines.append("## VIOLATIONS")
+        for v in violations:
+            lines.append(f"- {v}")
+        lines.append("")
     with open(OUT, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines[:20]))
     print(f"... written to {OUT}")
     spark.stop()
+    if violations:
+        print("PLAN VIOLATIONS:")
+        for v in violations:
+            print(f"  - {v}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
