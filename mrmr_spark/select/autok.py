@@ -197,19 +197,7 @@ def _ridge_path_scores(
     G = gram["R"] * sw
     g = gram["r_y"] * sw * stats["y_wstd"]
 
-    alphas = np.logspace(-3, 3, 10)
-    p = len(path)
-    keys: list[tuple[int, int]] = []
-    bcols: list[np.ndarray] = []
-    for kk in k_grid:
-        kk_eff = min(kk, p)
-        for ai, a in enumerate(alphas):
-            beta = np.linalg.solve(G[:kk_eff, :kk_eff] + a * np.eye(kk_eff), g[:kk_eff])
-            bc = np.zeros(p)
-            bc[:kk_eff] = beta
-            bcols.append(bc)
-            keys.append((kk, ai))
-    B = np.column_stack(bcols)
+    B, keys = _ridge_betas(G, g, k_grid, len(path))
 
     losses = _regression_loss_pass(
         val, path, target_col, weight_col,
@@ -223,6 +211,177 @@ def _ridge_path_scores(
             v = float(np.sqrt(v))
         scores[kk] = min(scores.get(kk, np.inf), v)
     return scores
+
+
+_RIDGE_ALPHAS = np.logspace(-3, 3, 10)
+
+
+def _ridge_inputs_from_fused(st: dict) -> dict:
+    """Standardized ridge inputs (R, r_y, stds) from a fused imputed-moment
+    stats dict (kernels._finish_fused_acc) — the same driver algebra as
+    relevance.fused_regression_stats' tail."""
+    sw = float(st["sw"])
+    C, c_y, y_ss = st["C"], st["c_y"], float(st["c_yy"])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x_ss = np.diag(C).copy()
+        var = x_ss / sw
+        wstds = np.where(var > 1e-12, np.sqrt(var), 1.0)
+        y_var = y_ss / sw
+        y_wstd = float(np.sqrt(y_var)) if y_var > 1e-12 else 1.0
+        denom = np.outer(wstds, wstds) * sw
+        R = 0.5 * (C + C.T) / denom
+        r_y = c_y / (wstds * y_wstd * sw)
+    return {
+        "sw": sw, "wmeans": st["col_wmeans"], "wstds": wstds,
+        "impute_means": st["impute_means"], "y_wmean": float(st["y_wmean"]),
+        "y_wstd": y_wstd, "R": R, "r_y": r_y,
+    }
+
+
+def _ridge_betas(G: np.ndarray, g: np.ndarray, k_grid: list[int], p: int):
+    """All (k-prefix × alpha) closed-form ridge solutions as zero-padded
+    beta columns; returns (B[p, M], keys[(k, alpha_idx)])."""
+    keys: list[tuple[int, int]] = []
+    bcols: list[np.ndarray] = []
+    for kk in k_grid:
+        kk_eff = min(kk, p)
+        for ai, a in enumerate(_RIDGE_ALPHAS):
+            beta = np.linalg.solve(G[:kk_eff, :kk_eff] + a * np.eye(kk_eff), g[:kk_eff])
+            bc = np.zeros(p)
+            bc[:kk_eff] = beta
+            bcols.append(bc)
+            keys.append((kk, ai))
+    return np.column_stack(bcols), keys
+
+
+def _grouped_regression_loss_pass(
+    df: DataFrame,
+    path: list[str],
+    y_col: str,
+    weight_col: str | None,
+    fold_col: str,
+    imput: np.ndarray,
+    mu: np.ndarray,
+    sd: np.ndarray,
+    y_wmean: np.ndarray,
+    B: np.ndarray,
+    metric: str,
+) -> np.ndarray:
+    """Fold-grouped twin of ``_regression_loss_pass``: ONE Arrow scan of the
+    fold-tagged frame scores every split's models on that split's val fold.
+    Each row is val data for exactly the split whose index equals its fold,
+    standardized with THAT split's train stats (``imput``/``mu``/``sd``/
+    ``y_wmean`` are (S, p) / (S,); ``B`` is (S, p, M)). Returns (S, M)
+    weighted mean losses (inf where a fold had no weight)."""
+    S, p, M = B.shape
+    proj = [F.col(c).cast("double").alias(c) for c in path]
+    proj.append(F.col(y_col).cast("double").alias("_y_"))
+    proj.append(F.col(fold_col).cast("long").alias("_f_"))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+    imput = np.ascontiguousarray(imput, dtype=np.float64)
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    sd = np.ascontiguousarray(sd, dtype=np.float64)
+    y_wmean = np.ascontiguousarray(y_wmean, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+
+    def term(batch) -> np.ndarray:
+        X = kernels._batch_cols(batch, path)
+        y = np.asarray(
+            batch.column(batch.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        fold = np.asarray(
+            batch.column(batch.schema.get_field_index("_f_")).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        w = (
+            np.asarray(
+                batch.column(batch.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else np.ones(X.shape[0])
+        )
+        out = np.zeros((S, M + 1), dtype=np.float64)
+        ok = np.isfinite(y)
+        for f in np.unique(fold):
+            sel = (fold == f) & ok
+            if not sel.any():
+                continue
+            fin = np.isfinite(X[sel])
+            Xq = np.where(fin, X[sel], imput[f][None, :])
+            Z = (Xq - mu[f][None, :]) / sd[f][None, :]
+            R = (y[sel] - y_wmean[f])[:, None] - Z @ B[f]
+            L = np.abs(R) if metric == "mae" else R * R
+            out[f, :M] += w[sel] @ L
+            out[f, M] += w[sel].sum()
+        return out.ravel()
+
+    acc = kernels.arrow_reduce(dfp, term, S * (M + 1)).reshape(S, M + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        losses = np.where(acc[:, M:] > 0.0, acc[:, :M] / acc[:, M:], np.inf)
+    return losses
+
+
+def _ridge_group_cv_scores(
+    folded: DataFrame,
+    path: list[str],
+    target_col: str,
+    weight_col: str | None,
+    k_grid: list[int],
+    metric: str,
+    n_splits: int,
+) -> dict[int, float]:
+    """Group-CV ridge evaluate in TWO scans total (was 3 × n_splits
+    sequential scans): one fold-keyed fused stats pass (every leave-one-
+    fold-out train split's moments AND Gram by driver-side Chan merges of
+    the per-fold accumulators), then one fold-grouped loss pass scoring
+    every split's (k, alpha) models on its own val fold."""
+    p = len(path)
+    accs = kernels.fused_foldwise_stats(
+        folded, path, target_col, "_fold", n_splits, weight_col, quantize_f32=False
+    )
+    M = len(k_grid) * len(_RIDGE_ALPHAS)
+    B = np.zeros((n_splits, p, M))
+    imput = np.zeros((n_splits, p))
+    mus = np.zeros((n_splits, p))
+    sds = np.ones((n_splits, p))
+    ymn = np.zeros(n_splits)
+    live = np.zeros(n_splits, dtype=bool)
+    keys = None
+    for v in range(n_splits):
+        st = kernels.finish_loo_stats(accs, v, p, quantize_f32=False)
+        ri = _ridge_inputs_from_fused(st)
+        G = ri["R"] * ri["sw"]
+        g = ri["r_y"] * ri["sw"] * ri["y_wstd"]
+        if not (np.isfinite(G).all() and np.isfinite(g).all() and ri["sw"] > 0):
+            continue  # degenerate train split -> inf scores for this fold
+        B[v], keys = _ridge_betas(G, g, k_grid, p)
+        imput[v], mus[v], sds[v], ymn[v] = (
+            ri["impute_means"], ri["wmeans"], ri["wstds"], ri["y_wmean"],
+        )
+        live[v] = True
+    if keys is None:
+        return {kk: float("inf") for kk in k_grid}
+
+    losses = _grouped_regression_loss_pass(
+        folded, path, target_col, weight_col, "_fold", imput, mus, sds, ymn,
+        B, metric,
+    )
+    per_split: list[dict[int, float]] = []
+    for v in range(n_splits):
+        scores_v: dict[int, float] = {}
+        for (kk, _ai), lv in zip(keys, losses[v]):
+            lv = float(lv) if (live[v] and np.isfinite(lv)) else np.inf
+            if metric == "rmse" and np.isfinite(lv):
+                lv = float(np.sqrt(lv))
+            scores_v[kk] = min(scores_v.get(kk, np.inf), lv)
+        per_split.append(scores_v)
+    return {
+        kk: float(np.mean([s[kk] for s in per_split])) for kk in k_grid
+    }
 
 
 def _softmax_fit(
@@ -476,16 +635,27 @@ def select_k_evaluate(
         if n_splits < 2:
             raise ValueError(f"group_cv requires at least 2 groups, got {n_groups}")
         fold = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_splits))
-        folded = df.withColumn("_fold", fold).persist()
-        all_scores: dict[int, list[float]] = {kk: [] for kk in k_grid}
-        for f_ in range(n_splits):
-            train = folded.where(F.col("_fold") != f_)
-            val = folded.where(F.col("_fold") == f_)
-            s = _score_split(train, val)
-            for kk, v in s.items():
-                all_scores[kk].append(v)
-        folded.unpersist()
-        scores = {kk: float(np.mean(v)) for kk, v in all_scores.items()}
+        folded = df.withColumn("_fold", fold)
+        if task == "regression":
+            # shared-scan path: TWO scans total (fold-keyed fused stats +
+            # fold-grouped loss) instead of 3 × n_splits sequential scans —
+            # no persist needed at exactly two reads of the frame
+            scores = _ridge_group_cv_scores(
+                folded, path, target_col, weight_col, k_grid, metric, n_splits
+            )
+        else:
+            # classification still loops (the softmax fit collects a
+            # bounded per-split train sample on the driver)
+            folded = folded.persist()
+            all_scores: dict[int, list[float]] = {kk: [] for kk in k_grid}
+            for f_ in range(n_splits):
+                train = folded.where(F.col("_fold") != f_)
+                val = folded.where(F.col("_fold") == f_)
+                s = _score_split(train, val)
+                for kk, v in s.items():
+                    all_scores[kk].append(v)
+            folded.unpersist()
+            scores = {kk: float(np.mean(v)) for kk, v in all_scores.items()}
     else:
         raise ValueError(f"Unknown strategy: {config.strategy}")
 

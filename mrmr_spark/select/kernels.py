@@ -322,41 +322,67 @@ def fused_singlepass_stats(
                 if wname
                 else np.ones(X.shape[0])
             )
-            fin = np.isfinite(X)
-            Xz = np.where(fin, X, 0.0)
-            rawsum += Xz.sum(axis=0)
-            nfin += fin.sum(axis=0)
-            n += X.shape[0]
-            V = np.empty((X.shape[0], q))
-            V[:, :p] = _quantize(Xz, quantize_f32) * fin
-            V[:, p : 2 * p] = fin
-            V[:, 2 * p] = _quantize(y, quantize_f32)
-            swb = float(w.sum())
+            swb, mub, Cb, rs, nf, nn = _fused_batch_block(X, y, w, p, quantize_f32)
+            rawsum += rs
+            nfin += nf
+            n += nn
             if swb <= 0.0:
                 continue
-            mub = (w @ V) / swb
-            Vc = V - mub[None, :]
-            Cb = Vc.T @ (Vc * w[:, None])
             sw, mu, C = _chan_merge(sw, mu, C, swb, mub, Cb)
         if nonempty:
             acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [n]])
             yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        sw_m, mu_m, C_m = _chan_merge(
-            float(a[0]), a[1 : 1 + q], a[1 + q : 1 + q + q * q].reshape(q, q),
-            float(b[0]), b[1 : 1 + q], b[1 + q : 1 + q + q * q].reshape(q, q),
-        )
-        return np.concatenate(
-            [[sw_m], np.asarray(mu_m).ravel(), np.asarray(C_m).ravel(),
-             a[1 + q + q * q :] + b[1 + q + q * q :]]
-        )
+        return _fused_slot_merge(a, b, q)
 
     total = _merge_collect(
         dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
     )
     if total is None:
         total = np.zeros(out_len)
+    return _finish_fused_acc(total, p, quantize_f32)
+
+
+def _fused_batch_block(X, y, w, p: int, quantize_f32: bool):
+    """One batch's contribution to the indicator-augmented accumulator:
+    ``(swb, mub, Cb, rawsum, nfin, n)`` for V = [f⊙x_q, f, y_q]."""
+    q = 2 * p + 1
+    fin = np.isfinite(X)
+    Xz = np.where(fin, X, 0.0)
+    rawsum = Xz.sum(axis=0)
+    nfin = fin.sum(axis=0).astype(np.float64)
+    n = float(X.shape[0])
+    V = np.empty((X.shape[0], q))
+    V[:, :p] = _quantize(Xz, quantize_f32) * fin
+    V[:, p : 2 * p] = fin
+    V[:, 2 * p] = _quantize(y, quantize_f32)
+    swb = float(w.sum())
+    if swb <= 0.0:
+        return 0.0, None, None, rawsum, nfin, n
+    mub = (w @ V) / swb
+    Vc = V - mub[None, :]
+    Cb = Vc.T @ (Vc * w[:, None])
+    return swb, mub, Cb, rawsum, nfin, n
+
+
+def _fused_slot_merge(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """Merge two fused accumulators [sw, mu(q), C(q²), raw-sums...]: Chan
+    for the centered triple, plain sum for the raw tail."""
+    sw_m, mu_m, C_m = _chan_merge(
+        float(a[0]), a[1 : 1 + q], a[1 + q : 1 + q + q * q].reshape(q, q),
+        float(b[0]), b[1 : 1 + q], b[1 + q : 1 + q + q * q].reshape(q, q),
+    )
+    return np.concatenate(
+        [[sw_m], np.asarray(mu_m).ravel(), np.asarray(C_m).ravel(),
+         a[1 + q + q * q :] + b[1 + q + q * q :]]
+    )
+
+
+def _finish_fused_acc(total: np.ndarray, p: int, quantize_f32: bool) -> dict:
+    """Driver algebra from a fused accumulator to the imputed-moment stats
+    dict (see ``fused_singlepass_stats`` for the derivation)."""
+    q = 2 * p + 1
     sw = float(total[0])
     mu = total[1 : 1 + q]
     C = total[1 + q : 1 + q + q * q].reshape(q, q)
@@ -393,6 +419,120 @@ def fused_singlepass_stats(
         "c_y": c_y,
         "c_yy": y_ss,
     }
+
+
+def fused_foldwise_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    fold_col: str,
+    n_folds: int,
+    weight_col: str | None = None,
+    quantize_f32: bool = False,
+) -> np.ndarray:
+    """ONE ``mapInArrow`` scan of the fold-tagged frame producing an
+    independent fused accumulator PER FOLD (shape ``(n_folds, slot)``).
+
+    This is the shared-scan backbone of auto-k group CV: the per-split
+    (moments + Gram) scans collapse into this single pass, and any
+    leave-one-fold-out train split's full imputed-moment statistics follow
+    driver-side by Chan-merging the other folds' slots
+    (``finish_loo_stats``) — the augmented-Gram algebra makes the
+    per-split imputation/standardization exact even though every fold was
+    accumulated blind to which split it will serve. Communication:
+    ``n_folds`` fused accumulators per partition (n_folds × (2p+1)²
+    doubles — bounded by the same O(p²) budget as the fused kernels,
+    ×n_splits).
+    """
+    p = len(feature_cols)
+    q = 2 * p + 1
+    cols = list(feature_cols)
+    slot = 1 + q + q * q + 2 * p + 1
+
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    proj.append(F.col(y_col).cast("double").alias("_y_"))
+    proj.append(F.col(fold_col).cast("long").alias("_f_"))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = np.zeros((n_folds, slot))
+        nonempty = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            nonempty = True
+            X = _batch_cols(b, cols)
+            y = np.asarray(
+                b.column(b.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            fold = np.asarray(
+                b.column(b.schema.get_field_index("_f_")).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            w = (
+                np.asarray(
+                    b.column(b.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                if weight_col
+                else np.ones(X.shape[0])
+            )
+            for f in np.unique(fold):
+                sel = fold == f
+                swb, mub, Cb, rs, nf, nn = _fused_batch_block(
+                    X[sel], y[sel], w[sel], p, quantize_f32
+                )
+                a = acc[f]
+                a[1 + q + q * q :] += np.concatenate([rs, nf, [nn]])
+                if swb <= 0.0:
+                    continue
+                blk = np.concatenate([[swb], mub, Cb.ravel()])
+                merged = _fused_slot_merge(
+                    np.concatenate([a[: 1 + q + q * q], np.zeros(2 * p + 1)]),
+                    np.concatenate([blk, np.zeros(2 * p + 1)]),
+                    q,
+                )
+                a[: 1 + q + q * q] = merged[: 1 + q + q * q]
+        if nonempty:
+            yield _acc_batch(acc.ravel())
+
+    def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        A = a.reshape(n_folds, slot)
+        B = b.reshape(n_folds, slot)
+        return np.stack(
+            [_fused_slot_merge(A[f], B[f], q) for f in range(n_folds)]
+        ).ravel()
+
+    total = _merge_collect(
+        dfp.mapInArrow(mapper, _ACC_SCHEMA), df.rdd.getNumPartitions(), merge_two
+    )
+    if total is None:
+        total = np.zeros(n_folds * slot)
+    return total.reshape(n_folds, slot)
+
+
+def finish_loo_stats(
+    fold_accs: np.ndarray, val_fold: int, p: int, quantize_f32: bool = False
+) -> dict:
+    """Leave-one-fold-out train statistics: Chan-merge every fold slot
+    except ``val_fold`` (sorted fold order — deterministic) and finish with
+    the fused driver algebra."""
+    q = 2 * p + 1
+    total = None
+    for f in range(fold_accs.shape[0]):
+        if f == val_fold:
+            continue
+        total = (
+            fold_accs[f].copy()
+            if total is None
+            else _fused_slot_merge(total, fold_accs[f], q)
+        )
+    if total is None:
+        total = np.zeros(fold_accs.shape[1])
+    return _finish_fused_acc(total, p, quantize_f32)
 
 
 def fused_singlepass_class_stats(

@@ -55,6 +55,43 @@ def test_auto_k_group_cv(autok_data):
     assert len(res.names) <= 8
 
 
+def test_group_cv_shared_scan_matches_per_split_loop(autok_data):
+    """The shared-scan group-CV path (one fold-keyed fused stats pass + one
+    fold-grouped loss pass — 2 scans total) must reproduce the per-split
+    loop (3 scans × n_splits) score-for-score: the leave-one-fold-out Chan
+    merge of per-fold augmented-Gram accumulators is algebraically the
+    train split's own statistics."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import (
+        _ridge_group_cv_scores,
+        _ridge_path_scores,
+        build_k_grid,
+    )
+
+    n_splits = 3
+    k_grid = build_k_grid(1, 8)
+    folded = autok_data.withColumn(
+        "_fold", F.pmod(F.xxhash64(F.col("grp")), F.lit(n_splits))
+    ).cache()
+    for metric in ("rmse", "mae"):
+        shared = _ridge_group_cv_scores(
+            folded, FEATS, "y", None, k_grid, metric, n_splits
+        )
+        loop: dict[int, list[float]] = {kk: [] for kk in k_grid}
+        for f_ in range(n_splits):
+            s = _ridge_path_scores(
+                folded.where(F.col("_fold") != f_),
+                folded.where(F.col("_fold") == f_),
+                FEATS, "y", None, k_grid, metric,
+            )
+            for kk, v in s.items():
+                loop[kk].append(v)
+        for kk in k_grid:
+            assert shared[kk] == pytest.approx(float(np.mean(loop[kk])), rel=1e-9)
+    folded.unpersist()
+
+
 @pytest.fixture(scope="module")
 def autok_cls_data(spark):
     rng = np.random.default_rng(31)
