@@ -204,13 +204,7 @@ def _ridge_path_scores(
         stats["impute_means"], stats["wmeans"], stats["wstds"],
         float(stats["y_wmean"]), B, metric,
     )
-    scores: dict[int, float] = {}
-    for (kk, _ai), v in zip(keys, losses):
-        v = float(v) if np.isfinite(v) else np.inf
-        if metric == "rmse" and np.isfinite(v):
-            v = float(np.sqrt(v))
-        scores[kk] = min(scores.get(kk, np.inf), v)
-    return scores
+    return _min_over_alphas(keys, losses, metric)
 
 
 _RIDGE_ALPHAS = np.logspace(-3, 3, 10)
@@ -252,6 +246,51 @@ def _ridge_betas(G: np.ndarray, g: np.ndarray, k_grid: list[int], p: int):
             bcols.append(bc)
             keys.append((kk, ai))
     return np.column_stack(bcols), keys
+
+
+def _min_over_alphas(
+    keys: list[tuple[int, int]], losses: np.ndarray, metric: str
+) -> dict[int, float]:
+    """Per-k best validation score over the alpha grid (sqrt first for
+    rmse; min of sqrt == sqrt of min, so order is immaterial)."""
+    scores: dict[int, float] = {}
+    for (kk, _ai), v in zip(keys, losses):
+        v = float(v) if np.isfinite(v) else np.inf
+        if metric == "rmse" and np.isfinite(v):
+            v = float(np.sqrt(v))
+        scores[kk] = min(scores.get(kk, np.inf), v)
+    return scores
+
+
+def _ridge_holdout_scores(
+    tagged: DataFrame,
+    path: list[str],
+    target_col: str,
+    weight_col: str | None,
+    k_grid: list[int],
+    metric: str,
+) -> dict[int, float]:
+    """Time-holdout ridge evaluate in TWO scans, no persist: the frame is
+    tagged _fold 0 (train) / 1 (val); one fused fold-keyed stats scan
+    yields the train split's statistics (finish_loo_stats with val_fold=1
+    merges only fold 0), and one loss scan scores all (k, alpha) models on
+    the val rows."""
+    p = len(path)
+    accs = kernels.fused_foldwise_stats(
+        tagged, path, target_col, "_fold", 2, weight_col, quantize_f32=False
+    )
+    st = kernels.finish_loo_stats(accs, 1, p, quantize_f32=False)
+    ri = _ridge_inputs_from_fused(st)
+    G = ri["R"] * ri["sw"]
+    g = ri["r_y"] * ri["sw"] * ri["y_wstd"]
+    if not (np.isfinite(G).all() and np.isfinite(g).all() and ri["sw"] > 0):
+        return {kk: float("inf") for kk in k_grid}
+    B, keys = _ridge_betas(G, g, k_grid, p)
+    losses = _regression_loss_pass(
+        tagged.where(F.col("_fold") == 1), path, target_col, weight_col,
+        ri["impute_means"], ri["wmeans"], ri["wstds"], ri["y_wmean"], B, metric,
+    )
+    return _min_over_alphas(keys, losses, metric)
 
 
 def _grouped_regression_loss_pass(
@@ -372,13 +411,10 @@ def _ridge_group_cv_scores(
     )
     per_split: list[dict[int, float]] = []
     for v in range(n_splits):
-        scores_v: dict[int, float] = {}
-        for (kk, _ai), lv in zip(keys, losses[v]):
-            lv = float(lv) if (live[v] and np.isfinite(lv)) else np.inf
-            if metric == "rmse" and np.isfinite(lv):
-                lv = float(np.sqrt(lv))
-            scores_v[kk] = min(scores_v.get(kk, np.inf), lv)
-        per_split.append(scores_v)
+        if live[v]:
+            per_split.append(_min_over_alphas(keys, losses[v], metric))
+        else:
+            per_split.append({kk: np.inf for kk in k_grid})
     return {
         kk: float(np.mean([s[kk] for s in per_split])) for kk in k_grid
     }
@@ -622,11 +658,25 @@ def select_k_evaluate(
         ).collect()[0].c
         if cut_val is None:
             raise ValueError(f"time_col '{time_col}' has no non-null values")
-        train = df.where(t < F.lit(float(cut_val))).persist()
-        val = df.where(t >= F.lit(float(cut_val))).persist()
-        scores = _score_split(train, val)
-        train.unpersist()
-        val.unpersist()
+        if task == "regression":
+            # shared-scan path: tag train/val as folds 0/1, ONE fused stats
+            # scan (fold 0's slot = the train split's exact imputed-moment
+            # statistics, via finish_loo_stats(val_fold=1)) + ONE loss scan
+            # on the val rows — 2 scans, no persist (was 3 scans over two
+            # persisted frames; at 10¹² rows the persists are exactly the
+            # materialization the no-persist discipline avoids)
+            tagged = df.withColumn(
+                "_fold", (t >= F.lit(float(cut_val))).cast("long")
+            )
+            scores = _ridge_holdout_scores(
+                tagged, path, target_col, weight_col, k_grid, metric
+            )
+        else:
+            train = df.where(t < F.lit(float(cut_val))).persist()
+            val = df.where(t >= F.lit(float(cut_val))).persist()
+            scores = _score_split(train, val)
+            train.unpersist()
+            val.unpersist()
     elif config.strategy == "group_cv":
         if group_col is None:
             raise ValueError("group_cv strategy requires group_col")

@@ -92,6 +92,32 @@ def test_group_cv_shared_scan_matches_per_split_loop(autok_data):
     folded.unpersist()
 
 
+def test_time_holdout_shared_scan_matches_split_frames(autok_data):
+    """The 2-scan no-persist holdout path (fold-tagged fused stats + loss)
+    must reproduce _ridge_path_scores on the physically filtered train/val
+    frames."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import (
+        _ridge_holdout_scores,
+        _ridge_path_scores,
+        build_k_grid,
+    )
+
+    k_grid = build_k_grid(1, 8)
+    cut = 1200.0
+    t = F.col("t").cast("double")
+    tagged = autok_data.withColumn("_fold", (t >= F.lit(cut)).cast("long"))
+    for metric in ("rmse", "mae"):
+        shared = _ridge_holdout_scores(tagged, FEATS, "y", None, k_grid, metric)
+        ref = _ridge_path_scores(
+            autok_data.where(t < cut), autok_data.where(t >= cut),
+            FEATS, "y", None, k_grid, metric,
+        )
+        for kk in k_grid:
+            assert shared[kk] == pytest.approx(ref[kk], rel=1e-9)
+
+
 @pytest.fixture(scope="module")
 def autok_cls_data(spark):
     rng = np.random.default_rng(31)
