@@ -384,7 +384,14 @@ def select_jmi(
         idx = cand[sel_local]
         return SelectionResult([feature_cols[i] for i in idx], idx, rel, feature_cols, None)
 
-    df = df.persist()
+    # r2 beyond the fused width reads the matrix exactly twice (moments scan
+    # + Gram-with-y on the candidates) — below the >=3-scan persist
+    # threshold, so it runs no-persist like select_mrmr's f-path. binned and
+    # ksg genuinely re-read (edge/code/histogram scans, driver collect).
+    do_persist = estimator != "r2"
+    pinned = df.persist() if do_persist else None
+    if pinned is not None:
+        df = pinned
     labels = None
     if task == "classification":
         df, labels = factorize_target(df, target_col, "_y_code")
@@ -399,7 +406,8 @@ def select_jmi(
     rel = stats["scores"]
     cand = _prefilter(rel, k, top_m)
     if cand.size == 0:
-        df.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         return SelectionResult([], np.empty(0, np.int64), rel, feature_cols, labels)
     cand_cols = [feature_cols[i] for i in cand]
 
@@ -434,7 +442,8 @@ def select_jmi(
     else:
         raise ValueError(f"Unknown estimator: {estimator}")
 
-    df.unpersist()
+    if pinned is not None:
+        pinned.unpersist()
     idx = cand[sel_local]
     return SelectionResult([feature_cols[i] for i in idx], idx, rel, feature_cols, labels)
 

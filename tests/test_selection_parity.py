@@ -544,9 +544,12 @@ def test_wide_f_path_runs_no_persist(spark, monkeypatch):
     monkeypatch.setattr(SparkDF, "persist", spy)
     res = select_mrmr(sdf, cols, "y", 3, task="regression", subsample=None)
     res_c = select_mrmr(sdf, cols, "yc", 3, task="classification", subsample=None)
+    res_j = select_jmi(sdf, cols, "y", 3, task="regression", estimator="r2",
+                       subsample=None)
     monkeypatch.setattr(SparkDF, "persist", real_persist)
-    assert persists == [], persists  # f-path: zero persists end to end
+    assert persists == [], persists  # f/r2 paths: zero persists end to end
     assert res.names[0] == "w2" and res_c.names[0] == "w2"
+    assert res_j.names[0] == "w2"
 
 
 def test_default_selection_plan_shapes(spark, monkeypatch):
