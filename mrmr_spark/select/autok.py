@@ -535,6 +535,23 @@ def _logistic_path_scores(
     }
 
 
+def _softmax_losses(
+    Z: np.ndarray, y: np.ndarray, M: int, C: int,
+    Ws: np.ndarray, bs: np.ndarray, metric: str,
+) -> np.ndarray:
+    """(n, M) per-row losses of all M softmax models: class scores are one
+    (n×p)·(p×M·C) GEMM reshaped (n, M, C); logloss via row-wise logsumexp,
+    error rate via first-argmax (np.argmax, the reference's tie-break)."""
+    n = Z.shape[0]
+    S = (Z @ Ws + bs[None, :]).reshape(n, M, C)
+    if metric == "logloss":
+        mx = S.max(axis=2, keepdims=True)
+        lse = mx[:, :, 0] + np.log(np.exp(S - mx).sum(axis=2))
+        sy = S[np.arange(n)[:, None], np.arange(M)[None, :], y[:, None]]
+        return lse - sy
+    return (S.argmax(axis=2) != y[:, None]).astype(np.float64)
+
+
 def _classification_loss_pass(
     val: DataFrame,
     path: list[str],
@@ -588,14 +605,7 @@ def _classification_loss_pass(
         n = Z.shape[0]
         out = np.zeros(M + 1, dtype=np.float64)
         if n:
-            S = (Z @ Ws + bs[None, :]).reshape(n, M, C)
-            if metric == "logloss":
-                mx = S.max(axis=2, keepdims=True)
-                lse = mx[:, :, 0] + np.log(np.exp(S - mx).sum(axis=2))
-                sy = S[np.arange(n)[:, None], np.arange(M)[None, :], y[:, None]]
-                L = lse - sy
-            else:  # error rate; argmax = first max, as np.argmax
-                L = (S.argmax(axis=2) != y[:, None]).astype(np.float64)
+            L = _softmax_losses(Z, y, M, C, Ws, bs, metric)
             out[:M] = w @ L
             out[M] = w.sum()
         return out
@@ -605,6 +615,179 @@ def _classification_loss_pass(
     if sw <= 0.0:
         return np.full(M, np.inf)
     return acc[:M] / sw
+
+
+def _grouped_classification_loss_pass(
+    df: DataFrame,
+    path: list[str],
+    y_code_col: str,
+    weight_col: str | None,
+    fold_col: str,
+    imput: np.ndarray,
+    mu: np.ndarray,
+    sd: np.ndarray,
+    Ws: np.ndarray,
+    bs: np.ndarray,
+    n_classes: int,
+    metric: str,
+) -> np.ndarray:
+    """Fold-grouped twin of ``_classification_loss_pass``: ONE Arrow scan
+    of the fold-tagged frame scores every split's softmax models on that
+    split's val fold, each row standardized with ITS split's train stats
+    (``imput``/``mu``/``sd`` are (S, p); ``Ws`` is (S, p, M·C), ``bs``
+    (S, M·C)). Returns (S, M) weighted mean losses (inf where a fold had
+    no weight)."""
+    S, p, MC = Ws.shape
+    C = int(n_classes)
+    M = MC // C
+    proj = [F.col(c).cast("double").alias(c) for c in path]
+    proj.append(F.col(y_code_col).cast("double").alias("_y_"))
+    proj.append(F.col(fold_col).cast("long").alias("_f_"))
+    if weight_col:
+        proj.append(F.col(weight_col).cast("double").alias("_w_"))
+    dfp = df.select(*proj)
+    imput = np.ascontiguousarray(imput, dtype=np.float64)
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    sd = np.ascontiguousarray(sd, dtype=np.float64)
+    Ws = np.ascontiguousarray(Ws, dtype=np.float64)
+    bs = np.ascontiguousarray(bs, dtype=np.float64)
+
+    def term(batch) -> np.ndarray:
+        X = kernels._batch_cols(batch, path)
+        yraw = np.asarray(
+            batch.column(batch.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        fold = np.asarray(
+            batch.column(batch.schema.get_field_index("_f_")).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        w = (
+            np.asarray(
+                batch.column(batch.schema.get_field_index("_w_")).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else np.ones(X.shape[0])
+        )
+        out = np.zeros((S, M + 1), dtype=np.float64)
+        ok = np.isfinite(yraw)
+        for f in np.unique(fold):
+            sel = (fold == f) & ok
+            if not sel.any():
+                continue
+            fin = np.isfinite(X[sel])
+            Xq = np.where(fin, X[sel], imput[f][None, :])
+            Z = (Xq - mu[f][None, :]) / sd[f][None, :]
+            y = yraw[sel].astype(np.int64)
+            L = _softmax_losses(Z, y, M, C, Ws[f], bs[f], metric)
+            out[f, :M] += w[sel] @ L
+            out[f, M] += w[sel].sum()
+        return out.ravel()
+
+    acc = kernels.arrow_reduce(dfp, term, S * (M + 1)).reshape(S, M + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        losses = np.where(acc[:, M:] > 0.0, acc[:, :M] / acc[:, M:], np.inf)
+    return losses
+
+
+def _logistic_group_cv_scores(
+    folded: DataFrame,
+    path: list[str],
+    y_code_col: str,
+    n_classes: int,
+    weight_col: str | None,
+    k_grid: list[int],
+    metric: str,
+    fit_subsample: int,
+    seed: int,
+    n_splits: int,
+) -> dict[int, float]:
+    """Classification group-CV evaluate with shared scans: ONE fold-keyed
+    fused stats scan (per-split standardization statistics via
+    leave-one-fold-out Chan merges — the y slot of the regression kernel
+    is unused for standardization, so the same accumulator serves), ONE
+    bounded driver collect of a fold-tagged raw sample shared by all
+    splits' softmax fits, and ONE fold-grouped loss scan. Replaces the
+    per-split loop's ~4 jobs × n_splits.
+
+    Documented deviation (in addition to the module-docstring ones): the
+    per-split fit sample is the shared ``fit_subsample``-bounded frame
+    filtered to that split's train folds, so each fit sees ~(S−1)/S of
+    the budget rather than a full independent ``fit_subsample`` draw.
+    When n ≤ fit_subsample every split fits on its complete train split —
+    identical to the per-split loop."""
+    from mrmr_spark.select.preprocess import deterministic_subsample
+
+    p = len(path)
+    C = int(n_classes)
+    accs = kernels.fused_foldwise_stats(
+        folded, path, y_code_col, "_fold", n_splits, weight_col,
+        quantize_f32=False,
+    )
+    stats = []
+    for v in range(n_splits):
+        st = kernels.finish_loo_stats(accs, v, p, quantize_f32=False)
+        stats.append(_ridge_inputs_from_fused(st))
+
+    # one bounded raw collect shared by every split's fit (row counts per
+    # fold come from the accumulator tail — no count() job)
+    n_total = int(sum(float(a[-1]) for a in accs))
+    samp = folded
+    if n_total > fit_subsample:
+        samp = deterministic_subsample(folded, fit_subsample, seed)
+    sel = [F.col(c).cast("double").alias(c) for c in path]
+    sel.append(F.col(y_code_col).cast("int").alias("_y"))
+    sel.append(F.col("_fold").cast("long").alias("_f"))
+    if weight_col:
+        sel.append(F.col(weight_col).cast("double").alias("_w"))
+    pdf = samp.select(*sel).toPandas()
+    Xs = pdf[path].to_numpy(np.float64)
+    ys = pdf["_y"].to_numpy(np.int64)
+    fs = pdf["_f"].to_numpy(np.int64)
+    wv = pdf["_w"].to_numpy(np.float64) if weight_col else None
+
+    M = len(k_grid)
+    Ws_all = np.zeros((n_splits, p, M * C))
+    bs_all = np.zeros((n_splits, M * C))
+    imput = np.zeros((n_splits, p))
+    mus = np.zeros((n_splits, p))
+    sds = np.ones((n_splits, p))
+    live = np.zeros(n_splits, dtype=bool)
+    for v in range(n_splits):
+        ri = stats[v]
+        if not (ri["sw"] > 0 and np.isfinite(ri["wmeans"]).all()):
+            continue
+        tr = fs != v
+        if len(np.unique(ys[tr])) < 2:
+            continue
+        fin = np.isfinite(Xs[tr])
+        Xq = np.where(fin, Xs[tr], ri["impute_means"][None, :])
+        Z = (Xq - ri["wmeans"][None, :]) / ri["wstds"][None, :]
+        yv = ys[tr]
+        wtr = wv[tr] if wv is not None else None
+        m = int(tr.sum())
+        for mi, kk in enumerate(k_grid):
+            kk_eff = min(kk, p)
+            Wk, bk = _softmax_fit(Z[:, :kk_eff], yv, C, wtr, lam=1.0 / max(m, 1))
+            Ws_all[v, :kk_eff, mi * C : (mi + 1) * C] = Wk
+            bs_all[v, mi * C : (mi + 1) * C] = bk
+        imput[v], mus[v], sds[v] = ri["impute_means"], ri["wmeans"], ri["wstds"]
+        live[v] = True
+    if not live.any():
+        return {kk: float("inf") for kk in k_grid}
+
+    losses = _grouped_classification_loss_pass(
+        folded, path, y_code_col, weight_col, "_fold", imput, mus, sds,
+        Ws_all, bs_all, C, metric,
+    )
+    per_split = [
+        {kk: (float(losses[v, mi]) if live[v] and np.isfinite(losses[v, mi])
+              else float("inf"))
+         for mi, kk in enumerate(k_grid)}
+        for v in range(n_splits)
+    ]
+    return {kk: float(np.mean([s[kk] for s in per_split])) for kk in k_grid}
 
 
 def select_k_evaluate(
@@ -694,18 +877,14 @@ def select_k_evaluate(
                 folded, path, target_col, weight_col, k_grid, metric, n_splits
             )
         else:
-            # classification still loops (the softmax fit collects a
-            # bounded per-split train sample on the driver)
-            folded = folded.persist()
-            all_scores: dict[int, list[float]] = {kk: [] for kk in k_grid}
-            for f_ in range(n_splits):
-                train = folded.where(F.col("_fold") != f_)
-                val = folded.where(F.col("_fold") == f_)
-                s = _score_split(train, val)
-                for kk, v in s.items():
-                    all_scores[kk].append(v)
-            folded.unpersist()
-            scores = {kk: float(np.mean(v)) for kk, v in all_scores.items()}
+            # classification shared-scan twin: 2 scans + ONE bounded
+            # collect shared by all splits' softmax fits (see
+            # _logistic_group_cv_scores for the documented fit-sample
+            # deviation vs the per-split loop)
+            scores = _logistic_group_cv_scores(
+                folded, path, "_y_code", n_classes, weight_col, k_grid,
+                metric, config.fit_subsample, config.seed, n_splits,
+            )
     else:
         raise ValueError(f"Unknown strategy: {config.strategy}")
 

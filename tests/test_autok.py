@@ -92,6 +92,49 @@ def test_group_cv_shared_scan_matches_per_split_loop(autok_data):
     folded.unpersist()
 
 
+def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
+    """The classification shared-scan group-CV path (fold-keyed fused stats
+    + one shared bounded collect + fold-grouped loss — 2 scans + 1 collect)
+    must reproduce the per-split loop when n <= fit_subsample (every split
+    then fits on its complete train split, so the paths see identical
+    data)."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import (
+        _logistic_group_cv_scores,
+        _logistic_path_scores,
+        build_k_grid,
+    )
+    from mrmr_spark.select.preprocess import factorize_target
+
+    sdf, labels = factorize_target(autok_cls_data, "y", "_y_code")
+    C = len(labels)
+    n_splits = 3
+    k_grid = build_k_grid(1, 6)
+    folded = sdf.withColumn(
+        "_fold", F.pmod(F.xxhash64(F.col("grp")), F.lit(n_splits))
+    ).cache()
+    for metric in ("logloss", "error"):
+        shared = _logistic_group_cv_scores(
+            folded, CLS_FEATS, "_y_code", C, None, k_grid, metric,
+            50_000, 42, n_splits,
+        )
+        loop: dict[int, list[float]] = {kk: [] for kk in k_grid}
+        for f_ in range(n_splits):
+            s = _logistic_path_scores(
+                folded.where(F.col("_fold") != f_),
+                folded.where(F.col("_fold") == f_),
+                CLS_FEATS, "_y_code", C, None, k_grid, metric, 50_000, 42,
+            )
+            for kk, v in s.items():
+                loop[kk].append(v)
+        for kk in k_grid:
+            assert shared[kk] == pytest.approx(
+                float(np.mean(loop[kk])), rel=1e-6
+            ), (metric, kk)
+    folded.unpersist()
+
+
 def test_time_holdout_shared_scan_matches_split_frames(autok_data):
     """The 2-scan no-persist holdout path (fold-tagged fused stats + loss)
     must reproduce _ridge_path_scores on the physically filtered train/val
