@@ -790,6 +790,77 @@ def _logistic_group_cv_scores(
     return {kk: float(np.mean([s[kk] for s in per_split])) for kk in k_grid}
 
 
+def _logistic_holdout_scores(
+    tagged: DataFrame,
+    path: list[str],
+    y_code_col: str,
+    n_classes: int,
+    weight_col: str | None,
+    k_grid: list[int],
+    metric: str,
+    fit_subsample: int,
+    seed: int,
+) -> dict[int, float]:
+    """Classification time-holdout without persists: the frame is tagged
+    _fold 0 (train) / 1 (val). One fused fold-keyed stats scan gives the
+    train split's standardization stats AND its row count (no count job),
+    one bounded collect draws the softmax fit sample from the train rows
+    (identical semantics to the per-split path — the subsample is taken
+    from the train side only), and one loss scan scores all k-prefix
+    models on the val rows."""
+    from mrmr_spark.select.preprocess import deterministic_subsample
+
+    p = len(path)
+    C = int(n_classes)
+    accs = kernels.fused_foldwise_stats(
+        tagged, path, y_code_col, "_fold", 2, weight_col, quantize_f32=False
+    )
+    ri = _ridge_inputs_from_fused(
+        kernels.finish_loo_stats(accs, 1, p, quantize_f32=False)
+    )
+    if not (ri["sw"] > 0 and np.isfinite(ri["wmeans"]).all()):
+        return {kk: float("inf") for kk in k_grid}
+
+    n_train = int(float(accs[0][-1]))
+    tr = tagged.where(F.col("_fold") == 0)
+    if n_train > fit_subsample:
+        tr = deterministic_subsample(tr, fit_subsample, seed)
+        n_fit = fit_subsample
+    else:
+        n_fit = n_train
+    sel = [F.col(c).cast("double").alias(c) for c in path]
+    sel.append(F.col(y_code_col).cast("int").alias("_y"))
+    if weight_col:
+        sel.append(F.col(weight_col).cast("double").alias("_w"))
+    pdf = tr.select(*sel).toPandas()
+    Xs = pdf[path].to_numpy(np.float64)
+    ys = pdf["_y"].to_numpy(np.int64)
+    wv = pdf["_w"].to_numpy(np.float64) if weight_col else None
+    if len(np.unique(ys)) < 2:
+        return {kk: float("inf") for kk in k_grid}
+    fin = np.isfinite(Xs)
+    Xq = np.where(fin, Xs, ri["impute_means"][None, :])
+    Z = (Xq - ri["wmeans"][None, :]) / ri["wstds"][None, :]
+
+    M = len(k_grid)
+    Ws = np.zeros((p, M * C))
+    bs = np.zeros(M * C)
+    for mi, kk in enumerate(k_grid):
+        kk_eff = min(kk, p)
+        Wk, bk = _softmax_fit(Z[:, :kk_eff], ys, C, wv, lam=1.0 / max(n_fit, 1))
+        Ws[:kk_eff, mi * C : (mi + 1) * C] = Wk
+        bs[mi * C : (mi + 1) * C] = bk
+
+    losses = _classification_loss_pass(
+        tagged.where(F.col("_fold") == 1), path, y_code_col, weight_col,
+        ri["impute_means"], ri["wmeans"], ri["wstds"], Ws, bs, C, metric,
+    )
+    return {
+        kk: (float(v) if np.isfinite(v) else float("inf"))
+        for kk, v in zip(k_grid, losses)
+    }
+
+
 def select_k_evaluate(
     df: DataFrame,
     path: list[str],
@@ -816,15 +887,9 @@ def select_k_evaluate(
         df, labels = factorize_target(df, target_col, "_y_code")
         n_classes = len(labels)
 
-    def _score_split(train, val):
-        if task == "classification":
-            return _logistic_path_scores(
-                train, val, path, "_y_code", n_classes, weight_col,
-                k_grid, metric, config.fit_subsample, config.seed,
-            )
-        return _ridge_path_scores(
-            train, val, path, target_col, weight_col, k_grid, metric
-        )
+    # NOTE: every strategy now routes through the shared-scan paths;
+    # _ridge_path_scores / _logistic_path_scores remain as the per-split
+    # parity references (exercised by the parity tests).
 
     if config.strategy == "time_holdout":
         if time_col is None:
@@ -841,25 +906,25 @@ def select_k_evaluate(
         ).collect()[0].c
         if cut_val is None:
             raise ValueError(f"time_col '{time_col}' has no non-null values")
+        # shared-scan path: tag train/val as folds 0/1, ONE fused stats
+        # scan (fold 0's slot = the train split's exact imputed-moment
+        # statistics, via finish_loo_stats(val_fold=1)) + ONE loss scan
+        # on the val rows (+ for classification the bounded fit collect) —
+        # no persist (was 3-4 jobs over two persisted frames; at 10¹² rows
+        # the persists are exactly the materialization the no-persist
+        # discipline avoids)
+        tagged = df.withColumn(
+            "_fold", (t >= F.lit(float(cut_val))).cast("long")
+        )
         if task == "regression":
-            # shared-scan path: tag train/val as folds 0/1, ONE fused stats
-            # scan (fold 0's slot = the train split's exact imputed-moment
-            # statistics, via finish_loo_stats(val_fold=1)) + ONE loss scan
-            # on the val rows — 2 scans, no persist (was 3 scans over two
-            # persisted frames; at 10¹² rows the persists are exactly the
-            # materialization the no-persist discipline avoids)
-            tagged = df.withColumn(
-                "_fold", (t >= F.lit(float(cut_val))).cast("long")
-            )
             scores = _ridge_holdout_scores(
                 tagged, path, target_col, weight_col, k_grid, metric
             )
         else:
-            train = df.where(t < F.lit(float(cut_val))).persist()
-            val = df.where(t >= F.lit(float(cut_val))).persist()
-            scores = _score_split(train, val)
-            train.unpersist()
-            val.unpersist()
+            scores = _logistic_holdout_scores(
+                tagged, path, "_y_code", n_classes, weight_col, k_grid,
+                metric, config.fit_subsample, config.seed,
+            )
     elif config.strategy == "group_cv":
         if group_col is None:
             raise ValueError("group_cv strategy requires group_col")

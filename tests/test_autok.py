@@ -135,6 +135,37 @@ def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
     folded.unpersist()
 
 
+def test_classification_holdout_shared_scan_matches_loop(autok_cls_data):
+    """The no-persist classification holdout path must reproduce
+    _logistic_path_scores on the physically filtered train/val frames
+    (identical fit sample: n <= fit_subsample)."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import (
+        _logistic_holdout_scores,
+        _logistic_path_scores,
+        build_k_grid,
+    )
+    from mrmr_spark.select.preprocess import factorize_target
+
+    sdf, labels = factorize_target(autok_cls_data, "y", "_y_code")
+    C = len(labels)
+    k_grid = build_k_grid(1, 6)
+    cut = 1200.0
+    t = F.col("t").cast("double")
+    tagged = sdf.withColumn("_fold", (t >= F.lit(cut)).cast("long"))
+    for metric in ("logloss", "error"):
+        shared = _logistic_holdout_scores(
+            tagged, CLS_FEATS, "_y_code", C, None, k_grid, metric, 50_000, 42
+        )
+        ref = _logistic_path_scores(
+            sdf.where(t < cut), sdf.where(t >= cut),
+            CLS_FEATS, "_y_code", C, None, k_grid, metric, 50_000, 42,
+        )
+        for kk in k_grid:
+            assert shared[kk] == pytest.approx(ref[kk], rel=1e-6), (metric, kk)
+
+
 def test_time_holdout_shared_scan_matches_split_frames(autok_data):
     """The 2-scan no-persist holdout path (fold-tagged fused stats + loss)
     must reproduce _ridge_path_scores on the physically filtered train/val
