@@ -8,17 +8,27 @@ Two modes, as in the reference:
 - **evaluate**: score each k-prefix of the selection path on held-out data
   (time holdout = train on past / validate on future; group CV = leave
   whole groups out). The reference fits sklearn Ridge per (split, k); here
-  ONE Gram pass per split yields the sufficient statistics and every
-  (alpha, k)-prefix solve is a driver-side ``np.linalg.solve`` on the
-  leading submatrix — closed-form ridge, no sklearn, no per-k scans
-  (SURVEY.md §7 Phase 3).
+  EVERY strategy runs as shared scans over the fold-tagged frame: ONE
+  fold-keyed fused stats scan (an indicator-augmented Gram accumulator
+  per fold — any train split's exact imputed/standardized moments AND
+  Gram follow by driver-side Chan merges of the other folds' slots,
+  ``kernels.fused_foldwise_stats``/``finish_loo_stats``) and ONE
+  fold-grouped loss scan scoring every split's models on its own val
+  fold. Every (alpha, k)-prefix solve is a driver-side
+  ``np.linalg.solve`` on the leading submatrix — closed-form ridge, no
+  sklearn, no per-split scans, no persisted split frames (SURVEY.md §7
+  Phase 3). Group CV: 2 scans total at any n_splits (was 3 × n_splits);
+  time holdout: 2 scans, no persist.
 
 Classification (metric 'logloss'/'error', auto_k.py:142-161): the
 reference fits sklearn LogisticRegression(C=1.0, lbfgs) per k-prefix on
 the standardized train split. Logistic has no closed form, so here the
 fit runs on the driver over a deterministic bounded subsample of train
 (numpy accelerated-gradient softmax, L2 as in C=1.0) while
-standardization stats AND the validation metric stay distributed.
+standardization stats AND the validation metric stay distributed. Group
+CV shares ONE bounded collect across all splits' fits (per-split budget
+~(S−1)/S of ``fit_subsample``; identical to per-split draws when
+n ≤ fit_subsample — see ``_logistic_group_cv_scores``).
 
 **Documented deviation from the reference** (auto_k.py:142-161): when a
 ``weight_col`` is given, both the softmax fit and the distributed

@@ -618,6 +618,33 @@ def test_fused_kernels_tree_combine_many_partitions(spark):
     for key in ("scores", "wmeans", "wstds", "impute_means"):
         np.testing.assert_allclose(f[key], m[key], rtol=1e-9, atol=1e-12, err_msg=key)
 
+    # fold-keyed kernel through the same combine: leave-one-fold-out stats
+    # at 100 partitions must match the direct fused stats on the filtered
+    # split at 8 partitions (NaN contamination included)
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select import kernels
+    from mrmr_spark.select.kernels import fused_foldwise_stats, finish_loo_stats
+
+    n_folds = 3
+    folded = sdf.withColumn(
+        "_fold", F.pmod(F.xxhash64((F.col("y") * 1000).cast("long")), F.lit(n_folds))
+    ).cache()
+    folded.count()
+    accs = fused_foldwise_stats(folded, cols, "y", "_fold", n_folds, None,
+                                quantize_f32=False)
+    st = finish_loo_stats(accs, 0, p, quantize_f32=False)
+    direct = kernels.fused_singlepass_stats(
+        folded.where(F.col("_fold") != 0).repartition(8), cols, "y", None,
+        quantize_f32=False,
+    )
+    for key in ("impute_means", "col_wmeans", "c_y"):
+        np.testing.assert_allclose(st[key], direct[key], rtol=1e-9,
+                                   atol=1e-12, err_msg=key)
+    np.testing.assert_allclose(st["C"], direct["C"], rtol=1e-9, atol=1e-9)
+    assert st["sw"] == pytest.approx(float(direct["sw"]), rel=1e-12)
+    folded.unpersist()
+
 
 def test_fused_classification_matches_multipass(spark):
     """The one-scan classification backend (augmented Gram + per-class
