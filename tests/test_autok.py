@@ -135,6 +135,24 @@ def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
     folded.unpersist()
 
 
+def test_evaluate_strategies_run_two_kernel_scans(autok_data, monkeypatch):
+    """Scan-count regression guard: regression evaluate must read the data
+    with exactly TWO kernel scans for either strategy (fold-keyed fused
+    stats + fold-grouped/val loss) — the shared-scan contract."""
+    from mrmr_spark.select import kernels
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    for strategy, kw in (
+        ("group_cv", {"group_col": "grp"}),
+        ("time_holdout", {"time_col": "t"}),
+    ):
+        cfg = AutoKConfig(k_method="evaluate", strategy=strategy, max_k=5,
+                          min_k=1, n_splits=3)
+        monkeypatch.setattr(kernels, "PLAN_LOG", [])
+        select_k_evaluate(autok_data, FEATS, "y", cfg, task="regression", **kw)
+        assert len(kernels.PLAN_LOG) == 2, (strategy, len(kernels.PLAN_LOG))
+
+
 def test_classification_holdout_shared_scan_matches_loop(autok_cls_data):
     """The no-persist classification holdout path must reproduce
     _logistic_path_scores on the physically filtered train/val frames
