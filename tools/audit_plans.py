@@ -165,6 +165,33 @@ def main():
         "relevance AND the full |corr| redundancy from ONE MapInArrow scan",
         classes=3, task="classification", relevance="f")
 
+    # auto-k evaluate: the shared-scan contract — 2 kernel scans total for
+    # the whole strategy (fold-keyed fused stats + fold-grouped loss)
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    df_ak, cols_ak = feature_frame(12)
+    df_ak = df_ak.withColumn("grp", (F.monotonically_increasing_id() % 20))
+    sel_kernels.PLAN_LOG = []
+    try:
+        select_k_evaluate(
+            df_ak, cols_ak, "y",
+            AutoKConfig(strategy="group_cv", max_k=12, min_k=2, n_splits=4),
+            group_col="grp", task="regression",
+        )
+        scans = [summarize_str(s) for s in sel_kernels.PLAN_LOG]
+    finally:
+        sel_kernels.PLAN_LOG = None
+    name = "auto-k evaluate group_cv (n_splits=4, shared-scan)"
+    sel_sections.append((name, scans,
+        "TWO kernel scans for the WHOLE strategy (was 3 x n_splits): "
+        "fold-keyed fused stats + fold-grouped loss; no persisted split "
+        "frames"))
+    if len(scans) != 2:
+        violations.append(f"{name}: expected 2 scans, saw {len(scans)}")
+    for i, m in enumerate(scans):
+        if m["python_nodes"] != 1 or m["inmemory"] > 0:
+            violations.append(f"{name} scan{i}: unexpected plan shape")
+
     lines = [
         "# PLANS — physical-plan audit of the key operators",
         "",
