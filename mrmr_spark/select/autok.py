@@ -374,6 +374,23 @@ def _grouped_regression_loss_pass(
     return losses
 
 
+class _InsufficientFolds(Exception):
+    """Fewer than 2 hash folds are non-empty: either a single group, or a
+    tiny group cardinality whose hashes collided. The caller decides —
+    select_k_evaluate retries once with an exact round-robin group→fold
+    map (bounded distinct collect + broadcast join) before giving up."""
+
+
+def _occupied_folds(accs: np.ndarray) -> np.ndarray:
+    """Per-fold row presence read from the fused accumulator tail — free,
+    replacing the former distinct-count pre-scan (a full scan + exchange
+    at scale)."""
+    occ = np.array([float(a[-1]) > 0 for a in accs])
+    if occ.sum() < 2:
+        raise _InsufficientFolds()
+    return occ
+
+
 def _ridge_group_cv_scores(
     folded: DataFrame,
     path: list[str],
@@ -392,6 +409,7 @@ def _ridge_group_cv_scores(
     accs = kernels.fused_foldwise_stats(
         folded, path, target_col, "_fold", n_splits, weight_col, quantize_f32=False
     )
+    occupied = _occupied_folds(accs)
     M = len(k_grid) * len(_RIDGE_ALPHAS)
     B = np.zeros((n_splits, p, M))
     imput = np.zeros((n_splits, p))
@@ -401,6 +419,8 @@ def _ridge_group_cv_scores(
     live = np.zeros(n_splits, dtype=bool)
     keys = None
     for v in range(n_splits):
+        if not occupied[v]:
+            continue  # no val rows: a split GroupKFold could not produce
         st = kernels.finish_loo_stats(accs, v, p, quantize_f32=False)
         ri = _ridge_inputs_from_fused(st)
         G = ri["R"] * ri["sw"]
@@ -421,6 +441,8 @@ def _ridge_group_cv_scores(
     )
     per_split: list[dict[int, float]] = []
     for v in range(n_splits):
+        if not occupied[v]:
+            continue  # excluded from the mean, like min(n_splits, n_groups)
         if live[v]:
             per_split.append(_min_over_alphas(keys, losses[v], metric))
         else:
@@ -735,10 +757,12 @@ def _logistic_group_cv_scores(
         folded, path, y_code_col, "_fold", n_splits, weight_col,
         quantize_f32=False,
     )
+    occupied = _occupied_folds(accs)
     stats = []
     for v in range(n_splits):
-        st = kernels.finish_loo_stats(accs, v, p, quantize_f32=False)
-        stats.append(_ridge_inputs_from_fused(st))
+        st = (kernels.finish_loo_stats(accs, v, p, quantize_f32=False)
+              if occupied[v] else None)
+        stats.append(_ridge_inputs_from_fused(st) if st is not None else None)
 
     # one bounded raw collect shared by every split's fit (row counts per
     # fold come from the accumulator tail — no count() job)
@@ -766,7 +790,7 @@ def _logistic_group_cv_scores(
     live = np.zeros(n_splits, dtype=bool)
     for v in range(n_splits):
         ri = stats[v]
-        if not (ri["sw"] > 0 and np.isfinite(ri["wmeans"]).all()):
+        if ri is None or not (ri["sw"] > 0 and np.isfinite(ri["wmeans"]).all()):
             continue
         tr = fs != v
         if len(np.unique(ys[tr])) < 2:
@@ -796,6 +820,7 @@ def _logistic_group_cv_scores(
               else float("inf"))
          for mi, kk in enumerate(k_grid)}
         for v in range(n_splits)
+        if occupied[v]  # empty val folds excluded, like min(n_splits, n_groups)
     ]
     return {kk: float(np.mean([s[kk] for s in per_split])) for kk in k_grid}
 
@@ -938,28 +963,53 @@ def select_k_evaluate(
     elif config.strategy == "group_cv":
         if group_col is None:
             raise ValueError("group_cv strategy requires group_col")
-        n_groups = df.select(group_col).distinct().count()
-        n_splits = min(config.n_splits, n_groups)
-        if n_splits < 2:
-            raise ValueError(f"group_cv requires at least 2 groups, got {n_groups}")
-        fold = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_splits))
-        folded = df.withColumn("_fold", fold)
-        if task == "regression":
-            # shared-scan path: TWO scans total (fold-keyed fused stats +
-            # fold-grouped loss) instead of 3 × n_splits sequential scans —
-            # no persist needed at exactly two reads of the frame
-            scores = _ridge_group_cv_scores(
-                folded, path, target_col, weight_col, k_grid, metric, n_splits
-            )
-        else:
+        # NOTE: no distinct-count pre-scan — at 10¹² rows that is a full
+        # scan + exchange spent only on clamping n_splits. Fold occupancy
+        # is read for free from the fold-keyed accumulator inside the
+        # scorers: empty val folds are excluded from the mean (the splits
+        # GroupKFold could not have produced), and < 2 non-empty folds
+        # raises the same "at least 2 groups" error.
+        n_splits = max(2, int(config.n_splits))
+
+        def _run_cv(folded_df, n_s):
+            if task == "regression":
+                # shared-scan path: TWO scans total (fold-keyed fused
+                # stats + fold-grouped loss) instead of 3 × n_splits
+                # sequential scans — no persist at exactly two reads
+                return _ridge_group_cv_scores(
+                    folded_df, path, target_col, weight_col, k_grid,
+                    metric, n_s,
+                )
             # classification shared-scan twin: 2 scans + ONE bounded
             # collect shared by all splits' softmax fits (see
-            # _logistic_group_cv_scores for the documented fit-sample
-            # deviation vs the per-split loop)
-            scores = _logistic_group_cv_scores(
-                folded, path, "_y_code", n_classes, weight_col, k_grid,
-                metric, config.fit_subsample, config.seed, n_splits,
+            # _logistic_group_cv_scores for the fit-sample deviation)
+            return _logistic_group_cv_scores(
+                folded_df, path, "_y_code", n_classes, weight_col, k_grid,
+                metric, config.fit_subsample, config.seed, n_s,
             )
+
+        fold = F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_splits))
+        try:
+            scores = _run_cv(df.withColumn("_fold", fold), n_splits)
+        except _InsufficientFolds:
+            # tiny group cardinality (or a pathological hash collision):
+            # build an exact GroupKFold-style round-robin group→fold map —
+            # a bounded distinct collect + broadcast join, paid only on
+            # this rare path. Raises for a genuinely single-group input.
+            groups = [
+                r[0] for r in df.select(group_col).distinct().limit(100_001).collect()
+            ]
+            if len(groups) < 2:
+                raise ValueError(
+                    f"group_cv requires at least 2 groups, got {len(groups)}"
+                ) from None
+            n_s = min(n_splits, len(groups))
+            groups.sort(key=lambda g: (g is None, str(g)))
+            mdf = df.sparkSession.createDataFrame(
+                [(g, i % n_s) for i, g in enumerate(groups)],
+                [group_col, "_fold"],
+            )
+            scores = _run_cv(df.join(F.broadcast(mdf), on=group_col), n_s)
     else:
         raise ValueError(f"Unknown strategy: {config.strategy}")
 

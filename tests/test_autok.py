@@ -135,6 +135,31 @@ def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
     folded.unpersist()
 
 
+def test_group_cv_tiny_group_count_falls_back_to_round_robin(autok_data):
+    """With very few groups, hash folding can collide every group into one
+    fold. The scorer must detect this from the fold occupancy (no
+    distinct-count pre-scan on the common path) and retry once with an
+    exact round-robin group->fold broadcast map instead of raising."""
+    from pyspark.sql import functions as F
+
+    # long groups 0/1 with n_splits=5 are a verified xxhash64 collision
+    # (both land in one fold), so this deterministically exercises the
+    # retry path
+    two_grp = autok_data.withColumn("g2", (F.col("grp") % 2).cast("long"))
+    assert (
+        two_grp.select(
+            F.countDistinct(F.pmod(F.xxhash64(F.col("g2")), F.lit(5)))
+        ).collect()[0][0] == 1
+    ), "fixture no longer collides; pick other group values"
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv",
+                      max_k=5, min_k=1, n_splits=5)
+    res = select_mrmr(
+        two_grp, FEATS, "y", "auto", task="regression",
+        auto_k_config=cfg, group_col="g2",
+    )
+    assert {"x0", "x1"}.issubset(set(res.names))
+
+
 def test_evaluate_strategies_run_two_kernel_scans(autok_data, monkeypatch):
     """Scan-count regression guard: regression evaluate must read the data
     with exactly TWO kernel scans for either strategy (fold-keyed fused
