@@ -258,16 +258,18 @@ def select_mrmr(
         )
 
     # general path: relevance scans -> prefilter -> Gram on candidates;
-    # persist pays for itself once >= 3 scans read the matrix. relevance='f'
-    # reads it exactly twice (ONE Arrow moments scan + the candidate Gram),
-    # so it runs no-persist like the fused fast paths — at 10¹²-row
-    # subsample=None a MEMORY_AND_DISK persist would be exactly the
-    # materialization the single-pass redesign exists to avoid. ks/rf
-    # genuinely re-read the matrix (ECDF melt / forest fits) and keep it.
-    # For ks/rf the moment passes still run (they feed standardization and
-    # the Gram pass); only the relevance VECTOR is swapped — exactly the
-    # reference's structure (relevance dispatch feeds the same mrmr_select).
-    do_persist = relevance != "f"
+    # persist pays for itself once >= 3 executions read the lineage.
+    # Regression relevance='f' reads it exactly twice (ONE Arrow moments
+    # scan + the candidate Gram), so it runs no-persist like the fused
+    # fast paths — at 10¹²-row subsample=None a MEMORY_AND_DISK persist
+    # would be exactly the materialization the single-pass redesign exists
+    # to avoid. Classification ALWAYS executes the lineage a third time:
+    # factorize_target's label distinct() runs before the moments scan —
+    # cheap at a column-pruned parquet source but a full re-execution over
+    # window/join lineage — so classification persists (the distinct is
+    # then also the cache-populating pass). ks/rf genuinely re-read (ECDF
+    # melt / forest fits) and keep the persist too.
+    do_persist = relevance != "f" or task == "classification"
     pinned = df.persist() if do_persist else None
     if pinned is not None:
         df = pinned

@@ -914,6 +914,10 @@ def select_k_evaluate(
     k_grid = build_k_grid(min_k, max_k)
     path = path[:max_k]
     metric = resolve_metric(config.metric, task)
+    if not path or not k_grid:
+        # nothing to evaluate (empty candidate path, e.g. no feature
+        # passed the relevance validity filter)
+        return 0, [], {}
 
     n_classes = 0
     if task == "classification":
@@ -948,7 +952,12 @@ def select_k_evaluate(
         # no persist (was 3-4 jobs over two persisted frames; at 10¹² rows
         # the persists are exactly the materialization the no-persist
         # discipline avoids)
-        tagged = df.withColumn(
+        # null-time rows are dropped (the former where(t<cut)/where(t>=cut)
+        # split excluded them from BOTH sides; a null comparison here would
+        # otherwise produce a null fold -> garbage index in the Arrow
+        # mapper). NaN sorts above every value in Spark, so NaN-time rows
+        # land in the val fold — same as the old t >= cut filter.
+        tagged = df.where(t.isNotNull()).withColumn(
             "_fold", (t >= F.lit(float(cut_val))).cast("long")
         )
         if task == "regression":
@@ -1003,13 +1012,36 @@ def select_k_evaluate(
                 raise ValueError(
                     f"group_cv requires at least 2 groups, got {len(groups)}"
                 ) from None
+            if len(groups) > 100_000:
+                # unreachable in practice: >100k distinct groups cannot all
+                # hash into one fold — refuse rather than silently folding
+                # a truncated subset (the join would drop unmapped rows)
+                raise RuntimeError(
+                    "group_cv fold fallback engaged with >100k distinct "
+                    "groups; hash folding should not have collapsed"
+                ) from None
             n_s = min(n_splits, len(groups))
             groups.sort(key=lambda g: (g is None, str(g)))
+            # eqNullSafe: a NULL group is a legitimate group value (the
+            # hash path folds it via xxhash64's seed); a plain equi-join
+            # would silently drop those rows
             mdf = df.sparkSession.createDataFrame(
                 [(g, i % n_s) for i, g in enumerate(groups)],
                 [group_col, "_fold"],
+            ).withColumnRenamed(group_col, "_grp_key")
+            remapped = (
+                df.join(
+                    F.broadcast(mdf),
+                    F.col(group_col).eqNullSafe(F.col("_grp_key")),
+                    "inner",
+                ).drop("_grp_key")
             )
-            scores = _run_cv(df.join(F.broadcast(mdf), on=group_col), n_s)
+            try:
+                scores = _run_cv(remapped, n_s)
+            except _InsufficientFolds:
+                raise ValueError(
+                    "group_cv requires at least 2 groups with rows"
+                ) from None
     else:
         raise ValueError(f"Unknown strategy: {config.strategy}")
 

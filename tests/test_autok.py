@@ -135,6 +135,49 @@ def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
     folded.unpersist()
 
 
+def test_holdout_null_time_rows_are_dropped(autok_data):
+    """Rows with a null time_col must be excluded from both splits (the
+    former where(t<cut)/where(t>=cut) semantics) — not crash the Arrow
+    mapper with a null fold index."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    with_nulls = autok_data.withColumn(
+        "t_n", F.when(F.col("t") % 7 == 0, None).otherwise(F.col("t"))
+    )
+    cfg = AutoKConfig(k_method="evaluate", strategy="time_holdout",
+                      max_k=5, min_k=1)
+    bk_n, _, scores_n = select_k_evaluate(
+        with_nulls, FEATS, "y", cfg, time_col="t_n", task="regression"
+    )
+    bk_f, _, scores_f = select_k_evaluate(
+        with_nulls.where(F.col("t_n").isNotNull()), FEATS, "y", cfg,
+        time_col="t_n", task="regression",
+    )
+    assert bk_n == bk_f
+    for kk in scores_f:
+        assert scores_n[kk] == pytest.approx(scores_f[kk], rel=1e-12)
+
+
+def test_group_cv_null_group_rows_participate(autok_data):
+    """A NULL group is a legitimate group value: its rows must be folded
+    (xxhash64 folds null via its seed), not dropped or crash."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    with_nulls = autok_data.withColumn(
+        "g_n", F.when(F.col("grp") % 5 == 0, None).otherwise(F.col("grp"))
+    )
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv",
+                      max_k=5, min_k=1, n_splits=3)
+    bk, names, scores = select_k_evaluate(
+        with_nulls, FEATS, "y", cfg, group_col="g_n", task="regression"
+    )
+    assert 1 <= bk <= 5 and all(np.isfinite(v) for v in scores.values())
+
+
 def test_group_cv_tiny_group_count_falls_back_to_round_robin(autok_data):
     """With very few groups, hash folding can collide every group into one
     fold. The scorer must detect this from the fold occupancy (no

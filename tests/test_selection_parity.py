@@ -517,13 +517,20 @@ def test_cached_top_m_two_job_lifecycle(spark, monkeypatch):
 
 
 def test_wide_f_path_runs_no_persist(spark, monkeypatch):
-    """p > FUSED_REGRESSION_MAX_P with relevance='f' reads the matrix
-    exactly twice (one Arrow moments scan + the candidate Gram) — below
-    the >= 3-scan persist threshold, so the general path must NOT persist:
-    at 10¹² rows a MEMORY_AND_DISK persist is exactly the materialization
-    the single-pass redesign avoids. ks/rf keep their persist (they
-    genuinely re-read)."""
-    from pyspark.sql import DataFrame as SparkDF
+    """Regression p > FUSED_REGRESSION_MAX_P with relevance='f' reads the
+    matrix exactly twice (one Arrow moments scan + the candidate Gram) —
+    below the >= 3-execution persist threshold, so the general path must
+    NOT persist: at 10¹² rows a MEMORY_AND_DISK persist is exactly the
+    materialization the single-pass redesign avoids. Classification wide
+    executes the lineage a THIRD time (factorize_target's label distinct)
+    and so persists exactly once; ks/rf keep theirs too.
+
+    NOTE: the spy must patch the CLASSIC DataFrame class — in PySpark 4
+    ``pyspark.sql.DataFrame`` is the abstract base and the classic
+    subclass overrides ``persist``, so a base-class patch never fires
+    (an earlier version of this test was vacuous for exactly that
+    reason)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
     rng = np.random.default_rng(23)
     n, p = 400, FUSED_REGRESSION_MAX_P + 6
@@ -535,19 +542,20 @@ def test_wide_f_path_runs_no_persist(spark, monkeypatch):
     sdf = spark.createDataFrame(pdf)
 
     persists: list[str] = []
-    real_persist = SparkDF.persist
+    real_persist = ClassicDF.persist
 
     def spy(self, *a, **kw):
         persists.append("persist")
         return real_persist(self, *a, **kw)
 
-    monkeypatch.setattr(SparkDF, "persist", spy)
+    monkeypatch.setattr(ClassicDF, "persist", spy)
     res = select_mrmr(sdf, cols, "y", 3, task="regression", subsample=None)
-    res_c = select_mrmr(sdf, cols, "yc", 3, task="classification", subsample=None)
     res_j = select_jmi(sdf, cols, "y", 3, task="regression", estimator="r2",
                        subsample=None)
-    monkeypatch.setattr(SparkDF, "persist", real_persist)
-    assert persists == [], persists  # f/r2 paths: zero persists end to end
+    assert persists == [], persists  # regression f/r2: zero persists
+    res_c = select_mrmr(sdf, cols, "yc", 3, task="classification", subsample=None)
+    monkeypatch.setattr(ClassicDF, "persist", real_persist)
+    assert persists == ["persist"], persists  # classification: exactly one
     assert res.names[0] == "w2" and res_c.names[0] == "w2"
     assert res_j.names[0] == "w2"
 
