@@ -144,6 +144,26 @@ def main():
 
     timed("fe_build", fe_only)
 
+    # auto-k group-CV evaluate over the full corpus (round 4: 2 shared
+    # scans total regardless of n_splits — fold-keyed fused stats +
+    # fold-grouped loss; warm, plans already compiled by the e2e runs)
+    if not E2E_ONLY:
+        from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+        feats_ak = build_features(transcripts).where(
+            F.col("target_next_gap").isNotNull()
+        )
+
+        def autok_cv():
+            cfg = AutoKConfig(k_method="evaluate", strategy="group_cv",
+                              max_k=len(feat_cols), min_k=2, n_splits=4)
+            return select_k_evaluate(
+                feats_ak, list(feat_cols), "target_next_gap", cfg,
+                group_col="conv_id", task="regression",
+            )
+
+        timed("autok_group_cv", autok_cv)
+
     # operator benches over driver testdata
     for name in [] if E2E_ONLY else [
         "sessionize",
