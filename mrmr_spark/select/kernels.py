@@ -41,11 +41,16 @@ _ACC_SCHEMA = "pid long, acc binary"
 #: partition counts above this get a two-level (tree) combine before collect
 TREE_COMBINE_THRESHOLD = 64
 
-#: plan-audit hook (tools/audit_plans.py): when set to a list, every kernel
-#: scan appends its executed physical plan string after its collect. The
-#: selection passes drive their own Spark jobs internally (the caller only
-#: sees numpy results), so the PLANS.md audit cannot reach these plans from
-#: any returned DataFrame — this is the tap. None (the default) is free.
+#: plan-audit hook (tools/audit_plans.py): when set to a list, every ARROW
+#: kernel scan (everything routed through ``_merge_collect``) appends its
+#: executed physical plan string after its collect. The selection passes
+#: drive their own Spark jobs internally (the caller only sees numpy
+#: results), so the PLANS.md audit cannot reach these plans from any
+#: returned DataFrame — this is the tap. The JVM-aggregate kernels for
+#: narrow frames (impute_mean_pass, centered_moments_pass,
+#: class_moments_pass, _gram_jvm) collect directly and are NOT captured —
+#: the audit targets the wide/fused Arrow paths, which are the default
+#: plans. None (the default) is free.
 PLAN_LOG: list[str] | None = None
 
 
@@ -294,8 +299,8 @@ def fused_singlepass_stats(
         proj.append(F.col(wname).cast("double").alias("_w_"))
     dfp = df.select(*proj)
 
-    # accumulator layout: [sw, mu(q), C(q²), rawsum(p), nfin(p), n]
-    out_len = 1 + q + q * q + 2 * p + 1
+    # accumulator layout: [sw, mu(q), C(q²), rawsum(p), nfin(p), ybad, n]
+    out_len = 1 + q + q * q + 2 * p + 2
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sw = 0.0
@@ -303,6 +308,7 @@ def fused_singlepass_stats(
         C = np.zeros((q, q))
         rawsum = np.zeros(p)
         nfin = np.zeros(p)
+        ybad = 0.0
         n = 0.0
         nonempty = False
         for b in batches:
@@ -322,15 +328,16 @@ def fused_singlepass_stats(
                 if wname
                 else np.ones(X.shape[0])
             )
-            swb, mub, Cb, rs, nf, nn = _fused_batch_block(X, y, w, p, quantize_f32)
+            swb, mub, Cb, rs, nf, yb, nn = _fused_batch_block(X, y, w, p, quantize_f32)
             rawsum += rs
             nfin += nf
+            ybad += yb
             n += nn
             if swb <= 0.0:
                 continue
             sw, mu, C = _chan_merge(sw, mu, C, swb, mub, Cb)
         if nonempty:
-            acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [n]])
+            acc = np.concatenate([[sw], mu, C.ravel(), rawsum, nfin, [ybad, n]])
             yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -346,24 +353,29 @@ def fused_singlepass_stats(
 
 def _fused_batch_block(X, y, w, p: int, quantize_f32: bool):
     """One batch's contribution to the indicator-augmented accumulator:
-    ``(swb, mub, Cb, rawsum, nfin, n)`` for V = [f⊙x_q, f, y_q]."""
+    ``(swb, mub, Cb, rawsum, nfin, ybad, n)`` for V = [f⊙x_q, f, y_q].
+    ``ybad`` counts non-finite y rows so callers can enforce the
+    reference's y-validation without a separate scan."""
     q = 2 * p + 1
     fin = np.isfinite(X)
     Xz = np.where(fin, X, 0.0)
     rawsum = Xz.sum(axis=0)
     nfin = fin.sum(axis=0).astype(np.float64)
     n = float(X.shape[0])
+    ybad = float((~np.isfinite(y)).sum())
     V = np.empty((X.shape[0], q))
-    V[:, :p] = _quantize(Xz, quantize_f32) * fin
+    # Xz is already zero where non-finite and _quantize(0.0) == 0.0, so no
+    # mask multiply is needed here (this runs in the hottest scan)
+    V[:, :p] = _quantize(Xz, quantize_f32)
     V[:, p : 2 * p] = fin
     V[:, 2 * p] = _quantize(y, quantize_f32)
     swb = float(w.sum())
     if swb <= 0.0:
-        return 0.0, None, None, rawsum, nfin, n
+        return 0.0, None, None, rawsum, nfin, ybad, n
     mub = (w @ V) / swb
     Vc = V - mub[None, :]
     Cb = Vc.T @ (Vc * w[:, None])
-    return swb, mub, Cb, rawsum, nfin, n
+    return swb, mub, Cb, rawsum, nfin, ybad, n
 
 
 def _fused_slot_merge(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
@@ -388,6 +400,7 @@ def _finish_fused_acc(total: np.ndarray, p: int, quantize_f32: bool) -> dict:
     C = total[1 + q : 1 + q + q * q].reshape(q, q)
     rawsum = total[1 + q + q * q : 1 + q + q * q + p]
     nfin = total[1 + q + q * q + p : 1 + q + q * q + 2 * p]
+    y_nonfinite = float(total[-2])
     n = float(total[-1])
 
     impute_means = _quantize(
@@ -412,6 +425,7 @@ def _finish_fused_acc(total: np.ndarray, p: int, quantize_f32: bool) -> dict:
         # ZeroDivisionError in the shared driver tail instead)
         "sw": np.float64(sw),
         "n": n,
+        "y_nonfinite": y_nonfinite,
         "impute_means": impute_means,
         "col_wmeans": col_wmeans,
         "y_wmean": y_wmean,
@@ -447,7 +461,7 @@ def fused_foldwise_stats(
     p = len(feature_cols)
     q = 2 * p + 1
     cols = list(feature_cols)
-    slot = 1 + q + q * q + 2 * p + 1
+    slot = 1 + q + q * q + 2 * p + 2
 
     proj = [F.col(c).cast("double").alias(c) for c in cols]
     proj.append(F.col(y_col).cast("double").alias("_y_"))
@@ -468,9 +482,12 @@ def fused_foldwise_stats(
                 b.column(b.schema.get_field_index("_y_")).to_numpy(zero_copy_only=False),
                 dtype=np.float64,
             )
+            # a null fold would arrive as NaN and wrap to INT64_MIN below —
+            # guard the range instead of indexing blind (negative codes
+            # would otherwise silently merge into the LAST fold)
             fold = np.asarray(
                 b.column(b.schema.get_field_index("_f_")).to_numpy(zero_copy_only=False),
-                dtype=np.int64,
+                dtype=np.float64,
             )
             w = (
                 np.asarray(
@@ -480,22 +497,25 @@ def fused_foldwise_stats(
                 if weight_col
                 else np.ones(X.shape[0])
             )
-            for f in np.unique(fold):
-                sel = fold == f
-                swb, mub, Cb, rs, nf, nn = _fused_batch_block(
+            valid = np.isfinite(fold) & (fold >= 0) & (fold < n_folds)
+            fold_i = np.where(valid, fold, 0).astype(np.int64)
+            for f in np.unique(fold_i[valid]):
+                sel = valid & (fold_i == f)
+                swb, mub, Cb, rs, nf, yb, nn = _fused_batch_block(
                     X[sel], y[sel], w[sel], p, quantize_f32
                 )
                 a = acc[f]
-                a[1 + q + q * q :] += np.concatenate([rs, nf, [nn]])
+                a[1 + q + q * q :] += np.concatenate([rs, nf, [yb, nn]])
                 if swb <= 0.0:
                     continue
-                blk = np.concatenate([[swb], mub, Cb.ravel()])
-                merged = _fused_slot_merge(
-                    np.concatenate([a[: 1 + q + q * q], np.zeros(2 * p + 1)]),
-                    np.concatenate([blk, np.zeros(2 * p + 1)]),
-                    q,
+                sw_m, mu_m, C_m = _chan_merge(
+                    float(a[0]), a[1 : 1 + q],
+                    a[1 + q : 1 + q + q * q].reshape(q, q),
+                    swb, mub, Cb,
                 )
-                a[: 1 + q + q * q] = merged[: 1 + q + q * q]
+                a[0] = sw_m
+                a[1 : 1 + q] = np.asarray(mu_m).ravel()
+                a[1 + q : 1 + q + q * q] = np.asarray(C_m).ravel()
         if nonempty:
             yield _acc_batch(acc.ravel())
 
@@ -612,7 +632,8 @@ def fused_singlepass_class_stats(
             rawsum += Xz.sum(axis=0)
             nfin += fin.sum(axis=0)
             n += X.shape[0]
-            Xq = _quantize(Xz, quantize_f32) * fin
+            # Xz already zero where non-finite; no mask multiply needed
+            Xq = _quantize(Xz, quantize_f32)
             V = np.concatenate([Xq, fin.astype(np.float64)], axis=1)
             swb = float(w.sum())
             if swb > 0.0:
@@ -756,8 +777,8 @@ def moments_singlepass_pass(
     dfp = df.select(*proj)
 
     st_len = (2 * p + 1) + 5 * p + 1
-    # acc: [sw, st(st_len), rawsum(p), nfin(p), sumq(p), sumsqq(p), n]
-    out_len = 1 + st_len + 4 * p + 1
+    # acc: [sw, st(st_len), rawsum(p), nfin(p), sumq(p), sumsqq(p), ybad, n]
+    out_len = 1 + st_len + 4 * p + 2
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sw = 0.0
@@ -766,6 +787,7 @@ def moments_singlepass_pass(
         nfin = np.zeros(p)
         sumq = np.zeros(p)
         sumsqq = np.zeros(p)
+        ybad = 0.0
         n = 0.0
         nonempty = False
         for b in batches:
@@ -793,9 +815,12 @@ def moments_singlepass_pass(
             Xz = np.where(fin, X, 0.0)
             rawsum += Xz.sum(axis=0)
             nfin += fin.sum(axis=0)
-            Aq = _quantize(Xz, quantize_f32) * fin
+            # Xz already zero where non-finite; no mask multiply needed
+            Aq = _quantize(Xz, quantize_f32)
             sumq += Aq.sum(axis=0)
             sumsqq += (Aq * Aq).sum(axis=0)
+            if HAS_Y:
+                ybad += float((~np.isfinite(y)).sum())
             n += X.shape[0]
             swb = float(w.sum())
             if swb <= 0.0:
@@ -820,7 +845,7 @@ def moments_singlepass_pass(
             ])
             sw, st = _colwise_chan_merge(sw, st, swb, stb, p)
         if nonempty:
-            acc = np.concatenate([[sw], st, rawsum, nfin, sumq, sumsqq, [n]])
+            acc = np.concatenate([[sw], st, rawsum, nfin, sumq, sumsqq, [ybad, n]])
             yield _acc_batch(acc)
 
     def merge_two(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -840,6 +865,7 @@ def moments_singlepass_pass(
     tail = total[1 + st_len :]
     rawsum, nfin = tail[:p], tail[p : 2 * p]
     sumq, sumsqq = tail[2 * p : 3 * p], tail[3 * p : 4 * p]
+    y_nonfinite = float(tail[-2])
     n = float(tail[-1])
 
     mu_a, mu_f, mu_y = st[:p], st[p : 2 * p], float(st[2 * p])
@@ -872,6 +898,7 @@ def moments_singlepass_pass(
         "xy_cov": xy_cov,
         "x_ss_unw": np.maximum(x_ss_unw, 0.0),
         "y_ss": Cyy,
+        "y_nonfinite": y_nonfinite,
     }
 
 
@@ -899,7 +926,7 @@ def impute_mean_pass(
     reference's ``np.nanmean`` before the f32 cast), weighted sums of the
     f32-quantized finite values, non-finite weight mass, and globals.
 
-    Expressed as built-in aggregate expressions (6p + 3 aggs in one
+    Expressed as built-in aggregate expressions (4p + 4 aggs in one
     ``select``) — per-column moments stay entirely JVM-side; Python is
     reserved for the O(p²) Gram kernel (SURVEY.md §4.2 'column-parallel
     loops → per-column aggregate expressions')."""
@@ -914,26 +941,26 @@ def impute_mean_pass(
         aggs += [
             F.count(F.when(fin, 1)),                                   # n_fin
             F.sum(F.when(fin, x).otherwise(zero)),                      # sum_fin raw f64
-            F.sum(F.when(fin, w).otherwise(zero)),                      # w_fin
             F.sum(F.when(fin, w * xq).otherwise(zero)),                 # wx quantized
             F.sum(F.when(~fin, w).otherwise(zero)),                     # w_nonfin
         ]
-        if y_col is not None:
-            yq = _q32(F.col(y_col).cast("double"), quantize_f32)
-            aggs.append(F.sum(F.when(~fin, w * yq).otherwise(zero)))    # wy_nonfin
-        else:
-            aggs.append(F.sum(zero))
     if y_col is not None:
-        yq = _q32(F.col(y_col).cast("double"), quantize_f32)
-        aggs += [F.sum(w), F.count(F.lit(1)), F.sum(w * yq)]
+        yraw = F.col(y_col).cast("double")
+        yq = _q32(yraw, quantize_f32)
+        aggs += [
+            F.sum(w), F.count(F.lit(1)), F.sum(w * yq),
+            F.count(F.when(~_fin(yraw), 1)),                            # y_nonfinite
+        ]
     else:
-        aggs += [F.sum(w), F.count(F.lit(1)), F.sum(F.lit(0.0))]
+        aggs += [F.sum(w), F.count(F.lit(1)), F.sum(F.lit(0.0)),
+                 F.sum(F.lit(0))]
 
     row = df.select(*[a.alias(f"a{i}") for i, a in enumerate(aggs)]).collect()[0]
     vals = np.array([0.0 if v is None else float(v) for v in row], dtype=np.float64)
-    per = vals[: 6 * p].reshape(p, 6).T
-    n_fin, sum_fin, w_fin, wx, w_nonfin, wy_nonfin = per
-    sw, n, swy = vals[6 * p], vals[6 * p + 1], vals[6 * p + 2]
+    per = vals[: 4 * p].reshape(p, 4).T
+    n_fin, sum_fin, wx, w_nonfin = per
+    sw, n, swy = vals[4 * p], vals[4 * p + 1], vals[4 * p + 2]
+    y_nonfinite = vals[4 * p + 3]
 
     impute_means = np.where(n_fin > 0, sum_fin / np.maximum(n_fin, 1), 0.0)
     m_q = _quantize(impute_means, quantize_f32)
@@ -941,12 +968,11 @@ def impute_mean_pass(
     return {
         "impute_means": m_q,
         "n_fin": n_fin,
-        "w_fin": w_fin,
         "w_nonfin": w_nonfin,
-        "wy_nonfin": wy_nonfin,
         "sw": sw,
         "n": n,
         "wy": swy,
+        "y_nonfinite": y_nonfinite,
         "col_wmeans": wx_imputed / sw,
     }
 
@@ -1059,7 +1085,8 @@ def class_moments_singlepass_pass(
             rawsum += Xz.sum(axis=0)
             nfin += fin.sum(axis=0)
             n += X.shape[0]
-            Xq = _quantize(Xz, quantize_f32) * fin
+            # Xz already zero where non-finite; no mask multiply needed
+            Xq = _quantize(Xz, quantize_f32)
             ok = np.isfinite(yc)
             yi = yc[ok].astype(np.int64)
             Xo, fo, wo = Xq[ok], fin[ok].astype(np.float64), w[ok]
@@ -1147,6 +1174,10 @@ def class_moments_pass(
     A = np.zeros((C, p))
     class_w = np.zeros(C)
     for r in rows:
+        # skip malformed codes (null, negative, >= C) like the Arrow twins —
+        # int(None) would raise and a -1 would silently merge into class C-1
+        if r["_yc"] is None or not (0 <= int(r["_yc"]) < C):
+            continue
         c = int(r["_yc"])
         class_w[c] = float(r["cw"])
         for j in range(p):

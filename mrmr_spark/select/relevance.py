@@ -24,6 +24,16 @@ from pyspark.sql import functions as F
 from mrmr_spark.select import kernels
 
 
+def _require_finite_y(stats: dict) -> None:
+    """Reference y-validation (/root/reference/sift/_preprocess.py:199-201),
+    enforced from a counter folded into the existing moment pass — no extra
+    scan. Both backends raise identically; without this the single-pass
+    kernel would NaN-poison every score (silently empty selection) while
+    the JVM two-pass silently dropped null-y rows — divergent and wrong."""
+    if float(stats.get("y_nonfinite", 0.0)) > 0:
+        raise ValueError("Non-finite values in y are not allowed for regression.")
+
+
 def f_regression_scores(
     df: DataFrame,
     feature_cols: list[str],
@@ -59,6 +69,7 @@ def f_regression_scores(
         x_ss, xy, y_ss = p2["x_ss"], p2["xy_cov"], p2["y_ss"]
         x_ss_unw = p2["x_ss_unw"]
 
+    _require_finite_y(p1)
     scores = np.zeros(len(feature_cols), dtype=np.float64)
     ok = (x_ss >= 1e-12) & (y_ss >= 1e-12)
     r = np.zeros_like(scores)
@@ -133,6 +144,7 @@ def fused_regression_stats(
         C, c_y, y_ss = cg["C"], cg["c_y"], cg["c_yy"]
         col_wmeans, impute_means, n = p1["col_wmeans"], p1["impute_means"], p1["n"]
 
+    _require_finite_y(p1)
     x_ss = np.diag(C).copy()
     xy = c_y
 

@@ -23,6 +23,34 @@ def edge_df(spark):
 def test_constant_and_allnan_features_skipped(edge_df):
     assert select_mrmr(edge_df, ["x0", "x1", "const"], "y", 3).names == ["x0", "x1"]
     assert select_mrmr(edge_df, ["x0", "x1", "allnan"], "y", 3).names == ["x0", "x1"]
+
+
+def test_nonfinite_regression_target_raises_on_both_backends(edge_df):
+    """Reference contract (_preprocess.py:199-201): non-finite regression y
+    raises. Both kernel backends must enforce it identically — without the
+    check, the single-pass scan NaN-poisons every score (silently empty
+    selection) while the JVM two-pass silently drops null-y rows."""
+    from pyspark.sql import functions as F
+
+    cols = ["x0", "x1", "x2"]
+    for bad in (None, float("nan")):
+        df_bad = edge_df.withColumn(
+            "yb", F.when(F.col("x1") > 1.5, F.lit(bad)).otherwise(F.col("y"))
+        )
+        for sp in (True, False):
+            with pytest.raises(ValueError, match="Non-finite values in y"):
+                select_mrmr(df_bad, cols, "yb", 2, task="regression",
+                            single_pass=sp, subsample=None)
+    # the O(p) Arrow moments kernel (p > MOMENTS_JVM_MAX_P, two-pass
+    # backend) enforces it too
+    rng = np.random.default_rng(5)
+    n, p = 150, 30
+    wide = pd.DataFrame(rng.normal(size=(n, p)), columns=[f"w{j}" for j in range(p)])
+    wide["yb"] = np.where(np.arange(n) % 17 == 0, np.nan, rng.normal(size=n))
+    sdfw = edge_df.sparkSession.createDataFrame(wide)
+    with pytest.raises(ValueError, match="Non-finite values in y"):
+        select_mrmr(sdfw, [f"w{j}" for j in range(p)], "yb", 2,
+                    task="regression", single_pass=False, subsample=None)
     assert select_mrmr(edge_df, ["x0", "allnan"], "y", 2,
                        single_pass=True).names == ["x0"]
 

@@ -606,10 +606,13 @@ def test_fused_kernels_tree_combine_many_partitions(spark):
     rng = np.random.default_rng(21)
     n, p = 2000, 5
     X = rng.normal(loc=3.0, size=(n, p))
-    X[rng.random((n, p)) < 0.05] = np.nan
     cols = [f"x{j}" for j in range(p)]
     pdf = pd.DataFrame(X, columns=cols)
+    # derive y BEFORE contaminating X: non-finite y is a ValueError by the
+    # reference's contract (tested separately); this test is about combines
     pdf["y"] = X[:, 0] + rng.normal(size=n)
+    X[rng.random((n, p)) < 0.05] = np.nan
+    pdf[cols] = X
     pdf["yc"] = (rng.random(n) * 3).astype(int).astype(str)
     sdf = spark.createDataFrame(pdf).repartition(100).cache()  # > threshold (64)
     sdf.count()
