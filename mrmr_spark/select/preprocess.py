@@ -43,6 +43,10 @@ def factorize_target(df: DataFrame, y_col: str, out: str = "_y_code") -> tuple[D
     labels = [r[0] for r in df.select(y_col).distinct().collect()]
     if any(label is None for label in labels):
         raise ValueError("Missing values in y are not allowed for classification.")
+    # numeric NaN/±inf labels are distinct from SQL NULL and would otherwise
+    # silently become classes; the reference raises (_preprocess.py:190-194)
+    if any(isinstance(label, float) and not np.isfinite(label) for label in labels):
+        raise ValueError("Non-finite values in y are not allowed for classification.")
     labels = sorted(labels)
     mapping = F.lit(None).cast("int")
     expr = None

@@ -55,6 +55,27 @@ def test_nonfinite_regression_target_raises_on_both_backends(edge_df):
                        single_pass=True).names == ["x0"]
 
 
+def test_nonfinite_classification_target_raises(edge_df):
+    """Reference contract (_preprocess.py:190-194): SQL NULL labels raise
+    'Missing values', numeric NaN/inf labels raise 'Non-finite values' —
+    without the check a double-typed NaN label is distinct from NULL and
+    would silently factorize into its own class."""
+    from pyspark.sql import functions as F
+
+    cols = ["x0", "x1", "x2"]
+    base = edge_df.withColumn("yc", (F.col("x0") > 0).cast("double"))
+    with pytest.raises(ValueError, match="Missing values in y"):
+        select_mrmr(
+            base.withColumn("yc", F.when(F.col("x1") > 1.5, None).otherwise(F.col("yc"))),
+            cols, "yc", 2, task="classification", subsample=None)
+    for bad in (float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="Non-finite values in y"):
+            select_mrmr(
+                base.withColumn(
+                    "yc", F.when(F.col("x1") > 1.5, F.lit(bad)).otherwise(F.col("yc"))),
+                cols, "yc", 2, task="classification", subsample=None)
+
+
 def test_degenerate_frames_return_empty(edge_df):
     empty = edge_df.where("y > 1e18")
     assert select_mrmr(empty, ["x0", "x1"], "y", 2).names == []
