@@ -1169,6 +1169,280 @@ WITH m0 AS (
 SQL_MRMR_EVENT_FEATURES = _mrmr_event_sql()
 
 
+# ---------------------------------------------------------------------------
+# Selection-layer primitives (round-4 widening): SQL-oracle the components
+# that previously had only pytest parity — target encoding (B8), the copula
+# midrank machinery (D1 phases 1-2), the Gram redundancy reduction (D4),
+# exact quantile binning (E1), and binned joint MI (E2/E3).
+# ---------------------------------------------------------------------------
+
+def q_target_encoding(spark, sf_dir):
+    """Leave-one-out + sigmoid-blend target encoding of event_type vs value
+    (B8, encoding.py; category_encoders' published formulas). Both encoders
+    are a tiny groupBy + broadcast join — no fact-table shuffle."""
+    from mrmr_spark.select.encoding import target_encode
+
+    e = _events(spark, sf_dir)
+    out = target_encode(e, ["event_type"], "value", method="loo", suffix="_loo")
+    out = target_encode(out, ["event_type"], "value", method="target", suffix="_tgt")
+    return out.select(
+        "event_id", "event_type",
+        r6("event_type_loo").alias("loo_enc"),
+        r6("event_type_tgt").alias("target_enc"),
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH g AS (
+  SELECT event_type, sum(value) AS sy, count(*) AS n, avg(value) AS my
+  FROM events GROUP BY 1
+), p AS (SELECT avg(value) AS pm FROM events)
+SELECT e.event_id, e.event_type,
+  round(CASE WHEN g.n > 1 THEN (g.sy - e.value) / (g.n - 1) ELSE p.pm END, 6)
+    AS loo_enc,
+  round(CASE WHEN g.n <= 1 THEN p.pm
+        ELSE p.pm * (1 - 1 / (1 + exp(-(g.n - 20.0) / 10.0)))
+             + g.my * (1 / (1 + exp(-(g.n - 20.0) / 10.0))) END, 6)
+    AS target_enc
+FROM events e JOIN g USING (event_type) CROSS JOIN p
+"""
+
+
+def q_copula_midrank(spark, sf_dir):
+    """Weighted midranks u = (Σ_{j<i} w_j + w_i/2)/Σw (copula D1 phases
+    1-2): the range-partitioned two-phase prefix-sum — the engine's
+    no-single-task-per-column rank machinery — against a window-SQL oracle.
+    Feature 1 (event_id % 24) is massively tied, so the deterministic
+    (value, row_key) tie order is exercised, not just the sort."""
+    from mrmr_spark.select.copula import weighted_midranks
+
+    e = (
+        _events(spark, sf_dir)
+        .withColumn("w", ((F.col("event_id") % 5) + 1).cast("double"))
+        .withColumn("f_tied", (F.col("event_id") % 24).cast("double"))
+    )
+    out = weighted_midranks(e, ["value", "f_tied"], "w", "event_id")
+    return out.select("event_id", "col_idx", r6("u").alias("u"))
+
+
+SQL_COPULA_MIDRANK = """
+WITH base AS (
+  SELECT event_id, CAST(event_id % 5 + 1 AS DOUBLE) AS w,
+         CAST(value AS DOUBLE) AS f0,
+         CAST(event_id % 24 AS DOUBLE) AS f1
+  FROM events
+), m AS (
+  SELECT event_id, w, 0 AS col_idx, f0 AS x FROM base
+  UNION ALL SELECT event_id, w, 1, f1 FROM base
+)
+SELECT event_id, col_idx,
+  round((COALESCE(sum(w) OVER (PARTITION BY col_idx ORDER BY x, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w / 2)
+        / sum(w) OVER (PARTITION BY col_idx), 6) AS u
+FROM m
+"""
+
+
+def q_corr_redundancy(spark, sf_dir):
+    """Pairwise correlation via the Gram reduction (D4 — ``G += Zᵀ(w⊙Z)``
+    per partition on driver-standardized Z) vs DuckDB corr(). Unweighted,
+    unclipped, f64: the kernel's two-pass algebra must reproduce Pearson
+    correlation exactly."""
+    from mrmr_spark.select import kernels
+    from mrmr_spark.select.relevance import f_regression_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    st = f_regression_scores(li, cols, "l_extendedprice", None, quantize_f32=False)
+    gram = kernels.gram_pass(
+        li, cols, None, st["impute_means"], st["wmeans"], st["wstds"],
+        quantize_f32=False, clip=None,
+    )
+    R = gram["R"]
+    rows = [
+        (cols[i], cols[j], round(float(R[i, j]), 6))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return spark.createDataFrame(rows, "feat_a string, feat_b string, corr double")
+
+
+SQL_CORR_REDUNDANCY = """
+WITH c AS (
+  SELECT corr(l_quantity, l_discount) AS c01,
+         corr(l_quantity, l_tax)      AS c02,
+         corr(l_discount, l_tax)      AS c12
+  FROM lineitem
+)
+SELECT 'l_quantity' AS feat_a, 'l_discount' AS feat_b, round(c01, 6) AS corr FROM c
+UNION ALL SELECT 'l_quantity', 'l_tax', round(c02, 6) FROM c
+UNION ALL SELECT 'l_discount', 'l_tax', round(c12, 6) FROM c
+"""
+
+
+_BIN_COLS = ["l_extendedprice", "l_quantity"]
+
+
+def q_quantile_bins(spark, sf_dir):
+    """Exact-percentile bin assignment (E1): Spark's exact ``percentile``
+    ladder + np.digitize codes vs DuckDB quantile_cont + edge counting —
+    both use the (n−1)·q linear-interpolation definition, so per-bin
+    populations must match exactly."""
+    import numpy as np
+
+    from mrmr_spark.select.binning import bin_codes_df, exact_percentile_edges
+
+    li = _t(spark, sf_dir, "lineitem").select(*_BIN_COLS)
+    edges = exact_percentile_edges(li, _BIN_COLS, 10)
+    coded = bin_codes_df(li, _BIN_COLS, edges, np.ones(len(_BIN_COLS)))
+    longf = coded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"b_{c}").cast("int").alias("bin"),
+                    )
+                    for c in _BIN_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.feature", "s.bin")
+    return longf.groupBy("feature", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _edges_cte(col: str, alias: str) -> str:
+    """CTE computing the 9 interior decile edges of ``col`` with Spark's
+    EXACT ``percentile`` arithmetic (verified bitwise): pos = q·(n−1);
+    edge = v[floor] when the bracketing values are equal (Spark returns the
+    key directly inside a tie run — DuckDB's quantile_cont interpolates and
+    drifts a ulp, flipping whole tie groups), else
+    (ceil−pos)·v[floor] + (pos−floor)·v[ceil]."""
+    return f"""{alias}_ord AS (
+  SELECT CAST({col} AS DOUBLE) AS v, row_number() OVER (ORDER BY {col}) - 1 AS rn
+  FROM lineitem
+), {alias} AS (
+  SELECT list(e ORDER BY q) AS e FROM (
+    SELECT pq.q, CASE WHEN lov.v = hiv.v THEN lov.v
+                 ELSE (pq.hi - pq.p) * lov.v + (pq.p - pq.lo) * hiv.v END AS e
+    FROM (
+      SELECT q, q * (n - 1) AS p,
+             CAST(floor(q * (n - 1)) AS BIGINT) AS lo,
+             CAST(ceil(q * (n - 1)) AS BIGINT) AS hi
+      FROM (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q)
+      CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem)
+    ) pq
+    JOIN {alias}_ord lov ON lov.rn = pq.lo
+    JOIN {alias}_ord hiv ON hiv.rn = pq.hi
+  )
+)"""
+
+
+SQL_QUANTILE_BINS = f"""
+WITH {_edges_cte("l_extendedprice", "qe")},
+{_edges_cte("l_quantity", "qq")},
+m AS (
+  SELECT 'l_extendedprice' AS feature, CAST(l_extendedprice AS DOUBLE) AS x, qe.e AS e
+  FROM lineitem CROSS JOIN qe
+  UNION ALL
+  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), qq.e FROM lineitem CROSS JOIN qq
+)
+SELECT feature, CAST(len(list_filter(e, v -> x >= v)) AS INTEGER) AS bin,
+       count(*) AS cnt
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_binned_mi(spark, sf_dir):
+    """Binned joint MI (E2/E3): I(f; y) = Σ p log(p / (p_f · p_y)) over the
+    exact-decile joint histogram of each feature with binned
+    l_extendedprice. One distributed melt + composite-key groupBy produces
+    the tiny joint histogram; the MI finish is O(bins²) driver math."""
+    import numpy as np
+
+    from mrmr_spark.select.binning import bin_codes_df, exact_percentile_edges
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    ycol = "l_extendedprice"
+    li = _t(spark, sf_dir, "lineitem").select(*cols, ycol)
+    edges = exact_percentile_edges(li, cols + [ycol], 10)
+    coded = bin_codes_df(li, cols + [ycol], edges, np.ones(len(cols) + 1))
+    hist = (
+        coded.select(
+            F.col(f"b_{ycol}").cast("int").alias("_yb"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("feature"),
+                            F.col(f"b_{c}").cast("int").alias("fb"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("s.feature", "s.fb", "_yb")
+        .groupBy("feature", "fb", "_yb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per: dict[str, dict[tuple[int, int], float]] = {c: {} for c in cols}
+    for r in hist:
+        per[r["feature"]][(int(r["fb"]), int(r["_yb"]))] = float(r["c"])
+    rows = []
+    for c in cols:
+        joint = per[c]
+        n = sum(joint.values())
+        pf: dict[int, float] = {}
+        py: dict[int, float] = {}
+        for (fb, yb), cnt in joint.items():
+            pf[fb] = pf.get(fb, 0.0) + cnt
+            py[yb] = py.get(yb, 0.0) + cnt
+        mi = 0.0
+        for (fb, yb), cnt in joint.items():
+            pr = cnt / n
+            if pr > 1e-12:
+                mi += pr * np.log(pr * n * n / (pf[fb] * py[yb]))
+        rows.append((c, round(max(0.0, float(mi)), 6)))
+    return spark.createDataFrame(rows, "feature string, mi double")
+
+
+SQL_BINNED_MI = f"""
+WITH {_edges_cte("l_quantity", "q1")},
+{_edges_cte("l_discount", "q2")},
+{_edges_cte("l_tax", "q3")},
+{_edges_cte("l_extendedprice", "qy")},
+m AS (
+  SELECT 'l_quantity' AS feature,
+         len(list_filter(q1.e, v -> CAST(l_quantity AS DOUBLE) >= v)) AS fb,
+         len(list_filter(qy.e, v -> CAST(l_extendedprice AS DOUBLE) >= v)) AS yb
+  FROM lineitem CROSS JOIN q1 CROSS JOIN qy
+  UNION ALL
+  SELECT 'l_discount',
+         len(list_filter(q2.e, v -> CAST(l_discount AS DOUBLE) >= v)),
+         len(list_filter(qy.e, v -> CAST(l_extendedprice AS DOUBLE) >= v))
+  FROM lineitem CROSS JOIN q2 CROSS JOIN qy
+  UNION ALL
+  SELECT 'l_tax',
+         len(list_filter(q3.e, v -> CAST(l_tax AS DOUBLE) >= v)),
+         len(list_filter(qy.e, v -> CAST(l_extendedprice AS DOUBLE) >= v))
+  FROM lineitem CROSS JOIN q3 CROSS JOIN qy
+), j AS (
+  SELECT feature, fb, yb, CAST(count(*) AS DOUBLE) AS c FROM m GROUP BY 1, 2, 3
+), t AS (
+  SELECT feature, fb, yb, c,
+         sum(c) OVER (PARTITION BY feature) AS n,
+         sum(c) OVER (PARTITION BY feature, fb) AS cf,
+         sum(c) OVER (PARTITION BY feature, yb) AS cy
+  FROM j
+)
+SELECT feature,
+       round(greatest(0.0, sum((c / n) * ln(c * n / (cf * cy)))), 6) AS mi
+FROM t GROUP BY feature
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -1199,6 +1473,11 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "text_quality": q_text_quality,
     "media_features": q_media_features,
+    "target_encoding": q_target_encoding,
+    "copula_midrank": q_copula_midrank,
+    "corr_redundancy": q_corr_redundancy,
+    "quantile_bins": q_quantile_bins,
+    "binned_mi": q_binned_mi,
 }
 
 ORACLE_SQL = {
@@ -1231,4 +1510,9 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "mrmr_event_features": SQL_MRMR_EVENT_FEATURES,
     "media_features": SQL_MEDIA_FEATURES,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "copula_midrank": SQL_COPULA_MIDRANK,
+    "corr_redundancy": SQL_CORR_REDUNDANCY,
+    "quantile_bins": SQL_QUANTILE_BINS,
+    "binned_mi": SQL_BINNED_MI,
 }

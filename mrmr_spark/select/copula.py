@@ -45,26 +45,18 @@ from pyspark.sql.window import Window
 from mrmr_spark.functions.ndtri import ndtri
 
 
-def rank_gauss_transform(
+def _midrank_long(
     df: DataFrame,
     feature_cols: list[str],
     weight_col: str | None,
     row_key: str,
-    z_prefix: str = "z_",
-    store_f32: bool = True,
     pin: list | None = None,
 ) -> DataFrame:
-    """Return (row_key, weight, z_<col>...) with each column copula-transformed.
-
-    Output z columns are float32-quantized when ``store_f32`` (the cache
-    stores float32 Z, copula.py:77) but typed double for downstream kernels.
-
-    ``pin``: the range-partitioned melt is persisted (required — see module
-    docstring); when a list is passed, the persisted DataFrame is appended
-    to it so the caller can unpersist after materializing the result.
-    Without ``pin`` it stays cached until the session drops it.
-    """
-    p = len(feature_cols)
+    """Phases 1-2 of the copula transform: the melted frame with the
+    weighted midrank ``_u`` attached — (``_rk``, ``_w``, ``_cid``, ``_val``,
+    ``_fin``, ``_nfin``, ``_u``). Shared by ``rank_gauss_transform`` (which
+    continues with ndtri + standardization) and ``weighted_midranks`` (the
+    SQL-oracleable public surface of the rank machinery)."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
 
     melted = df.select(
@@ -132,6 +124,55 @@ def rank_gauss_transform(
             ),
         )
     )
+    return ranked
+
+
+def weighted_midranks(
+    df: DataFrame,
+    feature_cols: list[str],
+    weight_col: str | None,
+    row_key: str,
+    pin: list | None = None,
+) -> DataFrame:
+    """Long-format weighted midranks u_i = (Σ_{j<i} w_j + w_i/2) / Σw per
+    column (reference copula.py:93-101) — the distributed rank machinery
+    alone, without the ndtri/standardization tail, so the range-partitioned
+    two-phase prefix-sum is directly comparable against a window-SQL oracle.
+
+    Returns (row_key, col_idx:int, u:double); non-finite values and
+    single-point columns yield NULL u. Same ``pin`` contract as
+    ``rank_gauss_transform``: the range-partitioned melt stays persisted
+    until the caller unpersists the appended handle (after materializing
+    the result) — or until the session drops it when ``pin`` is omitted."""
+    ranked = _midrank_long(df, feature_cols, weight_col, row_key, pin=pin)
+    return ranked.select(
+        F.col("_rk").alias(row_key),
+        F.col("_cid").cast("int").alias("col_idx"),
+        F.col("_u").alias("u"),
+    )
+
+
+def rank_gauss_transform(
+    df: DataFrame,
+    feature_cols: list[str],
+    weight_col: str | None,
+    row_key: str,
+    z_prefix: str = "z_",
+    store_f32: bool = True,
+    pin: list | None = None,
+) -> DataFrame:
+    """Return (row_key, weight, z_<col>...) with each column copula-transformed.
+
+    Output z columns are float32-quantized when ``store_f32`` (the cache
+    stores float32 Z, copula.py:77) but typed double for downstream kernels.
+
+    ``pin``: the range-partitioned melt is persisted (required — see module
+    docstring); when a list is passed, the persisted DataFrame is appended
+    to it so the caller can unpersist after materializing the result.
+    Without ``pin`` it stays cached until the session drops it.
+    """
+    p = len(feature_cols)
+    ranked = _midrank_long(df, feature_cols, weight_col, row_key, pin=pin)
 
     # z = ndtri(clip(u)) — Arrow-batched, then weighted standardization per
     # column via one aggregate pass on the melted frame

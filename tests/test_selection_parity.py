@@ -223,6 +223,51 @@ def test_rank_gauss_cross_range_offsets(spark):
     np.testing.assert_allclose(out["z_x"].to_numpy(), exp, rtol=1e-9, atol=1e-12)
 
 
+def test_weighted_midranks_long(spark):
+    """The public midrank surface (copula phases 1-2, SQL-oracled in the
+    gate): weighted u parity vs the numpy chain, NULL u for non-finite
+    values and tie determinism by row key."""
+    import pandas as pd
+
+    from mrmr_spark.select.copula import weighted_midranks
+
+    rng = np.random.default_rng(31)
+    n = 500
+    x = rng.integers(0, 20, size=n).astype(np.float64)  # heavy ties
+    w = rng.uniform(0.5, 2.0, size=n)
+    x[7] = np.nan
+    x[13] = np.inf
+    pdf = pd.DataFrame({"rk": np.arange(n), "x": x, "w": w})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    pins: list = []
+    out = (
+        weighted_midranks(sdf, ["x"], "w", "rk", pin=pins)
+        .toPandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    for d in pins:
+        d.unpersist()
+
+    assert (out["col_idx"] == 0).all()
+    assert np.isnan(out.loc[7, "u"]) and np.isnan(out.loc[13, "u"])
+
+    fin = np.isfinite(x)
+    # ties broken by ascending row key — same order as the engine's
+    # (_val, _rk) sort, so u is deterministic and comparable elementwise
+    order = np.lexsort((np.arange(n)[fin], x[fin]))
+    idx = np.arange(n)[fin][order]
+    ws = w[idx]
+    cum = np.concatenate([[0.0], np.cumsum(ws)[:-1]])
+    u_sorted = (cum + ws / 2.0) / ws.sum()
+    exp = np.empty(n)
+    exp[idx] = u_sorted
+    np.testing.assert_allclose(
+        out.loc[fin, "u"].to_numpy(), exp[fin], rtol=1e-12, atol=1e-15
+    )
+
+
 @pytest.fixture(scope="module")
 def gauss_cache(fixture_small, spark):
     """ONE copula cache shared by every cached-gaussian parity test in this
