@@ -1072,14 +1072,16 @@ def q_mrmr_event_features(spark, sf_dir):
     return res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
 
 
-def _mrmr_event_sql(k: int = 4) -> str:
-    """Generate the DuckDB oracle for q_mrmr_event_features: feature build
-    + impute + F-stat relevance + greedy mRMR (quotient, FLOOR=1e-6)
-    unrolled as CTE stages."""
-    feats = ["value_lag1", "value_lag2", "gap_s", "avg_value_5",
-             "max_value_5", "sess_f", "cnt_f"]
-    p = len(feats)
+_EVENT_FEATS = ["value_lag1", "value_lag2", "gap_s", "avg_value_5",
+                "max_value_5", "sess_f", "cnt_f"]
 
+
+def _event_matrix_prefix(feats: list[str]) -> str:
+    """Shared DuckDB-oracle prefix for the unrolled selection loops
+    (mRMR and JMI): rebuild the event feature matrix (windows), global
+    mean-impute, and compute every pairwise/target correlation plus the
+    F-stat relevances with the rel>0 validity filter — the exact inputs
+    both greedy loops consume as scalar statistics."""
     means = ",\n         ".join(f"avg({f}) AS m_{f}" for f in feats)
     imputed = ",\n         ".join(
         f"coalesce(m.{f}, mm.m_{f}) AS {f}" for f in feats
@@ -1095,37 +1097,7 @@ def _mrmr_event_sql(k: int = 4) -> str:
         f" * (n - 2) AS rel FROM st"
         for i, f in enumerate(feats)
     )
-    cor_rows = []
-    for ia in range(p):
-        for ib in range(ia + 1, p):
-            cor_rows.append(
-                f"SELECT '{feats[ia]}' AS fa, '{feats[ib]}' AS fb,"
-                f" abs(c_{ia}_{ib}) AS ac FROM st"
-            )
-            cor_rows.append(
-                f"SELECT '{feats[ib]}', '{feats[ia]}', abs(c_{ia}_{ib}) FROM st"
-            )
-    cors = "\n  UNION ALL ".join(cor_rows)
-
-    stages = ["s1 AS (SELECT ord, feature, rel FROM rels ORDER BY rel DESC, ord LIMIT 1)"]
-    sel_union = "SELECT feature FROM s1"
-    for t in range(2, k + 1):
-        stages.append(
-            f"""p{t} AS (
-  SELECT r.ord, r.feature, r.rel,
-         r.rel / greatest(
-           (SELECT avg(c.ac) FROM cors c
-            WHERE c.fa = r.feature AND c.fb IN ({sel_union})), 1e-6) AS score
-  FROM rels r WHERE r.feature NOT IN ({sel_union})
-), s{t} AS (SELECT ord, feature, rel FROM p{t} ORDER BY score DESC, ord LIMIT 1)"""
-        )
-        sel_union += f" UNION ALL SELECT feature FROM s{t}"
-    final = "\nUNION ALL ".join(
-        f"SELECT CAST({t} AS INT) AS rank, feature, round(rel, 6) AS relevance FROM s{t}"
-        for t in range(1, k + 1)
-    )
-    return f"""
-WITH m0 AS (
+    return f"""WITH m0 AS (
   SELECT user_id, event_id, ts, value AS y,
          (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap_s,
          lag(value, 1) OVER w AS value_lag1,
@@ -1158,7 +1130,47 @@ WITH m0 AS (
   SELECT * FROM (
   {rel_rows}
   ) WHERE rel > 0
-), cors AS (
+)"""
+
+
+def _mrmr_event_sql(k: int = 4) -> str:
+    """Generate the DuckDB oracle for q_mrmr_event_features: feature build
+    + impute + F-stat relevance + greedy mRMR (quotient, FLOOR=1e-6)
+    unrolled as CTE stages."""
+    feats = _EVENT_FEATS
+    p = len(feats)
+
+    cor_rows = []
+    for ia in range(p):
+        for ib in range(ia + 1, p):
+            cor_rows.append(
+                f"SELECT '{feats[ia]}' AS fa, '{feats[ib]}' AS fb,"
+                f" abs(c_{ia}_{ib}) AS ac FROM st"
+            )
+            cor_rows.append(
+                f"SELECT '{feats[ib]}', '{feats[ia]}', abs(c_{ia}_{ib}) FROM st"
+            )
+    cors = "\n  UNION ALL ".join(cor_rows)
+
+    stages = ["s1 AS (SELECT ord, feature, rel FROM rels ORDER BY rel DESC, ord LIMIT 1)"]
+    sel_union = "SELECT feature FROM s1"
+    for t in range(2, k + 1):
+        stages.append(
+            f"""p{t} AS (
+  SELECT r.ord, r.feature, r.rel,
+         r.rel / greatest(
+           (SELECT avg(c.ac) FROM cors c
+            WHERE c.fa = r.feature AND c.fb IN ({sel_union})), 1e-6) AS score
+  FROM rels r WHERE r.feature NOT IN ({sel_union})
+), s{t} AS (SELECT ord, feature, rel FROM p{t} ORDER BY score DESC, ord LIMIT 1)"""
+        )
+        sel_union += f" UNION ALL SELECT feature FROM s{t}"
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, feature, round(rel, 6) AS relevance FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+{_event_matrix_prefix(feats)}, cors AS (
   {cors}
 ),
 {",".join(stages)}
@@ -1443,6 +1455,128 @@ FROM t GROUP BY feature
 """
 
 
+def q_anova_relevance(spark, sf_dir):
+    """WEIGHTED one-way ANOVA F relevance (C2, relevance.py f_classif_scores;
+    reference sift/estimators/relevance.py:57-107) of lineitem numerics vs
+    l_returnflag with w = l_linenumber — exercises the weighted algebra
+    (ss_between = Σ_c B_c²/w_c on grand-mean-centered per-class sums,
+    df_within = Σw − C), not just the unweighted reduction."""
+    from mrmr_spark.select.preprocess import factorize_target
+    from mrmr_spark.select.relevance import f_classif_scores
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_linenumber").cast("double")
+    )
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li2, labels = factorize_target(li, "l_returnflag")
+    out = f_classif_scores(li2, cols, "_y_code", len(labels), "w", quantize_f32=False)
+    rows = [(c, round(float(s), 4)) for c, s in zip(cols, out["scores"])]
+    return spark.createDataFrame(rows, "feature string, f_stat double")
+
+
+SQL_ANOVA_RELEVANCE = """
+WITH pts AS (
+  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x,
+         l_returnflag AS y, CAST(l_linenumber AS DOUBLE) AS w FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag,
+         CAST(l_linenumber AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag,
+         CAST(l_linenumber AS DOUBLE) FROM lineitem
+), g AS (
+  SELECT feature, sum(w * x) / sum(w) AS gm, sum(w) AS sw FROM pts GROUP BY 1
+), c AS (
+  SELECT p.feature, p.y, sum(p.w) AS w_c,
+         sum(p.w * (p.x - g.gm)) AS b_c,
+         sum(p.w * (p.x - g.gm) * (p.x - g.gm)) AS a_c
+  FROM pts p JOIN g USING (feature) GROUP BY 1, 2
+), agg AS (
+  SELECT c.feature,
+         sum(CASE WHEN w_c >= 1e-12 THEN b_c * b_c / w_c ELSE 0 END) AS ssb,
+         sum(a_c - CASE WHEN w_c >= 1e-12 THEN b_c * b_c / w_c ELSE 0 END) AS ssw,
+         count(*) AS nc, max(g.sw) AS sw
+  FROM c JOIN g USING (feature) GROUP BY 1
+)
+SELECT feature,
+       round(CASE WHEN ssw >= 1e-12 AND sw - nc > 0 AND nc > 1
+                  THEN (ssb / (nc - 1)) / (ssw / (sw - nc)) ELSE 0 END, 4) AS f_stat
+FROM agg
+"""
+
+
+def q_jmi_event_features(spark, sf_dir):
+    """End-to-end FE + JMI selection (F3 sum criterion, E4 analytic
+    two-regressor R² estimator), fully SQL-oracled like the mRMR row: the
+    oracle rebuilds the feature matrix, imputes, computes the correlation
+    structure, and UNROLLS the greedy JMI loop — step 1 argmax F-stat, then
+    per step the cumulative Σ_{s∈S} I((f,s); y) with
+    R²(f,s;y) = r_ys² + (r_yf − r_ys·r_fs)²/(1−r_fs²) (fallback r_ys² when
+    1−r_fs² < 1e-8), clipped to 0.99999 (loops.py jmi_greedy_r2;
+    reference joint_mi.py:120-220)."""
+    from mrmr_spark.select.api import select_jmi
+
+    fdf, feats = _event_feature_df(spark, sf_dir)
+    res = select_jmi(
+        fdf, feats, "value", 4, task="regression", estimator="r2",
+        aggregation="sum", subsample=None, quantize_f32=False,
+    )
+    return res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
+
+
+def _jmi_event_sql(k: int = 4) -> str:
+    """DuckDB oracle for q_jmi_event_features: shared event-matrix prefix
+    + pairwise-MI table + the greedy JMI(sum) loop unrolled as CTE stages
+    (cumulative score = Σ mi over the selected set; ties by candidate ord,
+    matching np.argmax's first-max)."""
+    feats = _EVENT_FEATS
+
+    mi_rows = []
+    for ia, fa in enumerate(feats):
+        for ib, fb in enumerate(feats):
+            if ia == ib:
+                continue
+            c = f"c_{min(ia, ib)}_{max(ia, ib)}"
+            r2v = (
+                f"CASE WHEN 1 - {c} * {c} >= 1e-8"
+                f" THEN ry_{fb} * ry_{fb}"
+                f" + (ry_{fa} - ry_{fb} * {c}) * (ry_{fa} - ry_{fb} * {c})"
+                f" / (1 - {c} * {c})"
+                f" ELSE ry_{fb} * ry_{fb} END"
+            )
+            mi_rows.append(
+                f"SELECT '{fa}' AS fa, '{fb}' AS fb,"
+                f" -0.5 * ln(1 - least(greatest({r2v}, 0.0), 0.99999)) AS mi"
+                f" FROM st"
+            )
+    mis = "\n  UNION ALL ".join(mi_rows)
+
+    stages = ["s1 AS (SELECT ord, feature, rel FROM rels ORDER BY rel DESC, ord LIMIT 1)"]
+    sel_union = "SELECT feature FROM s1"
+    for t in range(2, k + 1):
+        stages.append(
+            f"""p{t} AS (
+  SELECT r.ord, r.feature, r.rel,
+         (SELECT sum(m.mi) FROM mis m
+          WHERE m.fa = r.feature AND m.fb IN ({sel_union})) AS score
+  FROM rels r WHERE r.feature NOT IN ({sel_union})
+), s{t} AS (SELECT ord, feature, rel FROM p{t} ORDER BY score DESC, ord LIMIT 1)"""
+        )
+        sel_union += f" UNION ALL SELECT feature FROM s{t}"
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, feature, round(rel, 6) AS relevance FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+{_event_matrix_prefix(feats)}, mis AS (
+  {mis}
+),
+{",".join(stages)}
+{final}
+"""
+
+
+SQL_JMI_EVENT_FEATURES = _jmi_event_sql()
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -1478,6 +1612,8 @@ QUERIES = {
     "corr_redundancy": q_corr_redundancy,
     "quantile_bins": q_quantile_bins,
     "binned_mi": q_binned_mi,
+    "anova_relevance": q_anova_relevance,
+    "jmi_event_features": q_jmi_event_features,
 }
 
 ORACLE_SQL = {
@@ -1515,4 +1651,6 @@ ORACLE_SQL = {
     "corr_redundancy": SQL_CORR_REDUNDANCY,
     "quantile_bins": SQL_QUANTILE_BINS,
     "binned_mi": SQL_BINNED_MI,
+    "anova_relevance": SQL_ANOVA_RELEVANCE,
+    "jmi_event_features": SQL_JMI_EVENT_FEATURES,
 }
