@@ -169,20 +169,52 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: the input_hint transcript schema, declared explicitly so the text
+#: readers never run Spark's schema-inference pre-pass (at 100 TB that
+#: pass is a full extra scan of the corpus before the real job starts)
+#: ts is timestamp_ntz to match what the parquet path yields for the
+#: corpus files (pandas datetime64[us] → TIMESTAMP_NTZ under Spark 4) —
+#: the three dispatches must agree so downstream operators are
+#: storage-agnostic
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
 def read_transcripts(spark, source: str):
-    """Load the transcript table from either backing store (SURVEY.md A1):
+    """Load the transcript table from any backing store (SURVEY.md A1):
 
     - ``iceberg://<catalog>.<db>.<table>`` → the Iceberg catalog wired by
       ``session.iceberg_session_conf`` (prod; partition pruning on
       days(ts)/bucket(conv_id) comes from the table spec, and Spark's
       catalog read pushes filters into the Iceberg scan);
-    - anything else → a parquet path (sandbox).
+    - ``jsonl://<path>`` → newline-delimited JSON (the common raw-dump
+      format for transcript corpora), read with the EXPLICIT input_hint
+      schema — no inference pass, malformed rows isolated to a
+      ``_corrupt_record`` column instead of failing the job;
+    - ``csv://<path>`` → headered CSV, same explicit schema;
+    - anything else → a parquet path (sandbox/lake files).
 
-    Both return the same DataFrame schema, so every downstream operator is
+    All return the same DataFrame schema, so every downstream operator is
     storage-agnostic.
     """
     if source.startswith("iceberg://"):
         return spark.table(source[len("iceberg://"):])
+    if source.startswith("jsonl://"):
+        return (
+            spark.read.schema(TRANSCRIPT_DDL + ", _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(source[len("jsonl://"):])
+            .drop("_corrupt_record")
+        )
+    if source.startswith("csv://"):
+        return (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("header", True)
+            .csv(source[len("csv://"):])
+        )
     return spark.read.parquet(source)
 
 

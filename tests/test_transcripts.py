@@ -29,3 +29,52 @@ def test_text_is_pure_function_of_identity(transcripts_pdf):
 def test_zipf_skew(transcripts_pdf):
     sizes = transcripts_pdf.groupby("conv_id").size().sort_values()
     assert sizes.iloc[-1] >= 4 * sizes.median()
+
+
+def test_read_transcripts_jsonl_and_csv_round_trip(spark, transcripts_pdf, tmp_path):
+    """jsonl:// and csv:// dispatch read the input_hint schema explicitly
+    (no inference pass) and reproduce the parquet rows exactly."""
+    from mrmr_spark.sources.transcripts import read_transcripts
+
+    pdf = transcripts_pdf.copy()
+    pq_path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(pq_path)
+    want = read_transcripts(spark, pq_path)
+
+    jl = pdf.copy()
+    jl["ts"] = jl["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    jl_path = str(tmp_path / "t.jsonl")
+    jl.to_json(jl_path, orient="records", lines=True)
+    got_j = read_transcripts(spark, f"jsonl://{jl_path}")
+    assert got_j.schema == want.schema
+    key = ["conv_id", "turn_idx"]
+    a = want.orderBy(*key).toPandas()
+    b = got_j.orderBy(*key).toPandas()
+    assert a.equals(b)
+
+    csv_path = str(tmp_path / "t.csv")
+    jl.to_csv(csv_path, index=False)
+    got_c = read_transcripts(spark, f"csv://{csv_path}")
+    assert got_c.schema == want.schema
+    c = got_c.orderBy(*key).toPandas()
+    # CSV writes empty strings for missing tool -> nulls either way
+    assert a.equals(c)
+
+
+def test_read_transcripts_jsonl_tolerates_malformed_lines(spark, tmp_path):
+    """PERMISSIVE mode: a corrupt line yields a null-filled row rather
+    than failing the 100 TB job; the _corrupt_record column is dropped
+    from the public surface."""
+    from mrmr_spark.sources.transcripts import read_transcripts
+
+    path = tmp_path / "bad.jsonl"
+    path.write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",'
+        ' "tool": null, "ts": "2024-01-01T00:00:00.000000"}\n'
+        "this is not json\n"
+    )
+    df = read_transcripts(spark, f"jsonl://{path}")
+    rows = df.orderBy("conv_id").collect()
+    assert len(rows) == 2
+    assert rows[-1].conv_id == "c1" and rows[-1].turn_idx == 0
+    assert "_corrupt_record" not in df.columns
