@@ -939,9 +939,7 @@ def select_k_evaluate(
         # (that plan pulls the whole table through one task at scale)
         t = F.col(time_col).cast("double")
         cut_val = df.select(
-            F.expr(
-                f"percentile(cast({time_col} as double), {1.0 - config.val_frac})"
-            ).alias("c")
+            F.percentile(t, F.lit(1.0 - config.val_frac)).alias("c")
         ).collect()[0].c
         if cut_val is None:
             raise ValueError(f"time_col '{time_col}' has no non-null values")
