@@ -263,3 +263,44 @@ def test_classification_loss_pass_matches_numpy(sp, params, n_classes, n_models)
             L = (S.argmax(axis=2) != yi[:, None]).astype(np.float64)
         exp = (w @ L) / w.sum()
         np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+@SET
+@given(matrix_strategy(), st.integers(min_value=2, max_value=4))
+def test_fused_class_stats_match_numpy(sp, params, n_classes):
+    """The classification fused kernel: global imputed Gram + per-class
+    centered ANOVA blocks (the round-3 advice fix — no raw-sum
+    cancellation) vs the naive per-class computation."""
+    n, p, seed, nan_rate, weighted, parts = params
+    X, _, w = make_matrix(n, p, seed, nan_rate, weighted)
+    rng = np.random.default_rng(seed + 4)
+    yc = rng.integers(0, n_classes, size=n).astype(np.float64)
+    sdf = to_sdf(sp, X, yc, w, parts)
+    got = kernels.fused_singlepass_class_stats(
+        sdf, [f"x{j}" for j in range(p)], "y", n_classes,
+        "w" if weighted else None, quantize_f32=False,
+    )
+    fin = np.isfinite(X)
+    nfin = fin.sum(axis=0)
+    m = np.where(nfin > 0, np.where(fin, X, 0.0).sum(axis=0) / np.maximum(nfin, 1), 0.0)
+    Xq = np.where(fin, X, m[None, :])
+    sw = float(w.sum())
+    cw = (w @ Xq) / sw
+    Xc = Xq - cw[None, :]
+    np.testing.assert_allclose(got["impute_means"], m, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(got["col_wmeans"], cw, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(got["C"], Xc.T @ (Xc * w[:, None]), rtol=1e-9, atol=1e-9)
+    assert float(got["sw"]) == pytest.approx(sw, rel=1e-12)
+    for c in range(n_classes):
+        sel = yc == c
+        np.testing.assert_allclose(
+            got["class_w"][c], w[sel].sum(), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            got["B"][c], w[sel] @ Xc[sel] if sel.any() else np.zeros(p),
+            rtol=1e-9, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            got["A"][c], w[sel] @ (Xc[sel] ** 2) if sel.any() else np.zeros(p),
+            rtol=1e-9, atol=1e-9,
+        )
