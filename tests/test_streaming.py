@@ -116,3 +116,62 @@ def test_session_window_rollup_closes_batch_sessions(spark, replay_dir):
     exp_counts = {(r.conv_id, r["count"]) for _, r in exp.iterrows()}
     for _, r in got.iterrows():
         assert (r.conv_id, r.n_turns) in exp_counts
+
+
+def test_streaming_turn_features_match_batch(spark, tmp_path):
+    """The streaming FE twin: replaying a transcript corpus in micro-batches
+    must reproduce the batch build_features matrix restricted to rows whose
+    target is known (emit-on-target-complete), value for value."""
+    from mrmr_spark.fe import build_features
+    from mrmr_spark.fe.pipeline import FEATURE_COLS
+    from mrmr_spark.sources.transcripts import generate_transcripts_pandas
+    from mrmr_spark.streaming.features import streaming_turn_features
+
+    pdf = generate_transcripts_pandas(n_convs=25, mean_turns=12, seed=9)
+    sdf = spark.createDataFrame(pdf)
+
+    flat = os.path.join(str(tmp_path), "flat")
+    os.makedirs(flat)
+    for i, (lo, hi) in enumerate([(0, 3), (3, 7), (7, 10_000)]):
+        part = sdf.where(f"turn_idx >= {lo} and turn_idx < {hi}").coalesce(1)
+        d = os.path.join(str(tmp_path), f"b{i}")
+        part.write.mode("overwrite").parquet(d)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+        os.rename(os.path.join(d, files[0]), os.path.join(flat, f"slice{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = streaming_turn_features(stream)
+    q = (
+        out.writeStream.format("memory").queryName("turn_features")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = ["conv_id", "turn_idx", "ts", *FEATURE_COLS, "target_next_gap"]
+    got = (
+        spark.table("turn_features").select(*cols)
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    exp = (
+        build_features(sdf).where("target_next_gap IS NOT NULL").select(*cols)
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == exp["turn_idx"].tolist()
+    assert (
+        got["ts"].astype("datetime64[us]").tolist()
+        == exp["ts"].astype("datetime64[us]").tolist()
+    )
+    for c in [*FEATURE_COLS, "target_next_gap"]:
+        g, e = got[c], exp[c]
+        assert (g.isna() == e.isna()).all(), c
+        np.testing.assert_allclose(g.dropna(), e.dropna(), rtol=1e-12, err_msg=c)
