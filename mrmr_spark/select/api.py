@@ -71,12 +71,15 @@ def _prefilter(rel: np.ndarray, k: int, top_m: int | None):
 
 
 def _maybe_subsample(df, subsample, seed, key_cols=None):
+    """Returns ``(df, sampled)`` — callers deciding persist need to know
+    whether the lineage is now a global sort-limit (re-executing it per
+    scan would double full-source reads for a ~subsample-row cache)."""
     if subsample is None:
-        return df
+        return df, False
     n = df.count()
     if n <= subsample:
-        return df
-    return deterministic_subsample(df, subsample, seed, key_cols)
+        return df, False
+    return deterministic_subsample(df, subsample, seed, key_cols), True
 
 
 #: widest feature set served by the fused regression fast path (one scan
@@ -176,7 +179,7 @@ def select_mrmr(
 
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
-    df = _maybe_subsample(df, subsample, seed)
+    df, sampled = _maybe_subsample(df, subsample, seed)
     keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
     df = df.select(*keep)
 
@@ -268,8 +271,12 @@ def select_mrmr(
     # cheap at a column-pruned parquet source but a full re-execution over
     # window/join lineage — so classification persists (the distinct is
     # then also the cache-populating pass). ks/rf genuinely re-read (ECDF
-    # melt / forest fits) and keep the persist too.
-    do_persist = relevance != "f" or task == "classification"
+    # melt / forest fits) and keep the persist too. The no-persist reasoning
+    # assumes df IS the source lineage: when a subsample was taken, df is a
+    # global sort-limit over the full input, and re-executing THAT per scan
+    # costs two full-source sorts to avoid caching ~subsample rows — so a
+    # sampled lineage always persists (the tradeoff inverts).
+    do_persist = relevance != "f" or task == "classification" or sampled
     pinned = df.persist() if do_persist else None
     if pinned is not None:
         df = pinned
@@ -366,7 +373,7 @@ def select_jmi(
 
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
-    df = _maybe_subsample(df, subsample, seed)
+    df, sampled = _maybe_subsample(df, subsample, seed)
     keep = list(feature_cols) + [target_col] + ([wcol] if wcol else [])
     df = df.select(*keep)
 
@@ -389,8 +396,9 @@ def select_jmi(
     # r2 beyond the fused width reads the matrix exactly twice (moments scan
     # + Gram-with-y on the candidates) — below the >=3-scan persist
     # threshold, so it runs no-persist like select_mrmr's f-path. binned and
-    # ksg genuinely re-read (edge/code/histogram scans, driver collect).
-    do_persist = estimator != "r2"
+    # ksg genuinely re-read (edge/code/histogram scans, driver collect), and
+    # a subsampled lineage (global sort-limit) persists — see select_mrmr.
+    do_persist = estimator != "r2" or sampled
     pinned = df.persist() if do_persist else None
     if pinned is not None:
         df = pinned

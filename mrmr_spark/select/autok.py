@@ -289,6 +289,7 @@ def _ridge_holdout_scores(
     accs = kernels.fused_foldwise_stats(
         tagged, path, target_col, "_fold", 2, weight_col, quantize_f32=False
     )
+    _require_finite_y_accs(accs)
     st = kernels.finish_loo_stats(accs, 1, p, quantize_f32=False)
     ri = _ridge_inputs_from_fused(st)
     G = ri["R"] * ri["sw"]
@@ -356,6 +357,11 @@ def _grouped_regression_loss_pass(
         out = np.zeros((S, M + 1), dtype=np.float64)
         ok = np.isfinite(y)
         for f in np.unique(fold):
+            if f < 0 or f >= S:
+                # null fold (NaN wraps to INT64_MIN) or foreign tag: a
+                # negative in [-S,-1] would silently credit another fold's
+                # slot — skip, like fused_foldwise_stats' range guard
+                continue
             sel = (fold == f) & ok
             if not sel.any():
                 continue
@@ -379,6 +385,17 @@ class _InsufficientFolds(Exception):
     tiny group cardinality whose hashes collided. The caller decides —
     select_k_evaluate retries once with an exact round-robin group→fold
     map (bounded distinct collect + broadcast join) before giving up."""
+
+
+def _require_finite_y_accs(accs: np.ndarray) -> None:
+    """Reference y-validation on the shared-scan regression evaluates,
+    read from the fold accumulators' tail (``[-2]`` = per-fold non-finite-y
+    count) — no extra scan. Without this a single NaN/null y row NaN-poisons
+    the fused Gram, every (k, alpha) score goes inf, and select_k_evaluate
+    silently returns max_k — while the per-split path (via
+    ``f_regression_scores``) raises. Both paths must raise identically."""
+    if float(np.asarray(accs)[:, -2].sum()) > 0:
+        raise ValueError("Non-finite values in y are not allowed for regression.")
 
 
 def _occupied_folds(accs: np.ndarray) -> np.ndarray:
@@ -409,6 +426,7 @@ def _ridge_group_cv_scores(
     accs = kernels.fused_foldwise_stats(
         folded, path, target_col, "_fold", n_splits, weight_col, quantize_f32=False
     )
+    _require_finite_y_accs(accs)
     occupied = _occupied_folds(accs)
     M = len(k_grid) * len(_RIDGE_ALPHAS)
     B = np.zeros((n_splits, p, M))
@@ -705,6 +723,8 @@ def _grouped_classification_loss_pass(
         out = np.zeros((S, M + 1), dtype=np.float64)
         ok = np.isfinite(yraw)
         for f in np.unique(fold):
+            if f < 0 or f >= S:
+                continue  # null/foreign fold tag — see the regression twin
             sel = (fold == f) & ok
             if not sel.any():
                 continue
@@ -976,7 +996,11 @@ def select_k_evaluate(
         # scorers: empty val folds are excluded from the mean (the splits
         # GroupKFold could not have produced), and < 2 non-empty folds
         # raises the same "at least 2 groups" error.
-        n_splits = max(2, int(config.n_splits))
+        n_splits = int(config.n_splits)
+        if n_splits < 2:
+            raise ValueError(
+                f"group_cv requires n_splits >= 2, got {n_splits}"
+            )
 
         def _run_cv(folded_df, n_s):
             if task == "regression":

@@ -202,13 +202,18 @@ def read_transcripts(spark, source: str):
     if source.startswith("iceberg://"):
         return spark.table(source[len("iceberg://"):])
     if source.startswith("jsonl://"):
-        return (
+        # PERMISSIVE parks each malformed line in _corrupt_record with every
+        # data field null; without the filter those lines would survive as
+        # all-null rows and sessionize into a phantom NULL conversation,
+        # silently poisoning the feature matrix. Filtering on the corrupt
+        # column (alongside the data columns) drops them at the scan.
+        raw = (
             spark.read.schema(TRANSCRIPT_DDL + ", _corrupt_record string")
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(source[len("jsonl://"):])
-            .drop("_corrupt_record")
         )
+        return raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
     if source.startswith("csv://"):
         return (
             spark.read.schema(TRANSCRIPT_DDL)

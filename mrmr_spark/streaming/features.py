@@ -20,8 +20,8 @@ incrementally on a stream with ``applyInPandasWithState``:
   batch too). Verified by micro-batch replay equality in tests.
 - **Scale shape**: one hash exchange on conv_id (the same minimum shuffle
   as the batch plan); state is O(turns-in-last-hour) per live conversation;
-  use the source's retention / an idle timeout to bound live conversations
-  in production.
+  ``idle_timeout_s`` (ProcessingTimeTimeout eviction) bounds the set of
+  live conversations when conv_id cardinality grows without bound.
 
 In-order delivery per conversation is assumed, like
 ``streaming_turn_sessionize`` (late turns would need a replay/upsert sink).
@@ -116,12 +116,25 @@ def streaming_turn_features(
     group: str = "conv_id",
     order: str = "turn_idx",
     ts_col: str = "ts",
+    idle_timeout_s: float | None = None,
 ) -> DataFrame:
     """Per-turn FEATURE_COLS + target_next_gap on a transcript stream.
 
     Output schema: (conv_id, turn_idx, ts) + the 20 batch FEATURE_COLS +
     target_next_gap, one row per turn whose target became known this
     micro-batch (see module docstring for the emit-on-complete contract).
+
+    ``idle_timeout_s`` bounds state on unbounded conv_id cardinality: a
+    conversation idle (no new turns) for that long has its state evicted
+    via ProcessingTimeTimeout. Its final pending turn is dropped unlabeled
+    — the same row batch training never consumes. Default None preserves
+    exact replay equality with the batch matrix (no eviction).
+
+    With a timeout registered the engine schedules micro-batches even with
+    no new data (to fire timers), so pair it with a trigger interval
+    (``.trigger(processingTime="1 minute")``) to bound the empty-batch
+    rate; ``processAllAvailable()``/``availableNow`` never terminate on a
+    timer-bearing query.
     """
     fields = [
         StructField(group, StringType()),
@@ -139,7 +152,14 @@ def streaming_turn_features(
     def _nan(v):  # None -> NaN for the JSON-array buffers
         return float("nan") if v is None else float(v)
 
+    timeout_ms = (
+        None if idle_timeout_s is None else max(1, int(round(idle_timeout_s * 1000)))
+    )
+
     def tag(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # evict the idle conversation (pending stays unlabeled)
+            return
         if state.exists:
             st = json.loads(state.get[0])
         else:
@@ -190,12 +210,19 @@ def streaming_turn_features(
             st["last_us"] = t_us
 
         state.update((json.dumps(st),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if out:
             pdf = pd.DataFrame(out, columns=out_cols)
             pdf[ts_col] = pd.to_datetime(pdf[ts_col], unit="us")
             pdf[order] = pdf[order].astype("int64")
             yield pdf
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return stream.groupBy(group).applyInPandasWithState(
-        tag, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        tag, out_schema, state_schema, "append", timeout_conf
     )

@@ -160,6 +160,43 @@ def test_holdout_null_time_rows_are_dropped(autok_data):
         assert scores_n[kk] == pytest.approx(scores_f[kk], rel=1e-12)
 
 
+def test_evaluate_raises_on_non_finite_y(autok_data):
+    """The shared-scan regression evaluates must enforce the reference's
+    y-validation like every other regression backend (select_mrmr raises on
+    a NaN y): without the check a single NaN y NaN-poisons the fused Gram,
+    every (k, alpha) score goes inf, and select_k_evaluate silently returns
+    max_k. The counter is read from the fold accumulators' tail — no extra
+    scan."""
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    bad = autok_data.withColumn(
+        "y_bad", F.when(F.col("t") == 7, float("nan")).otherwise(F.col("y"))
+    )
+    for strategy, kw in (
+        ("time_holdout", {"time_col": "t"}),
+        ("group_cv", {"group_col": "grp"}),
+    ):
+        cfg = AutoKConfig(k_method="evaluate", strategy=strategy,
+                          max_k=5, min_k=1, n_splits=2)
+        with pytest.raises(ValueError, match="Non-finite values in y"):
+            select_k_evaluate(bad, FEATS, "y_bad", cfg, task="regression", **kw)
+
+
+def test_group_cv_invalid_n_splits_raises(autok_data):
+    """n_splits < 2 is a caller bug and must raise — not be silently
+    rewritten to 2-fold CV (the pre-scan era raised 'at least 2 groups')."""
+    from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
+
+    cfg = AutoKConfig(k_method="evaluate", strategy="group_cv",
+                      max_k=5, min_k=1, n_splits=1)
+    with pytest.raises(ValueError, match="n_splits"):
+        select_k_evaluate(
+            autok_data, FEATS, "y", cfg, task="regression", group_col="grp"
+        )
+
+
 def test_group_cv_null_group_rows_participate(autok_data):
     """A NULL group is a legitimate group value: its rows must be folded
     (xxhash64 folds null via its seed), not dropped or crash."""

@@ -599,10 +599,16 @@ def test_wide_f_path_runs_no_persist(spark, monkeypatch):
                        subsample=None)
     assert persists == [], persists  # regression f/r2: zero persists
     res_c = select_mrmr(sdf, cols, "yc", 3, task="classification", subsample=None)
-    monkeypatch.setattr(ClassicDF, "persist", real_persist)
     assert persists == ["persist"], persists  # classification: exactly one
+    # a SAMPLED lineage inverts the tradeoff: df is a global sort-limit over
+    # the full input, and re-executing it per kernel scan costs two
+    # full-source sorts to avoid caching ~subsample rows — so it persists.
+    persists.clear()
+    res_s = select_mrmr(sdf, cols, "y", 3, task="regression", subsample=300)
+    monkeypatch.setattr(ClassicDF, "persist", real_persist)
+    assert persists == ["persist"], persists  # sampled regression f: one
     assert res.names[0] == "w2" and res_c.names[0] == "w2"
-    assert res_j.names[0] == "w2"
+    assert res_j.names[0] == "w2" and res_s.names[0] == "w2"
 
 
 def test_default_selection_plan_shapes(spark, monkeypatch):

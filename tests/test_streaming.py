@@ -4,6 +4,7 @@ micro-batches (state carried across batches), and the session_window
 rollup must close the same sessions."""
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -118,10 +119,22 @@ def test_session_window_rollup_closes_batch_sessions(spark, replay_dir):
         assert (r.conv_id, r.n_turns) in exp_counts
 
 
-def test_streaming_turn_features_match_batch(spark, tmp_path):
+@pytest.mark.parametrize("idle_timeout_s", [None, 7200.0])
+def test_streaming_turn_features_match_batch(spark, tmp_path, idle_timeout_s):
     """The streaming FE twin: replaying a transcript corpus in micro-batches
     must reproduce the batch build_features matrix restricted to rows whose
-    target is known (emit-on-target-complete), value for value."""
+    target is known (emit-on-target-complete), value for value. The second
+    variant runs the ProcessingTimeTimeout state-eviction path (the 100 TB
+    state bound) with a timeout far beyond the test's wall clock, so
+    eviction never fires and replay equality must still hold.
+
+    The evict variant CANNOT wait on processAllAvailable() or availableNow
+    termination: with ProcessingTimeTimeout registered the engine keeps
+    scheduling micro-batches to fire timers (observed: thousands of empty
+    batches, neither wait returns). The test instead polls the sink until
+    every labeled row has arrived, then stops the query — which is also the
+    production shape: a timer-bearing query runs forever by design (with a
+    trigger interval bounding the empty-batch rate)."""
     from mrmr_spark.fe import build_features
     from mrmr_spark.fe.pipeline import FEATURE_COLS
     from mrmr_spark.sources.transcripts import generate_transcripts_pandas
@@ -145,19 +158,28 @@ def test_streaming_turn_features_match_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
-    out = streaming_turn_features(stream)
+    exp_rows = build_features(sdf).where("target_next_gap IS NOT NULL").count()
+    out = streaming_turn_features(stream, idle_timeout_s=idle_timeout_s)
+    sink = f"turn_features_{'evict' if idle_timeout_s else 'plain'}"
     q = (
-        out.writeStream.format("memory").queryName("turn_features")
+        out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
     )
     try:
-        q.processAllAvailable()
+        if idle_timeout_s is None:
+            q.processAllAvailable()
+        else:
+            deadline = time.time() + 300
+            while spark.table(sink).count() < exp_rows:
+                assert time.time() < deadline, "sink never reached expected rows"
+                assert q.exception() is None
+                time.sleep(1.0)
     finally:
         q.stop()
 
     cols = ["conv_id", "turn_idx", "ts", *FEATURE_COLS, "target_next_gap"]
     got = (
-        spark.table("turn_features").select(*cols)
+        spark.table(sink).select(*cols)
         .orderBy("conv_id", "turn_idx").toPandas()
     )
     exp = (

@@ -61,10 +61,12 @@ def test_read_transcripts_jsonl_and_csv_round_trip(spark, transcripts_pdf, tmp_p
     assert a.equals(c)
 
 
-def test_read_transcripts_jsonl_tolerates_malformed_lines(spark, tmp_path):
-    """PERMISSIVE mode: a corrupt line yields a null-filled row rather
-    than failing the 100 TB job; the _corrupt_record column is dropped
-    from the public surface."""
+def test_read_transcripts_jsonl_drops_malformed_lines(spark, tmp_path):
+    """PERMISSIVE mode + corrupt-record filter: a corrupt line is dropped
+    at the scan rather than failing the 100 TB job OR surviving as an
+    all-null row (which would sessionize into a phantom NULL conversation
+    and poison the feature matrix); the _corrupt_record column never
+    reaches the public surface."""
     from mrmr_spark.sources.transcripts import read_transcripts
 
     path = tmp_path / "bad.jsonl"
@@ -72,9 +74,12 @@ def test_read_transcripts_jsonl_tolerates_malformed_lines(spark, tmp_path):
         '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",'
         ' "tool": null, "ts": "2024-01-01T00:00:00.000000"}\n'
         "this is not json\n"
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo",'
+        ' "tool": null, "ts": "2024-01-01T00:00:05.000000"}\n'
     )
     df = read_transcripts(spark, f"jsonl://{path}")
-    rows = df.orderBy("conv_id").collect()
-    assert len(rows) == 2
-    assert rows[-1].conv_id == "c1" and rows[-1].turn_idx == 0
+    rows = df.orderBy("turn_idx").collect()
+    assert len(rows) == 2  # the non-JSON line is gone, both good rows stay
+    assert [r.turn_idx for r in rows] == [0, 1]
+    assert all(r.conv_id == "c1" for r in rows)
     assert "_corrupt_record" not in df.columns
