@@ -539,6 +539,56 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 """
 
 
+def q_winnow_pairs(spark, sf_dir, min_shared: int = 2):
+    """Winnowing-fingerprint candidate pairs over documents (rolling-hash
+    document fingerprinting — SWA winnowing, the MOSS scheme)."""
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_candidate_pairs(d, min_shared=min_shared).select(
+        "id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared")
+    )
+
+
+# Mirrors winnow_fingerprints step for step: same normalization regexes, the
+# same base-257 mod 2^31-1 Rabin-Karp fold (k=20, window=8) (DuckDB list_reduce seeds with the
+# first element, algebraically identical to Spark aggregate's 0 seed), the
+# same min-of-window selection, distinct fingerprints, bucketed self-join.
+SQL_WINNOW_PAIRS = r"""
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(regexp_replace(text, '[^ -~]', '', 'g'), '\s+', ' ', 'g'))) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, length(t) AS n,
+         list_transform(generate_series(1, length(t)), i -> CAST(ord(substr(t, i, 1)) AS BIGINT)) AS codes
+  FROM n
+), h AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN [] ELSE
+           list_transform(generate_series(1, greatest(n - 20 + 1, 1)),
+              i -> list_reduce(list_slice(codes, i, i + 20 - 1),
+                               (acc, c2) -> (acc * 257 + c2) % 2147483647)) END AS hashes
+  FROM c
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hashes) - 8 + 1, 1)),
+            j -> list_min(list_slice(hashes, j, j + 8 - 1)))) AS fps
+  FROM h WHERE n > 0
+), fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 1000
+), fr AS (
+  SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -1596,6 +1646,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_heuristic": q_lang_heuristic,
     "ngram_jaccard": q_ngram_jaccard,
+    "winnow_pairs": q_winnow_pairs,
     "knn_cosine": q_knn_cosine,
     "fstat_relevance": q_fstat_relevance,
     "ks_relevance": q_ks_relevance,
@@ -1635,6 +1686,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
     "knn_cosine": SQL_KNN_COSINE,
     "fstat_relevance": SQL_FSTAT_RELEVANCE,
     "ks_relevance": SQL_KS_RELEVANCE,

@@ -87,6 +87,130 @@ def fingerprint64(text_col: str = "text", normalize: bool = True) -> Column:
     return F.xxhash64(t)
 
 
+#: winnowing defaults: k-gram length and window size. Any substring of
+#: length >= WINNOW_K + WINNOW_WINDOW - 1 = 27 chars shared by two documents
+#: is guaranteed to share at least one selected fingerprint. k must exceed
+#: common-phrase length for prose, or candidate generation degenerates to
+#: near-all-pairs (measured: k=8 pairs 86% of a 500-doc corpus; k=20, 0.1%).
+WINNOW_K = 20
+WINNOW_WINDOW = 8
+_WINNOW_BASE = 257
+_WINNOW_MOD = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def winnow_fingerprints(
+    text_col: str = "text", k: int = WINNOW_K, window: int = WINNOW_WINDOW
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local-similarity scheme): a Rabin-Karp polynomial rolling hash over
+    character ``k``-grams of the normalized text (printable ASCII only,
+    collapsed whitespace, lowercased), then the minimum hash of every
+    length-``window`` hash window, distinct and sorted ascending.
+
+    The polynomial-mod hash (base 257 mod 2^31-1) — rather than xxhash64 —
+    keeps every step reproducible in ANSI SQL, so the operator is fully
+    oracle-able; values fit in int64 with no overflow (acc < 2^31, so
+    acc*257 + 126 < 2^40). One pure-codegen Column expression, no Python:
+    O(len·k) work per document, no shuffle.
+
+    Documents shorter than ``k`` (post-normalization) contribute a single
+    hash over their full text; documents empty post-normalization yield an
+    empty array.
+
+    Each intermediate (normalized text, char codes, k-gram hashes) is bound
+    to a lambda variable via ``transform(array(x), v -> ...)[0]`` so it is
+    evaluated ONCE per row. Naively naming these as Python variables embeds
+    the whole producer tree at every reference site, and Catalyst's
+    interpreted higher-order-function eval re-runs it per element — the
+    normalization regex would re-execute per character per window,
+    O(len²·k) regex work per document (measured ~3 s/doc at 300 chars).
+    """
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(F.regexp_replace(F.col(text_col), r"[^ -~]", ""), r"\s+", " ")
+        )
+    )
+
+    def _wins(hashes):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, F.lit(window))),
+        )
+
+    def _hashes(codes):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(codes) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(codes, i, F.lit(k)),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * F.lit(_WINNOW_BASE) + c) % F.lit(_WINNOW_MOD),
+            ),
+        )
+
+    def _codes(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long"),
+        )
+
+    def _bind(x, f):  # evaluate x once, feed it to f as a lambda variable
+        return F.get(F.transform(F.array(x), f), 0)
+
+    fps = _bind(
+        norm,
+        lambda t: _bind(
+            _codes(t),
+            lambda codes: _bind(
+                _hashes(codes),
+                lambda hashes: F.array_sort(F.array_distinct(_wins(hashes))),
+            ),
+        ),
+    )
+    return F.when(F.length(norm) > 0, fps).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` for unordered pairs sharing at least
+    ``min_shared`` distinct fingerprints. The bucketed self-join shape of
+    ``ngram_jaccard`` (dedup.py): explode fingerprints, join on the
+    fingerprint as the shuffle key, count per pair — never all-pairs.
+    ``max_df`` drops stop-fingerprints appearing in more than that many
+    documents (candidate work per fingerprint is bounded by max_df²/2;
+    a fingerprint half the corpus shares identifies nothing anyway)."""
+    fp = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fp = fp.join(rare, "fp")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(text_col).cast("bigint"))

@@ -62,3 +62,81 @@ def test_frame_sample_plan(spark):
         frames = plan[plan["media_id"] == mid]["frame_ms"].to_numpy()
         assert frames[0] == 0 and frames[-1] <= dur
         assert (np.diff(frames) == 5000).all()
+
+
+def _py_winnow(text, k=None, window=None, base=257, mod=2_147_483_647):
+    """Independent pure-Python winnowing oracle (SWA winnowing, MOSS)."""
+    import re
+
+    from mrmr_spark.operators.textstats import WINNOW_K, WINNOW_WINDOW
+
+    k = WINNOW_K if k is None else k
+    window = WINNOW_WINDOW if window is None else window
+
+    t = re.sub(r"\s+", " ", re.sub(r"[^ -~]", "", text)).strip().lower()
+    if not t:
+        return []
+    codes = [ord(c) for c in t]
+    hashes = []
+    for i in range(max(len(t) - k + 1, 1)):
+        acc = 0
+        for c in codes[i : i + k]:
+            acc = (acc * base + c) % mod
+        hashes.append(acc)
+    wins = [min(hashes[j : j + window]) for j in range(max(len(hashes) - window + 1, 1))]
+    return sorted(set(wins))
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    from mrmr_spark.operators.textstats import winnow_fingerprints
+
+    docs = [
+        ("a", "The quick brown fox jumps over the lazy dog"),
+        ("b", "the  QUICK\tbrown fox Jumps over the lazy dog!!"),
+        ("c", "短い"),  # all non-ascii -> empty post-normalization
+        ("d", "hi"),  # shorter than k
+        ("e", ""),
+        ("f", "abcdefghijklmnopqrst"),  # exactly k chars
+        ("g", "x" * 50),  # constant text -> one distinct fingerprint
+        ("h", "caf\xe9 ni\xf1o r\xe9sum\xe9"),  # mixed unicode stripped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: list(r.fps) for r in df.select("doc_id", winnow_fingerprints().alias("fps")).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_winnow(text), doc_id
+    assert got["c"] == [] and got["e"] == []
+    assert len(got["g"]) == 1
+
+
+def test_winnow_guarantee_and_candidate_pairs(spark):
+    """Any shared substring of length >= k + window - 1 guarantees a shared
+    fingerprint (the winnowing theorem) -> the pair surfaces as a candidate."""
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    shared = "this exact sentence appears verbatim in both documents"
+    docs = [
+        ("a", "prefix aaaa " + shared + " suffix bbbb"),
+        ("b", "zzz unrelated opening " + shared + " closing words qqq"),
+        ("c", "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = winnow_candidate_pairs(df, min_shared=1).collect()
+    keys = {(p.id_a, p.id_b) for p in pairs}
+    assert ("a", "b") in keys
+    ab = next(p for p in pairs if (p.id_a, p.id_b) == ("a", "b"))
+    # intersection of the two docs' distinct fingerprint sets
+    exp_shared = len(set(_py_winnow(docs[0][1])) & set(_py_winnow(docs[1][1])))
+    assert ab.n_shared == exp_shared >= 1
+
+
+def test_winnow_max_df_drops_stop_fingerprints(spark):
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    # a stop phrase in every doc; unique tails -> with max_df=2 the shared
+    # fingerprints are dropped and no pair reaches min_shared
+    docs = [(str(i), "the common boilerplate header text " + f"unique tail {i} " * 3) for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = winnow_candidate_pairs(df, min_shared=1, max_df=2).collect()
+    uncapped = winnow_candidate_pairs(df, min_shared=1, max_df=None).collect()
+    assert len(uncapped) == 15  # all C(6,2) pairs share the boilerplate
+    assert len(capped) == 0
