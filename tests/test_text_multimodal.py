@@ -88,7 +88,10 @@ def _py_winnow(text, k=None, window=None, base=257, mod=2_147_483_647):
 
 
 def test_winnow_fingerprints_match_python_oracle(spark):
-    from mrmr_spark.operators.textstats import winnow_fingerprints
+    from mrmr_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
 
     docs = [
         ("a", "The quick brown fox jumps over the lazy dog"),
@@ -106,6 +109,12 @@ def test_winnow_fingerprints_match_python_oracle(spark):
         assert got[doc_id] == _py_winnow(text), doc_id
     assert got["c"] == [] and got["e"] == []
     assert len(got["g"]) == 1
+    # the Arrow backend is bit-identical to the Column reference
+    arrow = {
+        r.doc_id: list(r.fps)
+        for r in df.select("doc_id", winnow_fingerprints_arrow().alias("fps")).collect()
+    }
+    assert arrow == got
 
 
 def test_winnow_guarantee_and_candidate_pairs(spark):
