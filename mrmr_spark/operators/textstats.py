@@ -234,24 +234,29 @@ def winnow_candidate_pairs(
     a fingerprint half the corpus shares identifies nothing anyway).
     ``backend``: 'arrow' (default — vectorized pandas UDF) or 'column'
     (pure Column expression); identical fingerprints, tested."""
+    from pyspark.sql import Window
+
     fingerprint = winnow_fingerprints_arrow if backend == "arrow" else winnow_fingerprints
-    # persist the exploded (id, fp) projection: three consumers read it (the
-    # max_df aggregate + both self-join sides), and re-executing the lineage
-    # would re-scan the raw text column and re-hash every document 3× — the
-    # pinned frame is the tiny side (~len/window longs per doc, no text).
-    # Same precedent as minhash_lsh_candidates' signature pin (dedup.py).
     fp = df.select(
         F.col(id_col),
         F.explode(fingerprint(text_col, k, window)).alias("fp"),
-    ).persist()
+    )
     if max_df is not None:
-        rare = (
-            fp.groupBy("fp")
-            .agg(F.countDistinct(id_col).alias("_df"))
+        # document frequency as a window count over fp — (id, fp) is distinct
+        # per doc (array_distinct upstream), so count(*) == countDistinct(id).
+        # One exchange on fp, no aggregate-plus-join back; it also leaves the
+        # frame hash-partitioned on fp, the self-join key.
+        fp = (
+            fp.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
             .where(F.col("_df") <= max_df)
-            .select("fp")
+            .drop("_df")
         )
-        fp = fp.join(rare, "fp")
+    # persist the filtered (id, fp) projection: both self-join sides read it,
+    # and re-executing the lineage would re-scan the raw text column and
+    # re-hash every document per side — the pinned frame is the tiny side
+    # (~len/window longs per doc, no text). Same precedent as
+    # minhash_lsh_candidates' signature pin (dedup.py).
+    fp = fp.persist()
     a = fp.alias("a")
     b = fp.alias("b")
     return (

@@ -97,6 +97,12 @@ def main():
     audit("minhash_dedup (LSH banding)", gate.QUERIES["minhash_dedup"](spark, SF),
           "shingle explode -> ONE groupBy(doc) for 64 min-aggs (map-side partials); "
           "band bucket join — never all-pairs")
+    audit("winnow_pairs (winnowing fingerprint candidate gen)",
+          gate.QUERIES["winnow_pairs"](spark, SF),
+          "ONE ArrowEvalPython fingerprint scan; max_df as a window count "
+          "over fp (one exchange, no aggregate-plus-join-back), filtered "
+          "frame persisted and read by both self-join sides (the deliberate "
+          "pin); bucketed fp-key join — never all-pairs")
     audit("knn_cosine (brute-force baseline)", gate.QUERIES["knn_cosine"](spark, SF),
           "broadcast of the query side; JVM zip_with/aggregate dot products; "
           "O(Q·N) by design")
