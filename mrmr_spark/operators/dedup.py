@@ -300,7 +300,11 @@ def ngram_jaccard_pairs(
     there; pass ``max_df=None`` for guaranteed-exact output when the corpus
     is known to be bounded.
     """
-    sh = char_shingles(df, text_col, id_col, n)
+    # pin the shingle projection: four consumers read it (per-doc |A| count,
+    # the hot-shingle df aggregate, both self-join sides) and each would
+    # otherwise re-scan the raw text column and re-shingle the corpus.
+    # Same precedent as minhash_lsh_candidates' signature pin below.
+    sh = char_shingles(df, text_col, id_col, n).persist()
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         hot = (
