@@ -244,7 +244,10 @@ def simhash_near_pairs(
             return F.xxhash64(*vals).cast("string")
         return F.concat_ws(",", *[v.cast("string") for v in vals])
 
-    sigs = simhash(df, text_col, id_col, bits, hash_fn)
+    # pin the (id, simhash) projection: both self-join sides read it, and
+    # re-executing the lineage would re-scan the text column and re-shingle
+    # the corpus per side — same precedent as the minhash signature pin.
+    sigs = simhash(df, text_col, id_col, bits, hash_fn).persist()
     buckets = sigs.select(
         id_col,
         "simhash",

@@ -143,9 +143,13 @@ def embedding_near_dup(
     vectors the bucket join is the only quadratic-risk stage; raise
     n_planes so expected bucket sizes stay bounded.
     """
+    # pin the signatures: both self-join sides read them, and re-executing
+    # the lineage would run the Arrow GEMM over the full corpus twice. The
+    # pinned frame is (id, table, bucket) — n_tables longs per vector, no
+    # embeddings. Same precedent as minhash/ngram/winnow candidate gens.
     sig = lsh_signatures(
         corpus, dim, n_planes, seed, id_col, emb_col, n_tables=n_tables
-    )
+    ).persist()
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
