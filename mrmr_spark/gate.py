@@ -427,21 +427,28 @@ FROM documents
 
 
 def q_token_stats(spark, sf_dir):
+    from mrmr_spark.operators.textstats import subword_token_count
+
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     return d.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
+        subword_token_count().cast("bigint").alias("n_subword_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         r6(F.size(F.array_distinct(toks)) / n_tok.cast("double")).alias("ttr"),
     )
 
 
-SQL_TOKEN_STATS = """
+# the BPE-ish pre-tokenizer regex is the RE2-and-Java-compatible subset of
+# GPT-2's pattern (textstats.BPE_PRETOKEN_RE) — keep the two in sync
+SQL_TOKEN_STATS = r"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+           AS n_subword_tokens,
        length(text) AS n_chars,
        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
        round(len(list_distinct(string_split(text, ' '))) * 1.0

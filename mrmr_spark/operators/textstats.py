@@ -48,6 +48,24 @@ def stopword_hits(
     return F.size(F.filter(_tok(text_col, split), lambda t: F.lower(t).isin(words)))
 
 
+#: GPT-2-style pre-tokenizer classes, restricted to the subset RE2 (the
+#: DuckDB oracle) and Java regex both support: optional leading space +
+#: a letter run | digit run | other-symbol run. No contraction
+#: alternates or lookaheads (RE2 has no lookahead) — this is the
+#: length/cost ESTIMATOR for budgeting, not a replacement for a real
+#: tokenizer's ids.
+BPE_PRETOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_token_count(text_col: str = "text") -> Column:
+    """BPE-ish subword token-count estimate: occurrences of the GPT-2-style
+    pre-tokenizer classes (letter runs / digit runs / symbol runs, each with
+    an optional leading space). Pure codegen ``regexp_count``; a real BPE
+    merges within these pre-token spans, so this lower-bounds GPT-2-family
+    token counts while tracking them closely on natural text."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE))
+
+
 def punct_ratio(text_col: str = "text") -> Column:
     stripped = F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", "")
     return F.length(stripped) / F.greatest(F.length(text_col), F.lit(1)).cast("double")
@@ -273,6 +291,7 @@ def winnow_candidate_pairs(
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(text_col).cast("bigint"))
+        .withColumn("n_subword_tokens", subword_token_count(text_col).cast("bigint"))
         .withColumn("n_chars", F.length(text_col).cast("bigint"))
         .withColumn("ttr", F.round(type_token_ratio(text_col), 6))
         .withColumn("quality", quality_score(text_col))

@@ -23,6 +23,12 @@ def test_text_stats(spark):
     )
     got = with_text_stats(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
     assert got["n_tokens"].tolist() == [12, 11, 3]
+    # plain words: one letter-run pre-token per word
+    assert got["n_subword_tokens"].tolist() == [12, 11, 3]
+    # mixed classes split into letter/digit/symbol runs like GPT-2's pre-tokenizer
+    pdf_m = pd.DataFrame({"doc_id": [0], "text": ["Hello, world! 42 times"]})
+    m = with_text_stats(spark.createDataFrame(pdf_m)).collect()[0]
+    assert m["n_subword_tokens"] == 6  # Hello , world !  42 times
     assert got["lang_pred"].tolist() == ["en", "es", "other"]
     assert (got["quality"] >= 0).all() and (got["quality"] <= 1).all()
     # fingerprint: normalization collapses case/whitespace
