@@ -596,6 +596,40 @@ HAVING count(*) >= 2
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The end-to-end dedup story: winnowing candidate pairs resolved into
+    duplicate clusters (transitive closure; cluster_id = min doc id in the
+    component, i.e. the canonical representative)."""
+    from mrmr_spark.operators.dedup import connected_components
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = winnow_candidate_pairs(d).select("id_a", "id_b")
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+# transitive closure by recursive label reachability: every (node, label)
+# reachable pair is enumerated, min per node = the component's min id —
+# the same fixpoint the Spark min-label propagation converges to.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_WINNOW_PAIRS}
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.t, r.lab FROM r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM r GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -1654,6 +1688,7 @@ QUERIES = {
     "lang_heuristic": q_lang_heuristic,
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_pairs": q_winnow_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "knn_cosine": q_knn_cosine,
     "fstat_relevance": q_fstat_relevance,
     "ks_relevance": q_ks_relevance,
@@ -1694,6 +1729,7 @@ ORACLE_SQL = {
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_pairs": SQL_WINNOW_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "knn_cosine": SQL_KNN_COSINE,
     "fstat_relevance": SQL_FSTAT_RELEVANCE,
     "ks_relevance": SQL_KS_RELEVANCE,

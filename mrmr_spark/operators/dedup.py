@@ -340,3 +340,72 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS:
+    ``(node, cluster_id)`` with cluster_id = the minimum node id in the
+    connected component. Completes the dedup story — every candidate
+    generator in this module (minhash / simhash / ngram / winnow) emits
+    pairs; this assigns the transitive-closure cluster and its canonical
+    representative (the min id) in one call.
+
+    Iterative min-label propagation on the undirected pair graph:
+    each round every node takes the min of its own label and its
+    neighbors' labels. Rounds = component diameter, which for dedup
+    graphs is small and bounded: candidate generation caps per-key fan-out
+    (max_df / LSH bucket sizes), so components are near-cliques of
+    near-identical documents, not long chains. ``max_iter`` guards
+    pathological inputs; raising it is safe (each extra round is one
+    join + aggregate over the LABEL table, not the corpus).
+
+    Scale shape: the edge list (both directions) is persisted once and is
+    the join probe every round; the label table (one row per node that
+    appears in ANY pair — NOT the corpus) is localCheckpoint'ed each round,
+    truncating the iterative lineage so round N's plan does not replay
+    rounds 1..N-1. Each round = one shuffle join on node id + one min
+    aggregate + an O(1)-row convergence count. Nodes in no pair never
+    enter the graph — join the result back against the corpus with a left
+    join and coalesce(cluster_id, id) for a total clustering.
+    """
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    edges = e.union(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["t"] == labels["node"]
+        ).select(F.col("s").alias("node"), "cluster_id")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a component of diameter > max_iter"
+        )
+    edges.unpersist()
+    return labels

@@ -245,3 +245,73 @@ def test_ann_ivf_recall_and_probe_dial(vectors):
     assert approx.sort_values(["q_id", "rank"]).reset_index(drop=True).equals(
         approx2.sort_values(["q_id", "rank"]).reset_index(drop=True)
     )
+
+
+def _uf_components(pairs):
+    """Independent union-find oracle: {node: min-id-in-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from mrmr_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # random sparse graph: several components of varied shapes
+    pairs = sorted({tuple(sorted(rng.sample(range(120), 2))) for _ in range(90)})
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_connected_components_chain_and_convergence_guard(spark):
+    import pytest
+
+    from mrmr_spark.operators.dedup import connected_components
+
+    # a 12-node chain: worst-case diameter for min propagation
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(13)}
+    # max_iter below the diameter raises instead of returning wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_connected_components_on_winnow_pairs(spark):
+    """End-to-end dedup story: winnow candidate pairs -> duplicate clusters;
+    cluster_id is the min doc_id of the component (canonical pick)."""
+    from mrmr_spark.operators.dedup import connected_components
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    base = "this shared boilerplate sentence is long enough to fingerprint"
+    docs = (
+        [(i, base + f" tail variant {i}") for i in range(4)]
+        + [(10 + i, f"totally different content number {i} " * 3) for i in range(3)]
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = winnow_candidate_pairs(df, min_shared=1, max_df=None).select(
+        "id_a", "id_b"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, src="id_a", dst="id_b").collect()
+    }
+    # the four boilerplate docs share fingerprints -> one cluster rooted at 0
+    for i in range(4):
+        assert got[i] == 0
