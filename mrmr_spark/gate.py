@@ -630,6 +630,41 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM r GROUP BY node
 """
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """Corpus in, deduplicated corpus out: winnow candidates -> transitive
+    clusters -> keep the min-id canonical per cluster + all unpaired docs."""
+    from mrmr_spark.operators.dedup import dedup_documents
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = winnow_candidate_pairs(d).select("id_a", "id_b")
+    return dedup_documents(d, pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+SQL_DEDUP_CORPUS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_WINNOW_PAIRS}
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT s AS node, s AS lab FROM edges
+  UNION
+  SELECT e.t, r.lab FROM r JOIN edges e ON e.s = r.node
+), clusters AS (
+  SELECT node, min(lab) AS cluster_id FROM r GROUP BY node
+)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.node AND c.node != c.cluster_id
+WHERE c.node IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -1689,6 +1724,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
     "knn_cosine": q_knn_cosine,
     "fstat_relevance": q_fstat_relevance,
     "ks_relevance": q_ks_relevance,
@@ -1730,6 +1766,7 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_corpus": SQL_DEDUP_CORPUS,
     "knn_cosine": SQL_KNN_COSINE,
     "fstat_relevance": SQL_FSTAT_RELEVANCE,
     "ks_relevance": SQL_KS_RELEVANCE,

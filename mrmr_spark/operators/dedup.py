@@ -409,3 +409,30 @@ def connected_components(
         )
     edges.unpersist()
     return labels
+
+
+def dedup_documents(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus in, deduplicated corpus out: keep exactly one document per
+    duplicate cluster (the min-id canonical) plus every document that is in
+    no candidate pair. ``pairs`` is any candidate generator's output
+    (minhash / simhash / ngram / winnow), resolved transitively via
+    :func:`connected_components` — so A~B and B~C drop BOTH B and C even if
+    (A, C) was never emitted as a pair.
+
+    Scale shape: the cluster table is one row per node appearing in a pair
+    (for near-dup corpora a small fraction of the corpus); the final join
+    is a left join of the corpus against it — broadcastable whenever the
+    pair graph is, hash join otherwise; the corpus itself is scanned once
+    and never shuffled on text.
+    """
+    clusters = connected_components(pairs, src=src, dst=dst)
+    drop = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -315,3 +315,17 @@ def test_connected_components_on_winnow_pairs(spark):
     # the four boilerplate docs share fingerprints -> one cluster rooted at 0
     for i in range(4):
         assert got[i] == 0
+
+
+def test_dedup_documents_transitive_keep(spark):
+    """A~B, B~C, C~D (chain; (A,D) never emitted) -> keep only A + the
+    unpaired docs; canonical selection is transitive, not pairwise."""
+    from mrmr_spark.operators.dedup import dedup_documents
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in dedup_documents(docs, pairs).collect())
+    assert kept == [0, 4, 5]
+    # empty pair set -> corpus unchanged
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_documents(docs, empty).count() == 6
