@@ -383,31 +383,35 @@ def connected_components(
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels, edges["t"] == labels["node"]
-        ).select(F.col("s").alias("node"), "cluster_id")
-        new_labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the pair graph has a component of diameter > max_iter"
-        )
-    edges.unpersist()
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(
+                labels, edges["t"] == labels["node"]
+            ).select(F.col("s").alias("node"), "cluster_id")
+            new_labels = (
+                labels.union(prop)
+                .groupBy("node")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "the pair graph has a component of diameter > max_iter"
+            )
+    finally:
+        # labels is localCheckpoint-materialized, so the edge cache is no
+        # longer needed even on the non-convergence error path
+        edges.unpersist()
     return labels
 
 
