@@ -355,14 +355,16 @@ def connected_components(
     pairs; this assigns the transitive-closure cluster and its canonical
     representative (the min id) in one call.
 
-    Iterative min-label propagation on the undirected pair graph:
-    each round every node takes the min of its own label and its
-    neighbors' labels. Rounds = component diameter, which for dedup
-    graphs is small and bounded: candidate generation caps per-key fan-out
-    (max_df / LSH bucket sizes), so components are near-cliques of
-    near-identical documents, not long chains. ``max_iter`` guards
-    pathological inputs; raising it is safe (each extra round is one
-    join + aggregate over the LABEL table, not the corpus).
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label, its neighbors' labels, AND its
+    label's label (path halving — a label is always some node's id, so one
+    extra self-join of the label table doubles the effective propagation
+    distance). Rounds = O(log diameter) instead of O(diameter); dedup
+    graphs are near-cliques anyway (candidate generation caps per-key
+    fan-out via max_df / LSH bucket sizes), so typical convergence is 2-3
+    rounds. ``max_iter`` guards pathological inputs; raising it is safe
+    (each extra round is joins + an aggregate over the LABEL table, not
+    the corpus).
 
     Scale shape: the edge list (both directions) is persisted once and is
     the join probe every round; the label table (one row per node that
@@ -388,8 +390,19 @@ def connected_components(
             prop = edges.join(
                 labels, edges["t"] == labels["node"]
             ).select(F.col("s").alias("node"), "cluster_id")
+            # pointer jump: label(label(node)) — cluster_id is itself a node
+            # id, so chase one hop through the label table (path halving)
+            jump = (
+                labels.alias("x")
+                .join(
+                    labels.alias("p"),
+                    F.col("x.cluster_id") == F.col("p.node"),
+                )
+                .select(F.col("x.node").alias("node"), F.col("p.cluster_id"))
+            )
             new_labels = (
                 labels.union(prop)
+                .union(jump)
                 .groupBy("node")
                 .agg(F.min("cluster_id").alias("cluster_id"))
                 .localCheckpoint()

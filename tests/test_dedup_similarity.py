@@ -283,12 +283,19 @@ def test_connected_components_chain_and_convergence_guard(spark):
 
     from mrmr_spark.operators.dedup import connected_components
 
-    # a 12-node chain: worst-case diameter for min propagation
-    chain = [(i, i + 1) for i in range(12)]
+    # a 24-node chain: worst-case diameter; pointer jumping reaches
+    # distance ~2^(r-1) after r rounds, so 6 changing rounds + 1
+    # confirming round cover diameter 24 where plain propagation
+    # would need ~25
+    chain = [(i, i + 1) for i in range(24)]
     df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
-    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
-    assert got == {i: 0 for i in range(13)}
-    # max_iter below the diameter raises instead of returning wrong labels
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(df, max_iter=7).collect()
+    }
+    assert got == {i: 0 for i in range(25)}
+    # max_iter below the (log-scale) requirement raises instead of
+    # returning wrong labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
 
