@@ -112,3 +112,65 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, mime:string>"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    codec: str = "fake",
+) -> DataFrame:
+    """One vectorized mapInPandas pass: shrink every image so its longer
+    side is <= ``max_side`` (aspect ratio preserved, never upscaled);
+    non-image rows pass through untouched. ``codec='real'`` marks the
+    PIL/cv2 call site (NotImplementedError in this container); the fake
+    codec updates meta dims exactly as a real resize would and decimates
+    the byte payload by the area ratio, so partition sizing, Arrow batch
+    shapes, schema evolution and downstream joins are exercised for real.
+
+    Same 100 TB shape as extract_media_features: blobs ride through ONE
+    Python stage and the output is written keyed by media_id — never
+    re-shuffle a blob column.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for kind, content, meta in zip(pdf["kind"], pdf["content"], pdf["meta"]):
+                meta = dict(meta)
+                w, h = meta.get("width"), meta.get("height")
+                if kind != "image" or not w or not h or max(w, h) <= max_side:
+                    out_content.append(content)
+                    out_meta.append(meta)
+                    continue
+                if codec == "real":
+                    raise NotImplementedError(
+                        "real image resize requires PIL/cv2 — not in this "
+                        "container; wire the decoder here (batch shape and "
+                        "output schema are already production-ready)"
+                    )
+                scale = max_side / max(w, h)
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                raw = bytes(content)
+                n_out = max(1, int(len(raw) * (nw * nh) / (w * h)))
+                stride = max(1, len(raw) // n_out)
+                out_content.append(raw[::stride][:n_out])
+                meta["width"], meta["height"] = nw, nh
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.select("media_id", "kind", "content", "meta").mapInPandas(
+        resize, RESIZED_SCHEMA
+    )

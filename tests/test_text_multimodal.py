@@ -155,3 +155,42 @@ def test_winnow_max_df_drops_stop_fingerprints(spark):
     uncapped = winnow_candidate_pairs(df, min_shared=1, max_df=None).collect()
     assert len(uncapped) == 15  # all C(6,2) pairs share the boilerplate
     assert len(capped) == 0
+
+
+def test_resize_images_plumbing(spark):
+    from mrmr_spark.operators.multimodal import resize_images, synth_media_df
+
+    media = synth_media_df(spark, n=30, seed=9)
+    before = {r.media_id: r for r in media.collect()}
+    out = {r.media_id: r for r in resize_images(media, max_side=64).collect()}
+    assert out.keys() == before.keys()
+    for mid, r in out.items():
+        b = before[mid]
+        if b.kind != "image":
+            assert bytes(r.content) == bytes(b.content)  # pass-through
+            continue
+        w, h = b.meta.width, b.meta.height
+        if max(w, h) <= 64:
+            assert (r.meta.width, r.meta.height) == (w, h)
+            continue
+        scale = 64 / max(w, h)
+        assert (r.meta.width, r.meta.height) == (
+            max(1, round(w * scale)), max(1, round(h * scale)))
+        assert max(r.meta.width, r.meta.height) == 64
+        # byte payload decimated by the area ratio (deterministic fake)
+        exp_n = max(1, int(len(bytes(b.content)) * (r.meta.width * r.meta.height) / (w * h)))
+        assert len(bytes(r.content)) == exp_n
+    # determinism
+    out2 = {r.media_id: bytes(r.content) for r in resize_images(media, max_side=64).collect()}
+    assert out2 == {k: bytes(v.content) for k, v in out.items()}
+
+
+def test_resize_images_real_codec_is_stubbed(spark):
+    import pytest
+
+    from mrmr_spark.operators.multimodal import resize_images, synth_media_df
+
+    media = synth_media_df(spark, n=6, seed=9)
+    with pytest.raises(Exception) as exc_info:
+        resize_images(media, max_side=16, codec="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or "resize" in str(exc_info.value)
