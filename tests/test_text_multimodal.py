@@ -194,3 +194,60 @@ def test_resize_images_real_codec_is_stubbed(spark):
     with pytest.raises(Exception) as exc_info:
         resize_images(media, max_side=16, codec="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or "resize" in str(exc_info.value)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property test: both winnow backends vs the pure-Python oracle
+# on randomized texts (unicode to strip, whitespace runs, shared substrings,
+# lengths straddling k and k+window-1).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = st.sampled_from(
+    list("abcXYZ 019.,!?") + ["\t", "\n", "  ", "é", "日", " ", "~", "\x7f"]
+)
+
+
+def _texts_strategy():
+    """A corpus of 1-8 documents; some share a long common chunk so the
+    winnowing guarantee path (shared substring >= k+w-1) is exercised."""
+    doc = st.lists(_ALPHABET, min_size=0, max_size=60).map("".join)
+    shared = st.lists(st.sampled_from(list("abcdefgh ")), min_size=27, max_size=40).map(
+        "".join
+    )
+    return st.tuples(st.lists(doc, min_size=1, max_size=8), shared, st.booleans())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_texts_strategy())
+def test_winnow_property_backends_match_oracle(spark, case):
+    from mrmr_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    docs, shared, inject = case
+    if inject and len(docs) >= 2:  # plant a shared >= k+w-1 chunk in two docs
+        docs = list(docs)
+        docs[0] = docs[0] + " " + shared
+        docs[-1] = shared + " " + docs[-1]
+    rows = [(str(i), t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exp = {doc_id: _py_winnow(text) for doc_id, text in rows}
+    for fp in (winnow_fingerprints, winnow_fingerprints_arrow):
+        got = {
+            r.doc_id: list(r.fps)
+            for r in df.select("doc_id", fp().alias("fps")).collect()
+        }
+        assert got == exp, fp.__name__
+    if inject and len(rows) >= 2:
+        # the winnowing theorem: the planted >= k+w-1 shared substring
+        # guarantees at least one common fingerprint
+        assert set(exp["0"]) & set(exp[str(len(rows) - 1)])
