@@ -1,0 +1,140 @@
+"""Streaming exact dedup: first-arrival semantics across micro-batches in
+both state regimes (unbounded exact / watermark-bounded), fingerprint
+equivalence with the batch exact_dedup key, and the stateless text ops
+running on a streaming frame unchanged."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from mrmr_spark.operators.dedup import exact_dedup
+from mrmr_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    with_content_fingerprint,
+)
+
+
+def _docs():
+    """3 slices; every duplicate content appears in at most ONE doc per
+    slice so first-arrival is deterministic under maxFilesPerTrigger=1.
+    Content A repeats in slices 0/1/2 (different ids, case/space variants),
+    B in 1/2, C unique, D in 0/2."""
+    base = pd.Timestamp("2024-05-01")
+    rows = [
+        # slice, doc_id, text, ts
+        (0, "a0", "The Quick Brown Fox", base + pd.Timedelta(minutes=0)),
+        (0, "d0", "delta doc", base + pd.Timedelta(minutes=1)),
+        (0, "c0", "unique gamma content", base + pd.Timedelta(minutes=2)),
+        (1, "a1", "  the quick brown fox  ", base + pd.Timedelta(minutes=10)),
+        (1, "b1", "Beta Document", base + pd.Timedelta(minutes=11)),
+        (2, "a2", "THE QUICK BROWN FOX", base + pd.Timedelta(minutes=20)),
+        (2, "b2", "beta document", base + pd.Timedelta(minutes=21)),
+        (2, "d2", "Delta Doc", base + pd.Timedelta(minutes=22)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["slice", "doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    pdf = _docs()
+    d = str(tmp_path_factory.mktemp("dedup_stream_in"))
+    sdf = spark.createDataFrame(pdf)
+    for i in sorted(pdf["slice"].unique()):
+        part = sdf.where(f"slice = {i}").drop("slice").coalesce(1)
+        sub = os.path.join(d, f"b{i}")
+        part.write.mode("overwrite").parquet(sub)
+        files = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        assert len(files) == 1
+        os.rename(os.path.join(sub, files[0]), os.path.join(d, f"slice{i}.parquet"))
+    schema = sdf.drop("slice").schema
+    return d, schema, pdf
+
+
+def _run_stream(spark, src, name):
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).toPandas()
+
+
+def _read_stream(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def test_streaming_exact_dedup_first_arrival(spark, doc_stream_dir):
+    d, schema, pdf = doc_stream_dir
+    out = _run_stream(
+        spark, streaming_exact_dedup(_read_stream(spark, d, schema)), "sdedup_exact"
+    )
+    # first arrival per normalized content: a0, d0, c0, b1
+    assert sorted(out["doc_id"]) == ["a0", "b1", "c0", "d0"]
+    assert set(out.columns) == {"doc_id", "text", "ts"}  # fp cols dropped
+
+
+def test_streaming_dedup_watermark_bounded(spark, doc_stream_dir):
+    d, schema, pdf = doc_stream_dir
+    # 5-minute horizon: state for slice-0 fingerprints is evicted before
+    # slice 2 arrives (watermark advances to 21:00-5:00 > slice-0 times
+    # after batch 1), so the late D duplicate at minute 22 is re-admitted;
+    # B's duplicate (minute 21 vs 11) is outside the horizon too.
+    src = _read_stream(spark, d, schema)
+    out = _run_stream(
+        spark,
+        streaming_exact_dedup(src, ts_col="ts", watermark="5 minutes"),
+        "sdedup_wm",
+    )
+    got = set(out["doc_id"])
+    # every first arrival is present; duplicates within one horizon dropped
+    assert {"a0", "b1", "c0", "d0"} <= got
+    assert "a1" not in got  # same batch-adjacent horizon as a0's watermark
+    # kept rows are unique per (fp, admission); no content appears twice
+    # from within a single micro-batch
+    assert len(out) == len(got)
+
+
+def test_fingerprint_matches_batch_exact_dedup_key(spark, doc_stream_dir):
+    _, _, pdf = doc_stream_dir
+    df = spark.createDataFrame(pdf.drop(columns=["slice"]))
+    fp = with_content_fingerprint(df).toPandas()
+    groups = fp.groupby(["_fp1", "_fp2"])["doc_id"].apply(sorted).to_dict()
+    batch = exact_dedup(df).toPandas()
+    canon = batch.groupby("canonical_id")["doc_id"].apply(sorted).to_dict()
+    # identical partition of docs into content groups
+    assert sorted(groups.values()) == sorted(canon.values())
+
+
+def test_stateless_text_ops_run_on_streams(spark, doc_stream_dir):
+    """token stats / quality / winnow fingerprints are per-row Column
+    expressions — they run on a streaming frame with no twin needed."""
+    from mrmr_spark.operators.textstats import winnow_fingerprints, with_text_stats
+
+    d, schema, pdf = doc_stream_dir
+    src = with_text_stats(_read_stream(spark, d, schema)).withColumn(
+        "fps", winnow_fingerprints()
+    )
+    out = _run_stream(spark, src, "stext_stats")
+    assert len(out) == len(pdf)
+    batch = (
+        with_text_stats(spark.createDataFrame(pdf.drop(columns=["slice"])))
+        .withColumn("fps", winnow_fingerprints())
+        .toPandas()
+    )
+    cols = [c for c in out.columns if c != "fps"]
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    assert [list(x) for x in a["fps"]] == [list(x) for x in b["fps"]]
