@@ -189,13 +189,17 @@ def _ridge_path_scores(
     target_col: str,
     weight_col: str | None,
     k_grid: list[int],
-    metric: str,
-) -> dict[int, float]:
+    metric: str | tuple[str, ...],
+) -> dict[int, float] | dict[str, dict[int, float]]:
     """Fit closed-form ridge on ``train`` for every (alpha, k-prefix); pick
     alpha per k by... the reference uses RidgeCV on train then one Ridge —
     here: best alpha by validation score directly (one Gram pass per split,
     the rest is driver algebra). Validation scoring for ALL (k, alpha)
-    models at once via ONE Arrow GEMM pass (``_regression_loss_pass``)."""
+    models at once via ONE Arrow GEMM pass (``_regression_loss_pass``).
+
+    ``metric`` may be a tuple of metrics: the metric-independent stats,
+    Gram, and betas are computed once and only the loss pass repeats —
+    returns ``{metric: {k: score}}`` then (used by the parity tests)."""
     stats = relevance.f_regression_scores(train, path, target_col, weight_col, quantize_f32=False)
     gram = kernels.gram_pass(
         train, path, weight_col,
@@ -209,12 +213,16 @@ def _ridge_path_scores(
 
     B, keys = _ridge_betas(G, g, k_grid, len(path))
 
-    losses = _regression_loss_pass(
-        val, path, target_col, weight_col,
-        stats["impute_means"], stats["wmeans"], stats["wstds"],
-        float(stats["y_wmean"]), B, metric,
-    )
-    return _min_over_alphas(keys, losses, metric)
+    metrics = (metric,) if isinstance(metric, str) else tuple(metric)
+    out: dict[str, dict[int, float]] = {}
+    for m in metrics:
+        losses = _regression_loss_pass(
+            val, path, target_col, weight_col,
+            stats["impute_means"], stats["wmeans"], stats["wstds"],
+            float(stats["y_wmean"]), B, m,
+        )
+        out[m] = _min_over_alphas(keys, losses, m)
+    return out[metric] if isinstance(metric, str) else out
 
 
 _RIDGE_ALPHAS = np.logspace(-3, 3, 10)
@@ -521,14 +529,18 @@ def _logistic_path_scores(
     n_classes: int,
     weight_col: str | None,
     k_grid: list[int],
-    metric: str,
+    metric: str | tuple[str, ...],
     fit_subsample: int,
     seed: int,
-) -> dict[int, float]:
+) -> dict[int, float] | dict[str, dict[int, float]]:
     """Classification evaluate: per-k softmax fit on a bounded train
     subsample (driver), logloss/error scored distributed on the FULL val
     split via one Arrow GEMM pass (reference auto_k.py:142-161; weighted
-    scoring is a documented deviation — see module docstring)."""
+    scoring is a documented deviation — see module docstring).
+
+    ``metric`` may be a tuple: the stats scan, the bounded collect, and
+    the softmax fits happen once and only the loss pass repeats — returns
+    ``{metric: {k: score}}`` then (used by the parity tests)."""
     from mrmr_spark.select.preprocess import deterministic_subsample
 
     stats = relevance.f_classif_scores(
@@ -557,8 +569,10 @@ def _logistic_path_scores(
     y = pdf["_y"].to_numpy(np.int64)
     wv = pdf["_w"].to_numpy(np.float64) if weight_col else None
 
+    metrics = (metric,) if isinstance(metric, str) else tuple(metric)
     if len(np.unique(y)) < 2:
-        return {kk: float("inf") for kk in k_grid}
+        inf_scores = {kk: float("inf") for kk in k_grid}
+        return inf_scores if isinstance(metric, str) else {m: dict(inf_scores) for m in metrics}
 
     # one softmax fit per k-prefix; pack all models into a single (p, M·C)
     # coefficient matrix so the val split is scored in ONE Arrow GEMM pass
@@ -576,13 +590,16 @@ def _logistic_path_scores(
         Ws[:kk_eff, mi * C : (mi + 1) * C] = Wk
         bs[mi * C : (mi + 1) * C] = bk
 
-    losses = _classification_loss_pass(
-        val, path, y_code_col, weight_col, imput, mu, sd, Ws, bs, C, metric
-    )
-    return {
-        kk: (float(v) if np.isfinite(v) else float("inf"))
-        for kk, v in zip(k_grid, losses)
-    }
+    out: dict[str, dict[int, float]] = {}
+    for m in metrics:
+        losses = _classification_loss_pass(
+            val, path, y_code_col, weight_col, imput, mu, sd, Ws, bs, C, m
+        )
+        out[m] = {
+            kk: (float(v) if np.isfinite(v) else float("inf"))
+            for kk, v in zip(k_grid, losses)
+        }
+    return out[metric] if isinstance(metric, str) else out
 
 
 def _softmax_losses(

@@ -74,21 +74,29 @@ def test_group_cv_shared_scan_matches_per_split_loop(autok_data):
     folded = autok_data.withColumn(
         "_fold", F.pmod(F.xxhash64(F.col("grp")), F.lit(n_splits))
     ).cache()
-    for metric in ("rmse", "mae"):
+    metrics = ("rmse", "mae")
+    # per-split reference loop: stats/Gram/betas once per split, both
+    # metrics' loss passes on those shared models (tuple-metric form)
+    loop: dict[str, dict[int, list[float]]] = {
+        m: {kk: [] for kk in k_grid} for m in metrics
+    }
+    for f_ in range(n_splits):
+        s = _ridge_path_scores(
+            folded.where(F.col("_fold") != f_),
+            folded.where(F.col("_fold") == f_),
+            FEATS, "y", None, k_grid, metrics,
+        )
+        for m in metrics:
+            for kk, v in s[m].items():
+                loop[m][kk].append(v)
+    for metric in metrics:
         shared = _ridge_group_cv_scores(
             folded, FEATS, "y", None, k_grid, metric, n_splits
         )
-        loop: dict[int, list[float]] = {kk: [] for kk in k_grid}
-        for f_ in range(n_splits):
-            s = _ridge_path_scores(
-                folded.where(F.col("_fold") != f_),
-                folded.where(F.col("_fold") == f_),
-                FEATS, "y", None, k_grid, metric,
-            )
-            for kk, v in s.items():
-                loop[kk].append(v)
         for kk in k_grid:
-            assert shared[kk] == pytest.approx(float(np.mean(loop[kk])), rel=1e-9)
+            assert shared[kk] == pytest.approx(
+                float(np.mean(loop[metric][kk])), rel=1e-9
+            )
     folded.unpersist()
 
 
@@ -114,23 +122,30 @@ def test_classification_group_cv_shared_scan_matches_loop(autok_cls_data):
     folded = sdf.withColumn(
         "_fold", F.pmod(F.xxhash64(F.col("grp")), F.lit(n_splits))
     ).cache()
-    for metric in ("logloss", "error"):
+    metrics = ("logloss", "error")
+    # per-split reference loop: one stats scan + one bounded collect + one
+    # set of softmax fits per split, both metrics' loss passes on those
+    # shared models (tuple-metric form)
+    loop: dict[str, dict[int, list[float]]] = {
+        m: {kk: [] for kk in k_grid} for m in metrics
+    }
+    for f_ in range(n_splits):
+        s = _logistic_path_scores(
+            folded.where(F.col("_fold") != f_),
+            folded.where(F.col("_fold") == f_),
+            CLS_FEATS, "_y_code", C, None, k_grid, metrics, 50_000, 42,
+        )
+        for m in metrics:
+            for kk, v in s[m].items():
+                loop[m][kk].append(v)
+    for metric in metrics:
         shared = _logistic_group_cv_scores(
             folded, CLS_FEATS, "_y_code", C, None, k_grid, metric,
             50_000, 42, n_splits,
         )
-        loop: dict[int, list[float]] = {kk: [] for kk in k_grid}
-        for f_ in range(n_splits):
-            s = _logistic_path_scores(
-                folded.where(F.col("_fold") != f_),
-                folded.where(F.col("_fold") == f_),
-                CLS_FEATS, "_y_code", C, None, k_grid, metric, 50_000, 42,
-            )
-            for kk, v in s.items():
-                loop[kk].append(v)
         for kk in k_grid:
             assert shared[kk] == pytest.approx(
-                float(np.mean(loop[kk])), rel=1e-6
+                float(np.mean(loop[metric][kk])), rel=1e-6
             ), (metric, kk)
     folded.unpersist()
 

@@ -52,7 +52,7 @@ def boruta_data(spark):
 def test_boruta_accepts_signal_rejects_noise(boruta_data):
     feats = [f"x{j}" for j in range(8)]
     res = boruta_select(
-        boruta_data, feats, "y", max_iter=10, n_estimators=45, seed=1,
+        boruta_data, feats, "y", max_iter=8, n_estimators=25, seed=1,
         group_col="grp", time_col="t",
     )
     assert "x0" in res.selected and "x1" in res.selected
@@ -60,7 +60,7 @@ def test_boruta_accepts_signal_rejects_noise(boruta_data):
     for j in range(2, 8):
         assert res.status[f"x{j}"] != "accepted" or res.mean_importance[f"x{j}"] < 0.05
     assert res.extras["shadow_method"] == "circular_shift"
-    assert res.n_iter <= 10
+    assert res.n_iter <= 8
     # iteration cost telemetry: one entry per RF fit, positive seconds
     tel = res.extras["iteration_seconds"]
     assert len(tel) == res.n_iter
@@ -71,7 +71,7 @@ def test_boruta_accepts_signal_rejects_noise(boruta_data):
 def test_boruta_max_features(boruta_data):
     feats = [f"x{j}" for j in range(8)]
     res = boruta_select(
-        boruta_data, feats, "y", max_iter=6, n_estimators=50, seed=2, max_features=1
+        boruta_data, feats, "y", max_iter=5, n_estimators=25, seed=2, max_features=1
     )
     assert len(res.selected) == 1 and res.selected[0] in ("x0", "x1")
 

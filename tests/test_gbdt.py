@@ -41,7 +41,7 @@ FEATS = [f"x{j}" for j in range(10)]
 
 def test_gbdt_fixed_k_regression(gbdt_data):
     res = select_gbdt(gbdt_data, FEATS, "y", k=3, task="regression",
-                      n_estimators=25, max_depth=4, seed=3)
+                      n_estimators=10, max_depth=3, seed=3)
     assert len(res.names) == 3
     assert {"x0", "x1"}.issubset(set(res.names))
 
@@ -49,7 +49,7 @@ def test_gbdt_fixed_k_regression(gbdt_data):
 def test_gbdt_k_search_time_holdout(gbdt_data):
     res = select_gbdt(gbdt_data, FEATS, "y", k=None, task="regression",
                       feature_counts=[8, 3], time_col="t",
-                      n_estimators=18, max_depth=4, seed=3)
+                      n_estimators=10, max_depth=3, seed=3)
     assert {"x0", "x1"}.issubset(set(res.names))
     # 3 signal features; the noise-padded count must not win by > tolerance
     assert res.extras["chosen_k"] == 3
@@ -63,6 +63,6 @@ def test_gbdt_k_search_time_holdout(gbdt_data):
 
 def test_gbdt_classification_wrapper(gbdt_data):
     names = gbdt_classif(gbdt_data, FEATS, "y_cls", 3,
-                         n_estimators=25, max_depth=4, seed=3)
+                         n_estimators=10, max_depth=3, seed=3)
     assert len(names) == 3
     assert {"x0", "x1"}.issubset(set(names))

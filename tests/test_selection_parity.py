@@ -385,10 +385,20 @@ def test_select_mrmr_ks_relevance(fixture_small):
     assert {"f0", "f1"} & set(res.names[:2])
 
 
-def test_select_mrmr_rf_relevance(fixture_small):
+def test_select_mrmr_rf_relevance(fixture_small, monkeypatch):
     """C4: relevance='rf' (Spark ML RF importances; approximate tier —
-    planted-signal recovery, reference relevance.py:134-161)."""
+    planted-signal recovery, reference relevance.py:134-161). Forest size
+    trimmed from the 100-tree default: signal recovery on the planted
+    fixture is stable from ~30 trees and the fit time is the suite's cost."""
+    import functools
+
+    from mrmr_spark.select import api as api_mod
+
     pdf, sdf, cols = fixture_small
+    monkeypatch.setattr(
+        api_mod.rel_est, "rf_relevance_scores",
+        functools.partial(api_mod.rel_est.rf_relevance_scores, n_estimators=30),
+    )
     res = select_mrmr(sdf, cols, "target_reg", 4, task="regression", relevance="rf")
     assert len(res.names) == 4
     assert "f0" in res.names[:2]
@@ -453,17 +463,24 @@ def test_single_pass_default_and_forced_2scan(fixture_small, monkeypatch):
     assert r_sp.names == r_2s.names
 
 
-def test_wide_moments_singlepass_parity(spark):
+def test_wide_moments_singlepass_parity(spark, monkeypatch):
     """Beyond MOMENTS_JVM_MAX_P columns the relevance moment statistics run
     as one O(p) Arrow scan (the 6p+3 / 3p+1 JVM aggregate selects hit the
     measured Catalyst planning cliff). Must equal the JVM 2-pass results —
-    regression AND classification — under NaN/inf + weights."""
+    regression AND classification — under NaN/inf + weights.
+
+    The threshold is patched down so the parity check runs at p=10: route
+    selection is a single attribute comparison, and the per-column algebra
+    of both routes is identical at any p — testing at p=30 would only pay
+    the JVM route's Catalyst planning cliff (~70 s) that the Arrow route
+    exists to avoid, without strengthening the parity claim."""
     from mrmr_spark.select import kernels
     from mrmr_spark.select.preprocess import factorize_target
     from mrmr_spark.select.relevance import f_classif_scores, f_regression_scores
 
+    monkeypatch.setattr(kernels, "MOMENTS_JVM_MAX_P", 6)
     rng = np.random.default_rng(33)
-    n, p = 2500, 30  # p > MOMENTS_JVM_MAX_P (24)
+    n, p = 2500, 10  # p > patched MOMENTS_JVM_MAX_P -> default route = Arrow
     X = rng.normal(loc=rng.uniform(-8, 8, p), scale=rng.uniform(0.5, 3, p),
                    size=(n, p))
     y_clean = X[:, 0] * 0.4 + rng.normal(size=n)  # y must stay finite
@@ -497,14 +514,17 @@ def test_wide_moments_singlepass_parity(spark):
                                        atol=1e-9, err_msg=f"cls {key} w={wcol}")
 
 
-def test_wide_cache_build_oracle_parity(spark):
+def test_wide_cache_build_oracle_parity(spark, monkeypatch):
     """build_cache/select_cached at p>MOMENTS_JVM_MAX_P routes the pruning
     moments through the Arrow scan — the gaussian selection must still
-    match the pandas oracle exactly."""
+    match the pandas oracle exactly. (Threshold patched down: the route
+    switch is an attribute comparison; see test_wide_moments_singlepass_parity.)"""
+    from mrmr_spark.select import kernels
     from mrmr_spark.select.cache import build_cache, select_cached
 
+    monkeypatch.setattr(kernels, "MOMENTS_JVM_MAX_P", 6)
     rng = np.random.default_rng(41)
-    n, p = 600, 30
+    n, p = 600, 12
     X = rng.normal(size=(n, p))
     cols = [f"g{j}" for j in range(p)]
     pdf = pd.DataFrame(X, columns=cols)
