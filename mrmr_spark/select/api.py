@@ -501,7 +501,14 @@ def _jmi_binned(
     bin_cols = list(icol_names)
     if task != "classification":
         bin_cols = bin_cols + ["_yv"]
-    edges = binning.exact_percentile_edges(proj, bin_cols, n_bins)
+    # bounded subsample -> one JVM percentile aggregate; the distributed
+    # (subsample=None) path computes the same exact edges as range-
+    # partitioned order statistics — the aggregate's value→count map
+    # grows with n and would not survive a 10¹²-row scan
+    if distributed:
+        edges = binning.ranged_percentile_edges(proj, bin_cols, n_bins)
+    else:
+        edges = binning.exact_percentile_edges(proj, bin_cols, n_bins)
     # y std for constant check
     all_stds = np.concatenate([stds_unw, [np.inf]]) if task != "classification" else stds_unw
 

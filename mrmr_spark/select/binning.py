@@ -42,6 +42,143 @@ def exact_percentile_edges(
     return {c: np.asarray(row[c], dtype=np.float64) for c in cols}
 
 
+def ranged_percentile_edges(
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+) -> dict[str, np.ndarray]:
+    """Exact percentile ladders like ``exact_percentile_edges`` — same
+    (n−1)·q linear-interpolation definition, bit-identical results — but
+    computed as range-partitioned order statistics instead of one JVM
+    ``percentile`` aggregate.
+
+    Why: the ``percentile`` aggregate buffers a value→count map per
+    partition and merges the FULL map on the final reducer — memory grows
+    with distinct values, i.e. with n for continuous features. Fine under
+    a bounded subsample; a scale killer on the ``subsample=None``
+    distributed path at 10¹² rows. Here no task ever holds more than its
+    own value range (the copula/KS two-phase pattern, copula.py:48):
+
+    1. melt to (_cid, _val), null-stripped, and ``repartitionByRange`` so
+       each task owns a contiguous slice of one-or-more columns' sort;
+    2. per-(range, col) row counts → driver (tiny): exclusive offsets
+       locate which range holds each target order statistic
+       ``floor/ceil((n−1)·q)``;
+    3. one Arrow pass re-reads ONLY the ranges that hold a requested
+       statistic, sorts in-range, and emits the ≤ 2·(n_bins+1) values per
+       column; the driver interpolates.
+
+    The melt shuffles n×p rows — inherent to exact global order
+    statistics (the KS ECDF note applies); the bounded-subsample default
+    is the cheap path, this is the correct one when exactness at full
+    scale is required. Inputs are expected finite-or-null (the binned
+    path bins IMPUTED columns); nulls are dropped exactly like the
+    aggregate, NaN handling is undefined (callers impute first).
+    """
+    qs = np.array([i / n_bins for i in range(n_bins + 1)])
+    p = len(cols)
+
+    melted = df.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("double") for c in cols])
+        ).alias("_cid", "_val")
+    ).where(~F.isnull("_val"))
+    # pin the range exchange: consumers (counts pass, extraction pass)
+    # must see ONE rid assignment (boundary sampling is not deterministic
+    # across executions — same discipline as copula.py/relevance.py)
+    ranged = (
+        melted.repartitionByRange("_cid", "_val")
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            (r["_rid"], r["_cid"]): r["n"]
+            for r in ranged.groupBy("_rid", "_cid").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # exclusive offsets in (rid) order per column — RangePartitioner
+        # assigns ordered ranges to ascending partition ids (the copula
+        # offsets rely on the same fact)
+        n_col = np.zeros(p, dtype=np.int64)
+        offs: dict[tuple[int, int], int] = {}
+        for rid, cid in sorted(counts):
+            offs[(rid, cid)] = int(n_col[cid])
+            n_col[cid] += counts[(rid, cid)]
+
+        # target order statistics: lo/hi global ranks per (col, q)
+        need: dict[tuple[int, int], set[int]] = {}
+        ranks: dict[int, list[tuple[int, int, float]]] = {c: [] for c in range(p)}
+        for cid in range(p):
+            n = int(n_col[cid])
+            if n == 0:
+                continue
+            for q in qs:
+                pos = (n - 1) * q
+                lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+                ranks[cid].append((lo, hi, float(pos - np.floor(pos))))
+                for rk in (lo, hi):
+                    # which range holds global rank rk for this column
+                    for (rid, c2), off in offs.items():
+                        if c2 == cid and off <= rk < off + counts[(rid, c2)]:
+                            need.setdefault((rid, cid), set()).add(rk - off)
+                            break
+
+        out_schema = pa.schema(
+            [("_cid", pa.int32()), ("_rank", pa.int64()), ("_v", pa.float64())]
+        )
+
+        def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            vals: dict[int, list[np.ndarray]] = {}
+            rid = None
+            for b in batches:
+                if not b.num_rows:
+                    continue
+                rid = int(b.column(2)[0].as_py())
+                cid_a = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
+                val_a = np.asarray(b.column(1).to_numpy(zero_copy_only=False))
+                for cid in np.unique(cid_a):
+                    if (rid, int(cid)) in need:
+                        vals.setdefault(int(cid), []).append(val_a[cid_a == cid])
+            cids, rks, vs = [], [], []
+            for cid, chunks in vals.items():
+                x = np.sort(np.concatenate(chunks))
+                for li in sorted(need[(rid, cid)]):
+                    cids.append(cid)
+                    rks.append(li + offs[(rid, cid)])
+                    vs.append(float(x[li]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cids, pa.int32()),
+                    pa.array(rks, pa.int64()),
+                    pa.array(vs, pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        got = {
+            (r["_cid"], r["_rank"]): r["_v"]
+            for r in ranged.select("_cid", "_val", "_rid")
+            .mapInArrow(extract, "_cid int, _rank bigint, _v double")
+            .collect()
+        }
+    finally:
+        ranged.unpersist()
+
+    out: dict[str, np.ndarray] = {}
+    for cid, c in enumerate(cols):
+        if n_col[cid] == 0:
+            out[c] = np.full(len(qs), np.nan)
+            continue
+        e = np.empty(len(qs))
+        for i, (lo, hi, frac) in enumerate(ranks[cid]):
+            vlo, vhi = got[(cid, lo)], got[(cid, hi)]
+            e[i] = vlo + (vhi - vlo) * frac
+        out[c] = e
+    return out
+
+
 def bin_codes_df(
     df: DataFrame,
     cols: list[str],

@@ -61,3 +61,68 @@ def test_exact_percentile_matches_numpy(spark):
     edges = exact_percentile_edges(df, ["x"], 10)["x"]
     exp = np.percentile(x, np.linspace(0, 100, 11))
     assert np.allclose(edges, exp, rtol=1e-12, atol=1e-14)
+
+
+def test_ranged_percentile_edges_matches_aggregate(spark):
+    """The range-partitioned order-statistics backend (the subsample=None
+    scale path — no task or reducer ever holds a full value map) must
+    reproduce the JVM percentile aggregate and numpy: ties, skewed
+    columns, a constant column, nulls, and a column count above the
+    shuffle-partition count."""
+    import pandas as pd
+
+    from mrmr_spark.select.binning import (
+        exact_percentile_edges,
+        ranged_percentile_edges,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 1003
+    pdf = pd.DataFrame(
+        {
+            "a": rng.normal(size=n),
+            "b": rng.integers(0, 7, size=n).astype(np.float64),  # heavy ties
+            "c": np.exp(rng.normal(size=n) * 3),                 # skewed
+            "d": np.full(n, 4.25),                               # constant
+            "e": rng.uniform(-5, 5, size=n),
+            "f": rng.standard_cauchy(size=n),
+            "g": np.arange(n, dtype=np.float64),
+            "h": rng.normal(size=n).round(1),                    # more ties
+            "i": -np.arange(n, dtype=np.float64),
+            "j": rng.normal(loc=1e9, scale=1e-3, size=n),        # offset
+        }
+    )
+    pdf.loc[pdf.sample(frac=0.03, random_state=5).index, "a"] = None
+    cols = list(pdf.columns)
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    agg = exact_percentile_edges(df, cols, 10)
+    ranged = ranged_percentile_edges(df, cols, 10)
+    for c in cols:
+        np.testing.assert_allclose(ranged[c], agg[c], rtol=1e-12, atol=1e-14,
+                                   err_msg=c)
+    finite_a = pdf["a"].dropna().to_numpy()
+    np.testing.assert_allclose(
+        ranged["a"], np.percentile(finite_a, np.linspace(0, 100, 11)),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_ranged_percentile_edges_tiny_and_empty(spark):
+    """n < shuffle partitions, n=1, and an all-null column (NaN ladder)."""
+    import pandas as pd
+
+    from mrmr_spark.select.binning import ranged_percentile_edges
+
+    pdf = pd.DataFrame({"x": [3.0, 1.0, 2.0], "z": [None, None, None]})
+    df = spark.createDataFrame(pdf.astype({"z": "float64"}))
+    got = ranged_percentile_edges(df, ["x", "z"], 4)
+    np.testing.assert_allclose(
+        got["x"], np.percentile([1.0, 2.0, 3.0], [0, 25, 50, 75, 100])
+    )
+    assert np.isnan(got["z"]).all()
+
+    one = spark.createDataFrame(pd.DataFrame({"x": [7.5]}))
+    np.testing.assert_allclose(
+        ranged_percentile_edges(one, ["x"], 10)["x"], np.full(11, 7.5)
+    )
