@@ -61,7 +61,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrmr_spark.select import kernels, relevance
+from mrmr_spark.select import binning, kernels, relevance
 
 
 @dataclass
@@ -970,16 +970,20 @@ def select_k_evaluate(
     if config.strategy == "time_holdout":
         if time_col is None:
             raise ValueError("time_holdout strategy requires time_col")
-        # exact percentile aggregate + filter — same "train on the oldest
+        # exact percentile cut + filter — same "train on the oldest
         # 1-val_frac, validate on the newest val_frac" semantics as a
         # percent_rank cut, but with NO single-partition global window
-        # (that plan pulls the whole table through one task at scale)
+        # (that plan pulls the whole table through one task at scale) and
+        # NO value-buffering percentile aggregate (its value→count map
+        # grows with distinct timestamps — range-partitioned order
+        # statistics instead, binning.ranged_percentiles)
         t = F.col(time_col).cast("double")
-        cut_val = df.select(
-            F.percentile(t, F.lit(1.0 - config.val_frac)).alias("c")
-        ).collect()[0].c
-        if cut_val is None:
+        cut_arr = binning.ranged_percentiles(
+            df.select(t.alias("_t_")), ["_t_"], [1.0 - config.val_frac]
+        )["_t_"]
+        if np.isnan(cut_arr[0]):
             raise ValueError(f"time_col '{time_col}' has no non-null values")
+        cut_val = float(cut_arr[0])
         # shared-scan path: tag train/val as folds 0/1, ONE fused stats
         # scan (fold 0's slot = the train split's exact imputed-moment
         # statistics, via finish_loo_stats(val_fold=1)) + ONE loss scan

@@ -47,10 +47,19 @@ def ranged_percentile_edges(
     cols: list[str],
     n_bins: int = 10,
 ) -> dict[str, np.ndarray]:
-    """Exact percentile ladders like ``exact_percentile_edges`` — same
-    (n−1)·q linear-interpolation definition, bit-identical results — but
-    computed as range-partitioned order statistics instead of one JVM
-    ``percentile`` aggregate.
+    """Exact percentile ladders (n_bins+1 points incl. min/max) via
+    range-partitioned order statistics — see ``ranged_percentiles``."""
+    return ranged_percentiles(df, cols, [i / n_bins for i in range(n_bins + 1)])
+
+
+def ranged_percentiles(
+    df: DataFrame,
+    cols: list[str],
+    quantiles: list[float],
+) -> dict[str, np.ndarray]:
+    """Exact percentiles like the JVM ``percentile`` aggregate — same
+    (n−1)·q linear-interpolation definition, equal to f64 rounding — but
+    computed as range-partitioned order statistics instead.
 
     Why: the ``percentile`` aggregate buffers a value→count map per
     partition and merges the FULL map on the final reducer — memory grows
@@ -74,8 +83,11 @@ def ranged_percentile_edges(
     scale is required. Inputs are expected finite-or-null (the binned
     path bins IMPUTED columns); nulls are dropped exactly like the
     aggregate, NaN handling is undefined (callers impute first).
+
+    Also serves the single-quantile cuts (auto-k / GBDT time-holdout,
+    smart-sampler weight clip): ``ranged_percentiles(df, [c], [q])``.
     """
-    qs = np.array([i / n_bins for i in range(n_bins + 1)])
+    qs = np.asarray(quantiles, dtype=np.float64)
     p = len(cols)
 
     melted = df.select(

@@ -224,10 +224,14 @@ def select_gbdt(
         # --- k search over the geometric grid, multi-split evaluation ----
         def splits():
             if time_col is not None:
+                # range-partitioned order statistic (binning.ranged_
+                # percentiles), not the value-buffering percentile aggregate
                 t = F.col(time_col).cast("double")
-                cut = df.select(F.expr(
-                    f"percentile(cast({time_col} as double), {1 - test_size})"
-                ).alias("c")).collect()[0].c
+                from mrmr_spark.select import binning
+
+                cut = binning.ranged_percentiles(
+                    df.select(t.alias("_t_")), ["_t_"], [1 - test_size]
+                )["_t_"][0]
                 yield df.where(t < float(cut)), df.where(t >= float(cut))
             elif group_col is not None:
                 ns = max(2, n_splits)

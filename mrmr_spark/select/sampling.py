@@ -314,9 +314,15 @@ def smart_sample(
             wexpr = 1.0 / F.greatest(F.least(F.col("_pi"), F.lit(1.0)), F.lit(1e-12))
             sampled_w = sampled.withColumn("_w_raw", wexpr)
             if 0.5 < config.weight_clip_quantile < 1.0:
-                cap = sampled_w.select(
-                    F.expr(f"percentile(_w_raw, {config.weight_clip_quantile})").alias("c")
-                ).collect()[0].c
+                # range-partitioned order statistic, not the percentile
+                # aggregate (whose value->count map grows with distinct
+                # weights — the sampler output is unbounded at scale)
+                from mrmr_spark.select import binning
+
+                cap = binning.ranged_percentiles(
+                    sampled_w.select("_w_raw"), ["_w_raw"],
+                    [config.weight_clip_quantile],
+                )["_w_raw"][0]
                 sampled_w = sampled_w.withColumn(
                     "_w_raw", F.least(F.col("_w_raw"), F.lit(float(cap)))
                 )

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from mrmr_spark.functions.ndtri import ndtri
 
@@ -126,3 +127,20 @@ def test_ranged_percentile_edges_tiny_and_empty(spark):
     np.testing.assert_allclose(
         ranged_percentile_edges(one, ["x"], 10)["x"], np.full(11, 7.5)
     )
+
+
+def test_ranged_percentiles_scalar_matches_aggregate(spark):
+    """The single-quantile form (the auto-k/GBDT time-cut and sampler
+    weight-clip path) matches F.percentile."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.select.binning import ranged_percentiles
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({"t": rng.uniform(0, 1e9, size=777)})
+    df = spark.createDataFrame(pdf).repartition(6)
+    for q in (0.2, 0.8, 0.95):
+        got = ranged_percentiles(df, ["t"], [q])["t"][0]
+        exp = df.select(F.percentile(F.col("t"), F.lit(q)).alias("c")).collect()[0].c
+        assert got == pytest.approx(exp, rel=1e-12), q
