@@ -3,10 +3,12 @@
 Spark re-derivations of the reference's permutation semantics
 (/root/reference/sift/_permute.py:67-244) as window/join plans:
 
-- **global / within-group shuffle**: re-key rows by
-  ``row_number() over (partitionBy group orderBy xxhash64(key, seed))`` and
-  join values back by (group, new_rank) — a true permutation (multiset-
-  preserving per group), deterministic given the seed.
+- **global / within-group shuffle**: re-key rows by a seeded-hash rank
+  and join values back by (group, new_rank) — a true permutation
+  (multiset-preserving per group), deterministic given the seed. The
+  within-group rank is a grouped window (bounded by group size); the
+  group-less global rank is a range-partitioned two-phase row number
+  (``_global_rank`` — no single-task global window at any n).
 - **circular shift**: ``lag(x, shift_g)`` with wraparound; per-group shift
   drawn deterministically from the group key + seed, in [1, n).
 - **block shuffle**: block id = rank / block_size; blocks re-ordered by a
@@ -37,9 +39,41 @@ def resolve_method(method: str, has_groups: bool, has_time: bool) -> str:
     return "global"
 
 
-def _ranked(df: DataFrame, group: str | None, order: list[str]):
-    part = Window.partitionBy(group) if group else Window.partitionBy()
-    return part.orderBy(*[F.col(c) for c in order])
+def _ranked(df: DataFrame, group: str, order: list[str]):
+    # callers (circular_shift / block) always have a group — the
+    # group-less global method uses _global_rank, never a global window
+    return Window.partitionBy(group).orderBy(*[F.col(c) for c in order])
+
+
+def _global_rank(df: DataFrame, order_exprs: list, name: str) -> DataFrame:
+    """Global 1-based row number over ``order_exprs`` WITHOUT a
+    single-partition window (that plan pulls the whole table through one
+    task): range-partition the sort, per-range counts -> exclusive
+    offsets, in-range row_number + offset — the copula/KS two-phase
+    prefix pattern (copula.py:48). The ranged frame is pinned
+    (persist+count) so its two consumers (offsets pass, ranked output)
+    see one partition assignment."""
+    tagged = (
+        df.repartitionByRange(*order_exprs)
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    tagged.count()
+    wo = Window.orderBy("_rid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        tagged.groupBy("_rid")
+        .agg(F.count(F.lit(1)).alias("_rn_"))
+        .select(
+            "_rid",
+            F.coalesce(F.sum("_rn_").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
+    w = Window.partitionBy("_rid").orderBy(*order_exprs)
+    return (
+        tagged.join(F.broadcast(offs), "_rid")
+        .withColumn(name, F.row_number().over(w) + F.col("_off"))
+        .drop("_rid", "_off")
+    )
 
 
 def permute_column(
@@ -64,16 +98,26 @@ def permute_column(
     if method in ("circular_shift", "block") and not order:
         raise ValueError(f"method='{method}' requires order (time)")
 
-    if method in ("global", "within_group"):
-        grp_part = Window.partitionBy(group) if group else Window.partitionBy()
+    if method == "global":
+        # no group to bound the window: both global rankings (original
+        # order, seeded-hash order) run as range-partitioned two-phase
+        # row numbers — no single-task stage at any n
+        keyexprs = [F.col(c) for c in key_cols]
+        base = _global_rank(df, keyexprs, "_pos")
+        donor = _global_rank(
+            base, [F.xxhash64(*keyexprs, F.lit(seed))], "_spos"
+        ).select(F.col("_spos").alias("_pos"), F.col(col).alias(out))
+        return base.join(donor, ["_pos"]).drop("_pos")
+
+    if method == "within_group":
+        grp_part = Window.partitionBy(group)
         worig = grp_part.orderBy(*[F.col(c) for c in key_cols])
         wshuf = grp_part.orderBy(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)))
         base = df.withColumn("_pos", F.row_number().over(worig))
-        donor_keys = [group] if group else []
         donor = base.withColumn("_spos", F.row_number().over(wshuf)).select(
-            *donor_keys, F.col("_spos").alias("_pos"), F.col(col).alias(out)
+            group, F.col("_spos").alias("_pos"), F.col(col).alias(out)
         )
-        return base.join(donor, donor_keys + ["_pos"]).drop("_pos")
+        return base.join(donor, [group, "_pos"]).drop("_pos")
 
     if method == "circular_shift":
         w = _ranked(df, group, order)
