@@ -1449,6 +1449,36 @@ def q_quantile_bins(spark, sf_dir):
     return longf.groupBy("feature", "bin").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_quantile_bins_ranged(spark, sf_dir):
+    """The scale twin of ``quantile_bins``: identical per-bin populations
+    with the edges computed by ``ranged_percentile_edges`` — range-
+    partitioned order statistics instead of the value-buffering JVM
+    ``percentile`` aggregate (the ``subsample=None`` backend; Spark's
+    interpolation arithmetic reproduced bit-for-bit, so the SAME DuckDB
+    oracle must hash-match)."""
+    import numpy as np
+
+    from mrmr_spark.select.binning import bin_codes_df, ranged_percentile_edges
+
+    li = _t(spark, sf_dir, "lineitem").select(*_BIN_COLS)
+    edges = ranged_percentile_edges(li, _BIN_COLS, 10)
+    coded = bin_codes_df(li, _BIN_COLS, edges, np.ones(len(_BIN_COLS)))
+    longf = coded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"b_{c}").cast("int").alias("bin"),
+                    )
+                    for c in _BIN_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.feature", "s.bin")
+    return longf.groupBy("feature", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def _edges_cte(col: str, alias: str) -> str:
     """CTE computing the 9 interior decile edges of ``col`` with Spark's
     EXACT ``percentile`` arithmetic (verified bitwise): pos = q·(n−1);
@@ -1740,6 +1770,7 @@ QUERIES = {
     "copula_midrank": q_copula_midrank,
     "corr_redundancy": q_corr_redundancy,
     "quantile_bins": q_quantile_bins,
+    "quantile_bins_ranged": q_quantile_bins_ranged,
     "binned_mi": q_binned_mi,
     "anova_relevance": q_anova_relevance,
     "jmi_event_features": q_jmi_event_features,
@@ -1782,6 +1813,7 @@ ORACLE_SQL = {
     "copula_midrank": SQL_COPULA_MIDRANK,
     "corr_redundancy": SQL_CORR_REDUNDANCY,
     "quantile_bins": SQL_QUANTILE_BINS,
+    "quantile_bins_ranged": SQL_QUANTILE_BINS,
     "binned_mi": SQL_BINNED_MI,
     "anova_relevance": SQL_ANOVA_RELEVANCE,
     "jmi_event_features": SQL_JMI_EVENT_FEATURES,

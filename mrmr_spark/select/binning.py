@@ -129,7 +129,7 @@ def ranged_percentiles(
             for q in qs:
                 pos = (n - 1) * q
                 lo, hi = int(np.floor(pos)), int(np.ceil(pos))
-                ranks[cid].append((lo, hi, float(pos - np.floor(pos))))
+                ranks[cid].append((lo, hi, float(pos)))
                 for rk in (lo, hi):
                     # which range holds global rank rk for this column
                     for (rid, c2), off in offs.items():
@@ -184,9 +184,12 @@ def ranged_percentiles(
             out[c] = np.full(len(qs), np.nan)
             continue
         e = np.empty(len(qs))
-        for i, (lo, hi, frac) in enumerate(ranks[cid]):
+        for i, (lo, hi, pos) in enumerate(ranks[cid]):
             vlo, vhi = got[(cid, lo)], got[(cid, hi)]
-            e[i] = vlo + (vhi - vlo) * frac
+            # Spark Percentile.getPercentile bit-for-bit: the key itself
+            # inside a tie run, else (hi-pos)*v_lo + (pos-lo)*v_hi (the
+            # gate's SQL oracle encodes the same arithmetic)
+            e[i] = vlo if vlo == vhi else (hi - pos) * vlo + (pos - lo) * vhi
         out[c] = e
     return out
 
