@@ -115,27 +115,32 @@ def ranged_percentiles(
         # offsets rely on the same fact)
         n_col = np.zeros(p, dtype=np.int64)
         offs: dict[tuple[int, int], int] = {}
+        col_rids: dict[int, list[int]] = {c: [] for c in range(p)}
+        col_offs: dict[int, list[int]] = {c: [] for c in range(p)}
         for rid, cid in sorted(counts):
             offs[(rid, cid)] = int(n_col[cid])
+            col_rids[cid].append(rid)
+            col_offs[cid].append(int(n_col[cid]))
             n_col[cid] += counts[(rid, cid)]
 
-        # target order statistics: lo/hi global ranks per (col, q)
+        # target order statistics: lo/hi global ranks per (col, q); the
+        # holding range is a binary search over that column's offsets
+        # (O(log P) per rank — NOT a scan of all (range, col) pairs)
         need: dict[tuple[int, int], set[int]] = {}
         ranks: dict[int, list[tuple[int, int, float]]] = {c: [] for c in range(p)}
         for cid in range(p):
             n = int(n_col[cid])
             if n == 0:
                 continue
+            off_arr = np.asarray(col_offs[cid], dtype=np.int64)
             for q in qs:
                 pos = (n - 1) * q
                 lo, hi = int(np.floor(pos)), int(np.ceil(pos))
                 ranks[cid].append((lo, hi, float(pos)))
                 for rk in (lo, hi):
-                    # which range holds global rank rk for this column
-                    for (rid, c2), off in offs.items():
-                        if c2 == cid and off <= rk < off + counts[(rid, c2)]:
-                            need.setdefault((rid, cid), set()).add(rk - off)
-                            break
+                    j = int(np.searchsorted(off_arr, rk, side="right")) - 1
+                    rid = col_rids[cid][j]
+                    need.setdefault((rid, cid), set()).add(rk - int(off_arr[j]))
 
         out_schema = pa.schema(
             [("_cid", pa.int32()), ("_rank", pa.int64()), ("_v", pa.float64())]
