@@ -97,6 +97,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     min_jaccard: float = 0.5,
     hash_fn: str = "xxhash64",
+    pin: list | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -111,6 +112,8 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         char_shingles(df, text_col, id_col, n), num_hashes, id_col, hash_fn
     ).persist()
+    if pin is not None:
+        pin.append(sigs)
 
     def band_key(b: int):
         cols = [F.col(f"mh{b * r + j}") for j in range(r)]
@@ -199,6 +202,7 @@ def simhash_near_pairs(
     n_blocks: int | str = "auto",
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    pin: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -248,6 +252,8 @@ def simhash_near_pairs(
     # re-executing the lineage would re-scan the text column and re-shingle
     # the corpus per side — same precedent as the minhash signature pin.
     sigs = simhash(df, text_col, id_col, bits, hash_fn).persist()
+    if pin is not None:
+        pin.append(sigs)
     buckets = sigs.select(
         id_col,
         "simhash",
@@ -286,6 +292,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    pin: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -308,6 +315,8 @@ def ngram_jaccard_pairs(
     # otherwise re-scan the raw text column and re-shingle the corpus.
     # Same precedent as minhash_lsh_candidates' signature pin below.
     sh = char_shingles(df, text_col, id_col, n).persist()
+    if pin is not None:
+        pin.append(sh)
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         hot = (

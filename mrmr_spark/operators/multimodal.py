@@ -142,6 +142,12 @@ def resize_images(
         for pdf in batches:
             out_content, out_meta = [], []
             for kind, content, meta in zip(pdf["kind"], pdf["content"], pdf["meta"]):
+                # a NULL meta struct arrives as None — pass the row through
+                # BEFORE touching it (audio/text blobs ingested without dims)
+                if meta is None:
+                    out_content.append(content)
+                    out_meta.append(None)
+                    continue
                 meta = dict(meta)
                 w, h = meta.get("width"), meta.get("height")
                 if kind != "image" or not w or not h or max(w, h) <= max_side:

@@ -45,20 +45,26 @@ def _ranked(df: DataFrame, group: str, order: list[str]):
     return Window.partitionBy(group).orderBy(*[F.col(c) for c in order])
 
 
-def _global_rank(df: DataFrame, order_exprs: list, name: str) -> DataFrame:
+def _global_rank(
+    df: DataFrame, order_exprs: list, name: str, pin: list | None = None
+) -> DataFrame:
     """Global 1-based row number over ``order_exprs`` WITHOUT a
     single-partition window (that plan pulls the whole table through one
     task): range-partition the sort, per-range counts -> exclusive
     offsets, in-range row_number + offset — the copula/KS two-phase
     prefix pattern (copula.py:48). The ranged frame is pinned
     (persist+count) so its two consumers (offsets pass, ranked output)
-    see one partition assignment."""
+    see one partition assignment; appended to ``pin`` when given (the
+    copula.py caller-unpersist convention), otherwise cached until
+    evicted/session end."""
     tagged = (
         df.repartitionByRange(*order_exprs)
         .withColumn("_rid", F.spark_partition_id())
         .persist()
     )
     tagged.count()
+    if pin is not None:
+        pin.append(tagged)
     wo = Window.orderBy("_rid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
         tagged.groupBy("_rid")
@@ -86,11 +92,14 @@ def permute_column(
     seed: int = 0,
     block_size: int | str = "auto",
     out: str | None = None,
+    pin: list | None = None,
 ) -> DataFrame:
     """Return df with ``out`` (default ``{col}_perm``) = permuted copy of
     ``col`` under the given method. ``key_cols`` identify rows (for the
     deterministic shuffle hash); ``order`` is the within-group timeline
-    (required for circular_shift / block)."""
+    (required for circular_shift / block). ``method='global'`` pins two
+    range exchanges — pass ``pin`` (a list) to receive the handles and
+    unpersist after materializing the output."""
     out = out or f"{col}_perm"
     key_cols = key_cols or order or [col]
     if method in ("within_group", "block", "circular_shift") and group is None:
@@ -103,9 +112,9 @@ def permute_column(
         # order, seeded-hash order) run as range-partitioned two-phase
         # row numbers — no single-task stage at any n
         keyexprs = [F.col(c) for c in key_cols]
-        base = _global_rank(df, keyexprs, "_pos")
+        base = _global_rank(df, keyexprs, "_pos", pin)
         donor = _global_rank(
-            base, [F.xxhash64(*keyexprs, F.lit(seed))], "_spos"
+            base, [F.xxhash64(*keyexprs, F.lit(seed))], "_spos", pin
         ).select(F.col("_spos").alias("_pos"), F.col(col).alias(out))
         return base.join(donor, ["_pos"]).drop("_pos")
 
@@ -315,6 +324,7 @@ def permute_rows_struct(
     seed: int = 0,
     block_size: int | str = "auto",
     suffix: str = "_perm",
+    pin: list | None = None,
 ) -> DataFrame:
     """Row-wise permutation: the SAME permutation applied to all ``cols``
     (preserves cross-feature covariance, _permute.py:129-186) — one struct
@@ -322,7 +332,7 @@ def permute_rows_struct(
     packed = df.withColumn("_rowstruct", F.struct(*[F.col(c) for c in cols]))
     permed = permute_column(
         packed, "_rowstruct", method, group, order, key_cols, seed, block_size,
-        out="_rowstruct_p",
+        out="_rowstruct_p", pin=pin,
     )
     for c in cols:
         permed = permed.withColumn(f"{c}{suffix}", F.col(f"_rowstruct_p.{c}"))

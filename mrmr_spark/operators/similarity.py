@@ -131,6 +131,7 @@ def embedding_near_dup(
     seed: int = 7,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pin: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for pairs
     with cosine >= threshold that collide in >=1 hyperplane-LSH table.
@@ -150,6 +151,8 @@ def embedding_near_dup(
     sig = lsh_signatures(
         corpus, dim, n_planes, seed, id_col, emb_col, n_tables=n_tables
     ).persist()
+    if pin is not None:
+        pin.append(sig)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -241,6 +241,7 @@ def winnow_candidate_pairs(
     min_shared: int = 2,
     max_df: int | None = 1000,
     backend: str = "arrow",
+    pin: list | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by shared winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` for unordered pairs sharing at least
@@ -251,7 +252,12 @@ def winnow_candidate_pairs(
     documents (candidate work per fingerprint is bounded by max_df²/2;
     a fingerprint half the corpus shares identifies nothing anyway).
     ``backend``: 'arrow' (default — vectorized pandas UDF) or 'column'
-    (pure Column expression); identical fingerprints, tested."""
+    (pure Column expression); identical fingerprints, tested.
+
+    The exploded fingerprint frame is persisted for its multiple
+    consumers; pass ``pin`` (a list) to receive the handle and unpersist
+    after materializing the pairs (copula.py convention) — otherwise it
+    stays cached until evicted/session end."""
     from pyspark.sql import Window
 
     fingerprint = winnow_fingerprints_arrow if backend == "arrow" else winnow_fingerprints
@@ -275,6 +281,8 @@ def winnow_candidate_pairs(
     # (~len/window longs per doc, no text). Same precedent as
     # minhash_lsh_candidates' signature pin (dedup.py).
     fp = fp.persist()
+    if pin is not None:
+        pin.append(fp)
     a = fp.alias("a")
     b = fp.alias("b")
     return (

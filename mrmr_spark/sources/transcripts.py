@@ -191,8 +191,8 @@ def read_transcripts(spark, source: str):
       catalog read pushes filters into the Iceberg scan);
     - ``jsonl://<path>`` → newline-delimited JSON (the common raw-dump
       format for transcript corpora), read with the EXPLICIT input_hint
-      schema — no inference pass, malformed rows isolated to a
-      ``_corrupt_record`` column instead of failing the job;
+      schema — no inference pass, malformed rows dropped by the parser
+      (DROPMALFORMED) instead of failing the job;
     - ``csv://<path>`` → headered CSV, same explicit schema;
     - anything else → a parquet path (sandbox/lake files).
 
@@ -202,18 +202,18 @@ def read_transcripts(spark, source: str):
     if source.startswith("iceberg://"):
         return spark.table(source[len("iceberg://"):])
     if source.startswith("jsonl://"):
-        # PERMISSIVE parks each malformed line in _corrupt_record with every
-        # data field null; without the filter those lines would survive as
-        # all-null rows and sessionize into a phantom NULL conversation,
-        # silently poisoning the feature matrix. Filtering on the corrupt
-        # column (alongside the data columns) drops them at the scan.
-        raw = (
-            spark.read.schema(TRANSCRIPT_DDL + ", _corrupt_record string")
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        # DROPMALFORMED discards malformed lines inside the parser; without
+        # it they would survive as all-null rows and sessionize into a
+        # phantom NULL conversation, silently poisoning the feature matrix.
+        # NOT the PERMISSIVE + where(_corrupt_record isNull) pattern: any
+        # column-pruned consumer (df.count(), select(one_col)) prunes the
+        # scan down to the corrupt column alone and Spark raises
+        # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN.
+        return (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("mode", "DROPMALFORMED")
             .json(source[len("jsonl://"):])
         )
-        return raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
     if source.startswith("csv://"):
         return (
             spark.read.schema(TRANSCRIPT_DDL)

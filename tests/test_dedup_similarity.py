@@ -336,3 +336,49 @@ def test_dedup_documents_transitive_keep(spark):
     # empty pair set -> corpus unchanged
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_documents(docs, empty).count() == 6
+
+
+def test_candidate_generator_pin_contract(spark):
+    """Every persisting candidate generator (and the global permute) hands
+    its cached intermediates to the caller via ``pin`` for unpersist after
+    materialization — long-lived sessions must not accumulate dead cache."""
+    import pandas as pd
+
+    from mrmr_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from mrmr_spark.operators.permute import permute_column
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": [f"the quick brown fox number {i % 3} jumps over it" for i in range(8)],
+            }
+        )
+    )
+    for fn in (
+        lambda p: winnow_candidate_pairs(docs, pin=p),
+        lambda p: minhash_lsh_candidates(docs, pin=p),
+        lambda p: simhash_near_pairs(docs, pin=p),
+        lambda p: ngram_jaccard_pairs(docs, pin=p),
+    ):
+        pin = []
+        fn(pin).count()
+        assert len(pin) >= 1
+        for frame in pin:
+            assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+            frame.unpersist()
+            assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+
+    pin = []
+    permute_column(
+        spark.range(100).selectExpr("id", "cast(id as double) x"),
+        "x", "global", key_cols=["id"], seed=3, pin=pin,
+    ).count()
+    assert len(pin) == 2  # both range exchanges
+    for frame in pin:
+        frame.unpersist()

@@ -184,6 +184,20 @@ def test_resize_images_plumbing(spark):
     out2 = {r.media_id: bytes(r.content) for r in resize_images(media, max_side=64).collect()}
     assert out2 == {k: bytes(v.content) for k, v in out.items()}
 
+    # a NULL meta struct (blob ingested without dims) passes through
+    # instead of killing the Python stage
+    from pyspark.sql import functions as F
+
+    null_meta = media.withColumn(
+        "meta", F.when(F.col("kind") != "image", F.col("meta"))
+    )
+    out3 = {r.media_id: r for r in resize_images(null_meta, max_side=64).collect()}
+    assert out3.keys() == before.keys()
+    for mid, r in out3.items():
+        if before[mid].kind == "image":  # dims unknown -> pass-through
+            assert r.meta is None
+            assert bytes(r.content) == bytes(before[mid].content)
+
 
 def test_resize_images_real_codec_is_stubbed(spark):
     import pytest

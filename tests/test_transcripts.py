@@ -62,11 +62,13 @@ def test_read_transcripts_jsonl_and_csv_round_trip(spark, transcripts_pdf, tmp_p
 
 
 def test_read_transcripts_jsonl_drops_malformed_lines(spark, tmp_path):
-    """PERMISSIVE mode + corrupt-record filter: a corrupt line is dropped
-    at the scan rather than failing the 100 TB job OR surviving as an
-    all-null row (which would sessionize into a phantom NULL conversation
-    and poison the feature matrix); the _corrupt_record column never
-    reaches the public surface."""
+    """DROPMALFORMED: a corrupt line is dropped inside the parser rather
+    than failing the 100 TB job OR surviving as an all-null row (which
+    would sessionize into a phantom NULL conversation and poison the
+    feature matrix). Must also survive column-pruned consumers — the
+    PERMISSIVE + where(_corrupt_record) pattern threw
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN on a bare
+    count() because pruning left only the corrupt column in the scan."""
     from mrmr_spark.sources.transcripts import read_transcripts
 
     path = tmp_path / "bad.jsonl"
@@ -83,3 +85,7 @@ def test_read_transcripts_jsonl_drops_malformed_lines(spark, tmp_path):
     assert [r.turn_idx for r in rows] == [0, 1]
     assert all(r.conv_id == "c1" for r in rows)
     assert "_corrupt_record" not in df.columns
+    # column-pruned consumers: bare count and single-column select (these
+    # crashed under the corrupt-record-filter implementation)
+    assert df.count() == 2
+    assert df.select("conv_id").distinct().count() == 1
