@@ -68,19 +68,25 @@ def ranged_percentiles(
     distributed path at 10¹² rows. Here no task ever holds more than its
     own value range (the copula/KS two-phase pattern, copula.py:48):
 
-    1. melt to (_cid, _val), null-stripped, and ``repartitionByRange`` so
-       each task owns a contiguous slice of one-or-more columns' sort;
-    2. per-(range, col) row counts → driver (tiny): exclusive offsets
-       locate which range holds each target order statistic
+    1. melt to (_cid, _val), null-stripped, and collapse ties to
+       (_cid, _val, multiplicity) — map-side partial aggregation, so the
+       shuffle carries DISTINCT values per column, not rows, and a
+       heavily-tied/constant column cannot skew one range partition;
+       then ``repartitionByRange`` so each task owns a contiguous slice
+       of one-or-more columns' sort;
+    2. per-(range, col) multiplicity sums → driver (tiny): exclusive
+       offsets locate which range holds each target order statistic
        ``floor/ceil((n−1)·q)``;
     3. one Arrow pass re-reads ONLY the ranges that hold a requested
-       statistic, sorts in-range, and emits the ≤ 2·(n_bins+1) values per
-       column; the driver interpolates.
+       statistic, sorts in-range, and walks the cumulative multiplicities
+       to the ≤ 2·(n_bins+1) values per column; the driver interpolates.
 
-    The melt shuffles n×p rows — inherent to exact global order
-    statistics (the KS ECDF note applies); the bounded-subsample default
-    is the cheap path, this is the correct one when exactness at full
-    scale is required. Inputs are expected finite-or-null (the binned
+    The melt scans n×p cells but shuffles only distinct (col, value)
+    pairs — at worst n×p for continuous data (inherent to exact global
+    order statistics; the KS ECDF note applies), a few rows per column
+    for integer-ish data. The bounded-subsample default is the cheap
+    path; this is the correct one when exactness at full scale is
+    required. Inputs are expected finite-or-null (the binned
     path bins IMPUTED columns); nulls are dropped exactly like the
     aggregate, NaN handling is undefined (callers impute first).
 
@@ -90,11 +96,22 @@ def ranged_percentiles(
     qs = np.asarray(quantiles, dtype=np.float64)
     p = len(cols)
 
-    melted = df.select(
-        F.posexplode(
-            F.array(*[F.col(c).cast("double") for c in cols])
-        ).alias("_cid", "_val")
-    ).where(~F.isnull("_val"))
+    # collapse ties BEFORE ranging: groupBy(_cid,_val) with map-side
+    # partial aggregation shrinks the shuffle to distinct values per
+    # column AND removes tie skew — without it, a heavily-tied (or
+    # constant) column's equal keys all land in ONE range partition,
+    # re-creating the single-task stage this function exists to avoid.
+    # Order statistics only need (value, multiplicity) in value order.
+    melted = (
+        df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("double") for c in cols])
+            ).alias("_cid", "_val")
+        )
+        .where(~F.isnull("_val"))
+        .groupBy("_cid", "_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     # pin the range exchange: consumers (counts pass, extraction pass)
     # must see ONE rid assignment (boundary sampling is not deterministic
     # across executions — same discipline as copula.py/relevance.py)
@@ -107,7 +124,7 @@ def ranged_percentiles(
         counts = {
             (r["_rid"], r["_cid"]): r["n"]
             for r in ranged.groupBy("_rid", "_cid").agg(
-                F.count(F.lit(1)).alias("n")
+                F.sum("_n").alias("n")
             ).collect()
         }
         # exclusive offsets in (rid) order per column — RangePartitioner
@@ -148,23 +165,34 @@ def ranged_percentiles(
 
         def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             vals: dict[int, list[np.ndarray]] = {}
+            cnts: dict[int, list[np.ndarray]] = {}
             rid = None
             for b in batches:
                 if not b.num_rows:
                     continue
-                rid = int(b.column(2)[0].as_py())
+                rid = int(b.column(3)[0].as_py())
                 cid_a = np.asarray(b.column(0).to_numpy(zero_copy_only=False))
                 val_a = np.asarray(b.column(1).to_numpy(zero_copy_only=False))
+                n_a = np.asarray(b.column(2).to_numpy(zero_copy_only=False))
                 for cid in np.unique(cid_a):
                     if (rid, int(cid)) in need:
-                        vals.setdefault(int(cid), []).append(val_a[cid_a == cid])
+                        m = cid_a == cid
+                        vals.setdefault(int(cid), []).append(val_a[m])
+                        cnts.setdefault(int(cid), []).append(n_a[m])
             cids, rks, vs = [], [], []
             for cid, chunks in vals.items():
-                x = np.sort(np.concatenate(chunks))
+                x = np.concatenate(chunks)
+                n_arr = np.concatenate(cnts[cid]).astype(np.int64)
+                order = np.argsort(x, kind="stable")
+                x, n_arr = x[order], n_arr[order]
+                cum = np.cumsum(n_arr)  # cum[j] = rows with the j smallest values
                 for li in sorted(need[(rid, cid)]):
+                    # local rank li (0-based) lives in the first value
+                    # whose cumulative multiplicity exceeds it
+                    j = int(np.searchsorted(cum, li, side="right"))
                     cids.append(cid)
                     rks.append(li + offs[(rid, cid)])
-                    vs.append(float(x[li]))
+                    vs.append(float(x[j]))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(cids, pa.int32()),
@@ -176,7 +204,7 @@ def ranged_percentiles(
 
         got = {
             (r["_cid"], r["_rank"]): r["_v"]
-            for r in ranged.select("_cid", "_val", "_rid")
+            for r in ranged.select("_cid", "_val", "_n", "_rid")
             .mapInArrow(extract, "_cid int, _rank bigint, _v double")
             .collect()
         }
