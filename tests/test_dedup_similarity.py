@@ -300,6 +300,34 @@ def test_connected_components_chain_and_convergence_guard(spark):
         connected_components(df, max_iter=2)
 
 
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir set -> per-round truncation uses reliable
+    ``checkpoint()`` (survives executor loss on a real cluster) and must
+    produce byte-identical clusters to the localCheckpoint fast path;
+    the checkpoint dir must actually receive the RDD checkpoint files
+    (proof the durable tier ran, not the local one)."""
+    import random
+
+    from mrmr_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    pairs = sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(60)})
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    local = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    ckdir = str(tmp_path / "cc_ckpt")
+    durable = {
+        r.node: r.cluster_id
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert durable == local == _uf_components(pairs)
+    import os
+
+    written = [
+        f for root, _, files in os.walk(ckdir) for f in files
+    ]
+    assert written, "reliable checkpoint() wrote nothing to checkpoint_dir"
+
+
 def test_connected_components_on_winnow_pairs(spark):
     """End-to-end dedup story: winnow candidate pairs -> duplicate clusters;
     cluster_id is the min doc_id of the component (canonical pick)."""

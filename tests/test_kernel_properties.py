@@ -304,3 +304,86 @@ def test_fused_class_stats_match_numpy(sp, params, n_classes):
             got["A"][c], w[sel] @ (Xc[sel] ** 2) if sel.any() else np.zeros(p),
             rtol=1e-9, atol=1e-9,
         )
+
+
+# ---------------------------------------------------------------------------
+# ranged_percentiles vs the JVM `percentile` aggregate (round-5 hardening:
+# the newest numerical kernel — tie collapse, binary-search range location,
+# NULL handling — exercised on generated distributions instead of the one
+# gate fixture)
+# ---------------------------------------------------------------------------
+
+def percentile_case_strategy():
+    """(n, seed, kind-per-column, n_partitions, quantile-set id).
+
+    kind: 0=continuous, 1=heavy ties (values from a 3-int pool),
+    2=constant, 3=all-null, 4=mixed nulls+ties. Three columns, one kind
+    each — every example exercises several regimes against the SAME range
+    exchange (the tie-skew interaction the round-4 fixes were about).
+    """
+    return st.tuples(
+        st.integers(min_value=1, max_value=60),
+        st.integers(min_value=0, max_value=10_000),
+        st.tuples(*[st.integers(min_value=0, max_value=4)] * 3),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2),
+    )
+
+
+_QSETS = [
+    [0.0, 0.25, 0.5, 0.75, 1.0],
+    [0.1, 0.5, 0.9],
+    [0.37],
+]
+
+
+def _make_percentile_col(rng, n, kind):
+    if kind == 0:
+        return rng.normal(size=n) * 10.0
+    if kind == 1:
+        return rng.choice([1.0, 2.0, 7.0], size=n)
+    if kind == 2:
+        return np.full(n, 3.25)
+    if kind == 3:
+        return np.full(n, np.nan)
+    x = rng.choice([0.0, 5.0, 5.0, 9.0], size=n)
+    x[rng.random(n) < 0.3] = np.nan
+    return x
+
+
+@SET
+@given(percentile_case_strategy())
+def test_ranged_percentiles_match_jvm_percentile(sp, params):
+    """f64-exact equality with `percentile(col, array(qs))` — same
+    (n-1)*q interpolation, computed as range-partitioned order statistics
+    (binning.py ranged_percentiles). NaN in the pandas frame becomes SQL
+    NULL, matching the aggregate's null-dropping."""
+    import pyspark.sql.functions as F
+
+    from mrmr_spark.select.binning import ranged_percentiles
+
+    n, seed, kinds, parts, qi = params
+    rng = np.random.default_rng(seed)
+    qs = _QSETS[qi]
+    cols = [f"c{j}" for j in range(len(kinds))]
+    pdf = pd.DataFrame(
+        {c: _make_percentile_col(rng, n, k) for c, k in zip(cols, kinds)}
+    )
+    sdf = sp.createDataFrame(pdf).repartition(parts)
+
+    got = ranged_percentiles(sdf, cols, qs)
+
+    exp_row = sdf.select(
+        *[
+            F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs])).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    for c, k in zip(cols, kinds):
+        exp = exp_row[c]
+        if exp is None:  # all-null column -> aggregate returns NULL
+            assert np.isnan(got[c]).all()
+            continue
+        np.testing.assert_array_equal(
+            got[c], np.asarray(exp, dtype=np.float64), err_msg=f"{c} kind={k}"
+        )
