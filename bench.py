@@ -34,6 +34,28 @@ def _sf_label(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _stat_counters() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — None where unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:]))
+        return vals[7], sum(vals)  # steal is field 8 (user..softirq steal ...)
+    except Exception:
+        return None
+
+
+def steal_pct(before, after) -> float | None:
+    """Hypervisor steal % of total cpu time between two _stat_counters
+    samples. The sandbox host shows bursty co-tenant steal (measured
+    0-50%+ under load); attributing each timed run lets a slow sample be
+    distinguished from a real regression directly in the bench JSON."""
+    if before is None or after is None:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else None
+
+
 def ensure_transcripts(sf_dir: str) -> tuple[str, int]:
     """Deterministic transcript corpus sized to the sf (cached parquet)."""
     label = _sf_label(sf_dir)
@@ -133,11 +155,14 @@ def main():
     # JSON itself.
     n_warm = int(os.environ.get("MRMR_BENCH_WARM_RUNS", "6"))
     warm = []
+    warm_steal = []
     res = None
     for i in range(n_warm):
+        s0 = _stat_counters()
         t0 = time.perf_counter()
         res = e2e()
         warm.append(round(time.perf_counter() - t0, 3))
+        warm_steal.append(steal_pct(s0, _stat_counters()))
     warm_sorted = sorted(warm)
     mid = len(warm_sorted) // 2
     warm_median = (
@@ -208,6 +233,7 @@ def main():
         "warm_runs": warm,
         "warm_median": warm_median,
         "warm_last3_spread": last3_spread,
+        "warm_steal_pct": warm_steal,
     }
     print(json.dumps(out))
     spark.stop()
