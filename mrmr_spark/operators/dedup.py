@@ -396,6 +396,14 @@ def connected_components(
     one extra write+read of the (small) label table, and a lost executor
     only recomputes its tasks from the last checkpoint instead of killing
     the job. Both tiers produce identical clusters (tested).
+
+    Two operational notes on the reliable tier: Spark keeps every
+    round's checkpoint files until the application exits unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set
+    (recommended for long runs — the superseded label tables are then
+    GC'd as their DataFrames go out of scope); and this call sets the
+    context-global checkpoint directory, overriding any value the
+    session had configured.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
