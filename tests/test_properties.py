@@ -143,3 +143,114 @@ def test_asof_join_matches_merge_asof(sp, fact_ts, snap_ts, strict):
     want = exp["snap_val"].reset_index(drop=True)
     assert (got.isna() == want.isna()).all()
     assert (got.dropna() == want.dropna()).all()
+
+
+# ---------------------------------------------------------------------------
+# The FULL feature matrix vs the streaming twin's pure-Python row kernel
+# (round-5 capstone: `streaming.features._turn_row_features` is an
+# independent second implementation of every batch window expression —
+# already replay-verified against batch on generated corpora; here it
+# becomes a hypothesis oracle on ADVERSARIAL corpora the generator never
+# produces: ts ties inside a conversation, gaps exactly AT the 1800 s
+# session boundary and AT the 3600 s range edge, null/empty/whitespace
+# text, null roles/tools, single-turn conversations.)
+# ---------------------------------------------------------------------------
+
+
+def _twin_expected(pdf, session_gap_s=1800.0, range_s=3600.0):
+    """Per-(conv, turn) feature dicts via the streaming kernel, driven by
+    the same state-update loop `streaming_turn_features` runs (gap/session
+    tracking, last-5 ring, trailing-range buffer, next-gap target)."""
+    from mrmr_spark.streaming.features import _turn_row_features
+
+    range_us = int(round(range_s * 1_000_000))
+    nan = lambda v: float("nan") if v is None else float(v)  # noqa: E731
+    out = {}
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        st_ = dict(last_us=None, sid=-1, spos=0, gap1=None, gap2=None,
+                   buf5=[], tbuf=[])
+        feats_list, gaps = [], []
+        for i in range(len(g)):
+            r = g.iloc[i]
+            t_us = int(ts_us.iloc[i])
+            gap = (None if st_["last_us"] is None
+                   else (t_us - st_["last_us"]) / 1_000_000.0)
+            if gap is None or gap > session_gap_s:
+                st_["sid"] += 1
+                st_["spos"] = 0
+            feats = _turn_row_features(
+                int(r["turn_idx"]), gap, st_["sid"], st_["spos"],
+                r["text"] if pd.notna(r["text"]) else None,
+                r["role"] if pd.notna(r["role"]) else None,
+                r["tool"] if pd.notna(r["tool"]) else None,
+                st_["gap1"], st_["gap2"], st_["buf5"], st_["tbuf"],
+                t_us, range_us,
+            )
+            feats_list.append(feats)
+            gaps.append(gap)
+            st_["gap2"], st_["gap1"] = st_["gap1"], gap
+            st_["buf5"].append([nan(gap), nan(feats["is_assistant"]),
+                                feats["has_tool"], nan(feats["text_len"])])
+            st_["buf5"] = st_["buf5"][-5:]
+            st_["tbuf"].append([t_us, nan(gap)])
+            st_["tbuf"] = [b for b in st_["tbuf"] if b[0] >= t_us - range_us]
+            st_["spos"] += 1
+            st_["last_us"] = t_us
+        for i, f in enumerate(feats_list):
+            f["target_next_gap"] = gaps[i + 1] if i + 1 < len(gaps) else None
+            out[(conv, int(g.iloc[i]["turn_idx"]))] = f
+    return out
+
+
+#: µs increments: ties (0), sub-second, exactly AT and 1 µs around the
+#: session boundary (1800 s) and the range-window edge (3600 s)
+_GAP_POOL_US = [0, 1, 500_000, 1_000_000, 5_000_000,
+                1_799_999_999, 1_800_000_000, 1_800_000_001,
+                3_599_999_999, 3_600_000_000, 3_600_000_001, 7_200_000_000]
+_TEXTS = [None, "", " ", "hello world", "a  b", " lead", "trail ", "one"]
+_ROLES = [None, "user", "assistant", "tool", "system"]
+_TOOLS = [None, "search", "code"]
+
+
+@SET
+@given(st.integers(min_value=0, max_value=10_000))
+def test_build_features_matches_streaming_kernel_oracle(sp, seed):
+    from mrmr_spark.fe import build_features
+    from mrmr_spark.fe.pipeline import FEATURE_COLS
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(int(rng.integers(1, 5))):
+        t_us = int(rng.integers(0, 10**11))
+        for i in range(int(rng.integers(1, 11))):
+            if i > 0:
+                t_us += int(rng.choice(_GAP_POOL_US))
+            rows.append((f"c{c}", i,
+                         pd.Timestamp("2024-05-01")
+                         + pd.Timedelta(microseconds=t_us),
+                         rng.choice(_ROLES), rng.choice(_TEXTS),
+                         rng.choice(_TOOLS)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "ts", "role", "text", "tool"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    sdf = sp.createDataFrame(
+        pdf,
+        schema="conv_id string, turn_idx bigint, ts timestamp, "
+               "role string, text string, tool string",
+    )
+    got = build_features(sdf).orderBy("conv_id", "turn_idx").toPandas()
+    exp = _twin_expected(pdf)
+    assert len(got) == len(pdf)
+    for _, row in got.iterrows():
+        e = exp[(row["conv_id"], int(row["turn_idx"]))]
+        for c in [*FEATURE_COLS, "target_next_gap"]:
+            ev, gv = e.get(c), row[c]
+            key = f"{row['conv_id']}[{row['turn_idx']}].{c}"
+            if ev is None:
+                assert pd.isna(gv), key
+            else:
+                assert gv == pytest.approx(ev, rel=1e-12, abs=1e-12), key
