@@ -14,6 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench  # per-run hypervisor-steal attribution (bench.steal_pct)
 import pyarrow.dataset as pads
 from pyspark.sql import functions as F
 
@@ -51,13 +52,17 @@ def main():
     res = e2e()  # cold: codegen compile + JIT
     cold = time.perf_counter() - t0
     warm = []
+    warm_steal = []
     for _ in range(warm_runs):
+        c0 = bench._stat_counters()
         t0 = time.perf_counter()
         res = e2e()
         warm.append(round(time.perf_counter() - t0, 3))
+        warm_steal.append(bench.steal_pct(c0, bench._stat_counters()))
     print(json.dumps({
         "pid": os.getpid(), "cpus": cpus, "turns": n_turns,
         "cold": round(cold, 3), "warm": warm, "min_warm": min(warm),
+        "warm_steal_pct": warm_steal,
         "selected": res.names,
     }))
     spark.stop()
