@@ -157,12 +157,27 @@ def main():
     warm = []
     warm_steal = []
     res = None
-    for i in range(n_warm):
+
+    def one_warm():
+        nonlocal res
         s0 = _stat_counters()
         t0 = time.perf_counter()
         res = e2e()
         warm.append(round(time.perf_counter() - t0, 3))
         warm_steal.append(steal_pct(s0, _stat_counters()))
+
+    for i in range(n_warm):
+        one_warm()
+    # adaptive extension: if the BEST sample so far was itself taken under
+    # co-tenant steal, the min is still contaminated — buy up to
+    # MRMR_BENCH_MAX_EXTRA_RUNS more shots at a clean window (a clean
+    # sample ends the loop immediately; extra runs can only improve a min)
+    max_extra = int(os.environ.get("MRMR_BENCH_MAX_EXTRA_RUNS", "4"))
+    for _ in range(max_extra):
+        best_steal = warm_steal[warm.index(min(warm))]
+        if best_steal is None or best_steal <= 1.0:
+            break
+        one_warm()
     warm_sorted = sorted(warm)
     mid = len(warm_sorted) // 2
     warm_median = (
