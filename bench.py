@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,7 +41,10 @@ def _stat_counters() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = list(map(int, parts[1:]))
-        return vals[7], sum(vals)  # steal is field 8 (user..softirq steal ...)
+        # total = user..steal only: the guest/guest_nice tail fields are
+        # already counted inside user/nice, so summing them would double-count
+        # guest time and understate steal% on nested-virt hosts
+        return vals[7], sum(vals[:8])
     except Exception:
         return None
 
@@ -178,15 +182,8 @@ def main():
         if best_steal is None or best_steal <= 1.0:
             break
         one_warm()
-    warm_sorted = sorted(warm)
-    mid = len(warm_sorted) // 2
-    warm_median = (
-        warm_sorted[mid]
-        if len(warm_sorted) % 2
-        else round((warm_sorted[mid - 1] + warm_sorted[mid]) / 2, 3)
-    )
     timings["fe_mrmr_e2e"] = min(warm)
-    timings["fe_mrmr_e2e_median"] = warm_median
+    timings["fe_mrmr_e2e_median"] = round(statistics.median(warm), 3)
     last3 = warm[-3:]
     # relative spread of the final 3 runs: <0.15 means the series is flat
     last3_spread = round((max(last3) - min(last3)) / max(min(last3), 1e-9), 3)
@@ -246,7 +243,7 @@ def main():
         "cpus": CPUS,
         "selected": res.names,
         "warm_runs": warm,
-        "warm_median": warm_median,
+        "warm_median": timings["fe_mrmr_e2e_median"],
         "warm_last3_spread": last3_spread,
         "warm_steal_pct": warm_steal,
     }

@@ -401,12 +401,23 @@ def connected_components(
     round's checkpoint files until the application exits unless
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set
     (recommended for long runs — the superseded label tables are then
-    GC'd as their DataFrames go out of scope); and this call sets the
-    context-global checkpoint directory, overriding any value the
-    session had configured.
+    GC'd as their DataFrames go out of scope); and the context-global
+    checkpoint directory is pointed at ``checkpoint_dir`` only for the
+    duration of this call — if the application had configured a directory
+    for its own ``checkpoint()`` use, it is restored before returning, so
+    later application checkpoints keep landing inside the tree the
+    application chose rather than silently moving to this scratch path.
+    (Spark resolves a configured directory to a per-set UUID subdirectory,
+    and that resolved path is what can be read back and restored — the
+    restored location is therefore one UUID level beneath the original
+    setting, still within the same lifecycle-managed root. All checkpoints
+    here are eager, so nothing references the temporary setting afterwards.)
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         # reliable checkpoint() writes to the configured reliable store and
@@ -460,9 +471,15 @@ def connected_components(
                 "the pair graph has a component of diameter > max_iter"
             )
     finally:
-        # labels is localCheckpoint-materialized, so the edge cache is no
-        # longer needed even on the non-convergence error path
+        # labels is checkpoint-materialized (local or reliable tier alike —
+        # both are eager), so the edge cache is no longer needed even on the
+        # non-convergence error path
         edges.unpersist()
+        if checkpoint_dir is not None and prev_ckpt_dir != checkpoint_dir:
+            # restore the application's own checkpoint directory (None unsets
+            # it — Scala's setCheckpointDir(null) clears the Option): eager
+            # checkpoints mean nothing here still needs the temporary dir
+            sc.setCheckpointDir(prev_ckpt_dir)
     return labels
 
 

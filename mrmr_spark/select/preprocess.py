@@ -24,10 +24,16 @@ NUMERIC_TYPES = {"double", "float", "int", "bigint", "smallint", "tinyint", "dec
 
 
 def assert_numeric(df: DataFrame, cols: list[str]) -> None:
+    present = dict(df.dtypes)
+    missing = [c for c in cols if c not in present]
+    if missing:
+        # fail here with the column names rather than deep inside the first
+        # Spark job as an unresolved-column AnalysisException
+        raise ValueError(f"Feature columns not found in the DataFrame: {missing[:5]}.")
     bad = [
-        (c, t)
-        for c, t in df.dtypes
-        if c in set(cols) and not any(t.startswith(nt) for nt in NUMERIC_TYPES)
+        (c, present[c])
+        for c in cols
+        if not any(present[c].startswith(nt) for nt in NUMERIC_TYPES)
     ]
     if bad:
         raise ValueError(

@@ -314,12 +314,28 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     pairs = sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(60)})
     df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     local = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
     ckdir = str(tmp_path / "cc_ckpt")
     durable = {
         r.node: r.cluster_id
         for r in connected_components(df, checkpoint_dir=ckdir).collect()
     }
     assert durable == local == _uf_components(pairs)
+    # the context-global checkpoint dir is only borrowed: whatever was (or
+    # wasn't) configured beforehand is back afterwards...
+    assert sc.getCheckpointDir() == before
+    # ...and an application-configured dir must be restored (one resolved UUID
+    # level beneath the original root, still inside the app's chosen tree)
+    appdir = str(tmp_path / "app_ckpt")
+    sc.setCheckpointDir(appdir)
+    try:
+        connected_components(df, checkpoint_dir=ckdir).collect()
+        restored = sc.getCheckpointDir()
+        assert restored is not None and appdir in restored
+        assert ckdir not in restored
+    finally:
+        sc.setCheckpointDir(None)
     import os
 
     written = [

@@ -85,6 +85,19 @@ def test_degenerate_frames_return_empty(edge_df):
     assert select_mrmr(edge_df, ["x0", "x1"], "y", 0).names == []
 
 
+def test_bad_feature_columns_raise_early(edge_df):
+    """Missing or non-numeric feature columns must raise ValueError naming
+    the columns at the API boundary — not an unresolved-column
+    AnalysisException from deep inside the first Spark job."""
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="not found.*nope"):
+        select_mrmr(edge_df, ["x0", "nope"], "y", 2)
+    strs = edge_df.withColumn("s", F.lit("a"))
+    with pytest.raises(ValueError, match="Non-numeric.*'s'"):
+        select_mrmr(strs, ["x0", "s"], "y", 2)
+
+
 def test_k_exceeds_p_and_single_class(edge_df):
     from pyspark.sql import functions as F
 

@@ -33,7 +33,9 @@ def run(cpus: int) -> dict:
             # same heap at both levels; sized so 32 concurrent window sorts
             # + the cached feature frame never spill
             "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
-            "MRMR_BENCH_WARM_RUNS": os.environ.get("MRMR_BENCH_WARM_RUNS", "3"),
+            # 6 matches bench.py's headline default: round 4 proved a 3-run
+            # series can still be descending at run 3 under co-tenant steal
+            "MRMR_BENCH_WARM_RUNS": os.environ.get("MRMR_BENCH_WARM_RUNS", "6"),
         }
     )
     out = subprocess.run(

@@ -80,6 +80,7 @@ def main():
 
     def run(name: str, fn, n: int):
         s, st = [], []
+        fn()  # discarded warm-up: plan/codegen compile, Arrow worker spin-up
         for _ in range(n):
             c0 = bench._stat_counters()
             t0 = time.perf_counter()
@@ -89,7 +90,6 @@ def main():
         series[name] = s
         steals[name] = st
 
-    e2e()  # cold: plan/codegen compile, excluded
     run("fe_mrmr_e2e", e2e, E2E_REPEATS)
     run("autok_group_cv", autok_cv, REPEATS)
     run("winnow_pairs", winnow, REPEATS)
