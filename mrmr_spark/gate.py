@@ -596,6 +596,51 @@ HAVING count(*) >= 2
 """
 
 
+def q_winnow_verified(spark, sf_dir, threshold: float = 0.2):
+    """Winnow candidates passed through the exact n-gram-Jaccard verify
+    stage (`verify_candidate_pairs`): only pairs whose TEXT proves the
+    similarity survive, eliminating fingerprint-hash-collision false
+    candidates before clustering. (A 500k-doc probe measured ~530 such
+    spurious pairs from base-257 mod 2^31-1 collisions — see
+    tools/probe_dedup_scale.py.)"""
+    from mrmr_spark.operators.dedup import verify_candidate_pairs
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = winnow_candidate_pairs(d).select("id_a", "id_b")
+    return verify_candidate_pairs(d, cand, threshold=threshold).select(
+        "id_a", "id_b", r6("jaccard").alias("jaccard")
+    )
+
+
+# the winnow candidate query as a CTE, then exact 5-gram Jaccard computed
+# ONLY for candidate pairs (the same restriction the Spark operator makes:
+# shingles via the candidate semi-join, intersection via the pair fan-out)
+SQL_WINNOW_VERIFIED = f"""
+WITH cand AS (
+{SQL_WINNOW_PAIRS}
+), pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+  FROM documents WHERE length(text) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s FROM pos
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """The end-to-end dedup story: winnowing candidate pairs resolved into
     duplicate clusters (transitive closure; cluster_id = min doc id in the
@@ -1753,6 +1798,7 @@ QUERIES = {
     "lang_heuristic": q_lang_heuristic,
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_pairs": q_winnow_pairs,
+    "winnow_verified": q_winnow_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus": q_dedup_corpus,
     "knn_cosine": q_knn_cosine,
@@ -1796,6 +1842,7 @@ ORACLE_SQL = {
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winnow_pairs": SQL_WINNOW_PAIRS,
+    "winnow_verified": SQL_WINNOW_VERIFIED,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "knn_cosine": SQL_KNN_COSINE,

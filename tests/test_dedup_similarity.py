@@ -106,6 +106,41 @@ def test_ngram_jaccard_max_df_bounds_skew(spark):
     # and the capped join really excluded them (pairs above proves it)
 
 
+def test_verify_candidate_pairs_exact_and_drops_false(docs):
+    """The exact verify stage: (a) a true candidate pair passes with the
+    exact Jaccard value (cross-checked against ngram_jaccard_pairs'
+    corpus-wide exact computation); (b) a FALSE candidate pair — the kind a
+    fingerprint-hash collision produces — is dropped; (c) a pair whose doc
+    is shorter than n is dropped (no shingles, no evidence)."""
+    from mrmr_spark.operators.dedup import verify_candidate_pairs
+
+    sdf, pdf = docs
+    spark = sdf.sparkSession
+    # ground truth from the existing exact operator (no df cap => exact)
+    exact = ngram_jaccard_pairs(sdf, threshold=0.6, max_df=None).toPandas()
+    truth = {(int(a), int(b)): j for a, b, j in exact.itertuples(index=False)}
+    assert truth, "fixture must contain at least one true near-dup pair"
+    true_pairs = list(truth)
+    # false candidates: doc pairs that are NOT near-dups (base docs are
+    # independent random word strings)
+    false_pairs = [(10, 25), (11, 30)]
+    cand = spark.createDataFrame(true_pairs + false_pairs, ["id_a", "id_b"])
+    pin = []
+    got = verify_candidate_pairs(sdf, cand, threshold=0.6, pin=pin).toPandas()
+    for h in pin:
+        h.unpersist()
+    got_pairs = {(int(a), int(b)): j for a, b, j in got.itertuples(index=False)}
+    assert set(got_pairs) == set(true_pairs)
+    for p_, v in got_pairs.items():
+        assert abs(v - truth[p_]) < 1e-9
+    # short-doc pair: doc shorter than n=5 has no shingles -> dropped
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["abc", "abc"]})
+    )
+    pair = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    assert verify_candidate_pairs(tiny, pair, threshold=0.0).count() == 0
+
+
 def test_minhash_lsh_finds_planted_dups(docs):
     sdf, pdf = docs
     got = minhash_lsh_candidates(sdf, min_jaccard=0.5).toPandas()
