@@ -103,6 +103,11 @@ def main():
           "over fp (one exchange, no aggregate-plus-join-back), filtered "
           "frame persisted and read by both self-join sides (the deliberate "
           "pin); bucketed fp-key join — never all-pairs")
+    audit("winnow_verified (exact candidate-pair verify stage)",
+          gate.QUERIES["winnow_verified"](spark, SF),
+          "shingling bounded by a candidate-id semi-join; per-pair "
+          "intersection = pair fan-out by one side's shingles + hash join "
+          "on (id, shingle) — NO corpus shingle self-join; cost ∝ |pairs|")
     audit("knn_cosine (brute-force baseline)", gate.QUERIES["knn_cosine"](spark, SF),
           "broadcast of the query side; JVM zip_with/aggregate dot products; "
           "O(Q·N) by design")
