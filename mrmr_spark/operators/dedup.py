@@ -362,7 +362,7 @@ def verify_candidate_pairs(
     dst: str = "id_b",
     n: int = 5,
     threshold: float = 0.5,
-    backend: str = "arrow",
+    backend: str = "column",
     pin: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verify stage for candidate pairs: keep only the
@@ -394,22 +394,25 @@ def verify_candidate_pairs(
 
     Two bit-identical backends (the winnow convention; equality tested):
 
-    - ``backend="arrow"`` (default): join each pair's two texts, compute
-      the distinct-shingle Jaccard per pair in one pandas UDF with a
-      per-batch shingle-set memo (docs recur across pairs; the dst-side
-      join co-locates a doc's pairs, so the memo hits often). Measured
-      1.6-2x faster than the column backend on a 1M-pair /
-      130-char-doc corpus (29.5 vs 47.6 s). Text is duplicated per pair
-      a doc appears in, so for very long documents with high pair
-      multiplicity the column backend's shingle fan-out can move fewer
-      bytes.
-    - ``backend="column"``: pure-DataFrame shingle arithmetic (the shape
-      the DuckDB oracle mirrors) — the per-pair intersection fans each
-      pair out by one side's shingles (|pairs| x shingles/doc rows) and
-      hash-joins the other side on (id, shingle). The candidate-bounded
-      shingle frame is persisted for its three consumers; pass ``pin`` (a
-      list) to receive the handle and unpersist after materializing the
-      output — the ``ngram_jaccard_pairs`` convention.
+    - ``backend="column"`` (default): pure-DataFrame shingle arithmetic
+      (the shape the DuckDB oracle mirrors) — the per-pair intersection
+      fans each pair out by one side's shingles (|pairs| x shingles/doc
+      rows) and hash-joins the other side on (id, shingle). Stays inside
+      whole-stage codegen, no Python workers. The candidate-bounded
+      shingle frame is persisted for its three consumers; pass ``pin``
+      (a list) to receive the handle and unpersist after materializing
+      the output — the ``ngram_jaccard_pairs`` convention.
+    - ``backend="arrow"``: join each pair's two texts side by side and
+      compute the distinct-shingle Jaccard per pair in one pandas UDF
+      with a per-batch shingle-set memo. Moves ~O(shingle-width) fewer
+      shuffle bytes per pair (pair rows carry the two texts, not a
+      per-shingle fan-out), so it can win on long documents; pays
+      Python-worker startup on the first scan.
+
+    Measured like-for-like (500k docs / 1M candidate pairs / ~150-char
+    docs, 3 warm repeats, tools/probe_dedup_scale.py): column
+    18.9/12.7/10.4 s vs arrow 64.0/15.5/11.2 s — a warm tie, column 3x
+    cheaper cold, so column is the default; see BENCH.md §6b.
     """
     p = pairs.select(src, dst).distinct()
     if backend == "arrow":
@@ -468,8 +471,7 @@ def _verify_pairs_arrow(
     @pandas_udf("double")
     def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
         # per-batch memo: a doc's shingle set is built once per Arrow batch
-        # no matter how many pairs reference it (the dst-side hash join
-        # co-locates a doc's pairs, so hit rates are high)
+        # no matter how many pairs reference it
         memo: dict = {}
 
         def shingles(t):

@@ -40,6 +40,8 @@ N_VARIANTS = int(os.environ.get("MRMR_PROBE_VARIANTS", "5"))
 CKPT_DIR = os.environ.get("MRMR_PROBE_CKPT_DIR") or None
 VERIFY = os.environ.get("MRMR_PROBE_VERIFY")
 VERIFY_THRESHOLD = float(VERIFY) if VERIFY else None
+VERIFY_BACKEND = os.environ.get("MRMR_PROBE_VERIFY_BACKEND", "arrow")
+VERIFY_REPEATS = int(os.environ.get("MRMR_PROBE_VERIFY_REPEATS", "1"))
 
 
 def build_corpus() -> pd.DataFrame:
@@ -106,15 +108,26 @@ def main():
         h.unpersist()
 
     if VERIFY_THRESHOLD is not None:
-        t0 = time.perf_counter()
-        vpin: list = []
-        verified = verify_candidate_pairs(
-            docs, pairs, threshold=VERIFY_THRESHOLD, pin=vpin
-        ).persist()
-        out["n_verified"] = verified.count()
-        out["verify_sec"] = round(time.perf_counter() - t0, 2)
-        for h in vpin:
-            h.unpersist()
+        out["verify_backend"] = VERIFY_BACKEND
+        series = []
+        for _ in range(VERIFY_REPEATS):
+            t0 = time.perf_counter()
+            vpin: list = []
+            verified = verify_candidate_pairs(
+                docs,
+                pairs,
+                threshold=VERIFY_THRESHOLD,
+                backend=VERIFY_BACKEND,
+                pin=vpin,
+            ).persist()
+            out["n_verified"] = verified.count()
+            series.append(round(time.perf_counter() - t0, 2))
+            for h in vpin:
+                h.unpersist()
+            if len(series) < VERIFY_REPEATS:
+                verified.unpersist()
+        out["verify_sec"] = min(series)
+        out["verify_series"] = series
         pairs.unpersist()
         pairs = verified
 
