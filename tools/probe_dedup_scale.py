@@ -20,6 +20,10 @@ MRMR_PROBE_VERIFY=<jaccard threshold> -> run the exact
 clustering (this is what eliminates fingerprint-hash-collision false
 pairs — without it, a 500k-doc run measured ~530 spurious pairs from
 base-257 mod 2^31-1 collisions, merging 22 clusters wrongly).
+MRMR_PROBE_VERIFY_BACKEND=column|arrow (default column) selects the
+verify backend; MRMR_PROBE_VERIFY_REPEATS=<k> re-times the verify stage
+k times in one session and reports min + the series (warm-vs-cold — the
+backend comparison receipt is BENCH.md §6b).
 Prints one JSON line with per-stage seconds and the verification verdict.
 """
 
@@ -40,7 +44,7 @@ N_VARIANTS = int(os.environ.get("MRMR_PROBE_VARIANTS", "5"))
 CKPT_DIR = os.environ.get("MRMR_PROBE_CKPT_DIR") or None
 VERIFY = os.environ.get("MRMR_PROBE_VERIFY")
 VERIFY_THRESHOLD = float(VERIFY) if VERIFY else None
-VERIFY_BACKEND = os.environ.get("MRMR_PROBE_VERIFY_BACKEND", "arrow")
+VERIFY_BACKEND = os.environ.get("MRMR_PROBE_VERIFY_BACKEND", "column")
 VERIFY_REPEATS = int(os.environ.get("MRMR_PROBE_VERIFY_REPEATS", "1"))
 
 
