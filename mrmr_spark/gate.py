@@ -1778,6 +1778,133 @@ def _jmi_event_sql(k: int = 4) -> str:
 SQL_JMI_EVENT_FEATURES = _jmi_event_sql()
 
 
+# ---------------------------------------------------------------------------
+# Skew utilities + permutation invariants (SURVEY.md §2.I / G6)
+# ---------------------------------------------------------------------------
+
+def q_salted_agg(spark, sf_dir):
+    """Two-stage skew-proof aggregation (skew.py salted_agg) oracled against
+    the plain GROUP BY it must equal. Sums run on decimal(18,6) so the
+    salted partial-merge reassociation is exact — double partials would be
+    bit-order-dependent and could differ from the oracle's flat sum in the
+    last ulp."""
+    from mrmr_spark.operators.skew import salted_agg
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = salted_agg(
+        e,
+        "user_id",
+        {
+            "n": F.count(F.lit(1)),
+            "s": F.sum("v"),
+            "mn": F.min("v"),
+            "mx": F.max("v"),
+        },
+        {
+            "n": F.sum("n"),
+            "s": F.sum("s"),
+            "mn": F.min("mn"),
+            "mx": F.max("mx"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("mn").cast("double").alias("min_value"),
+        F.col("mx").cast("double").alias("max_value"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_salted_join(spark, sf_dir):
+    """Replicated-dim skew join (skew.py salted_broadcast_left, lineitem x
+    part on partkey, 8 salt replicas) oracled against the plain equi-join:
+    the salt must route rows without changing the join result."""
+    from mrmr_spark.operators.skew import salted_broadcast_left
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").alias("partkey"),
+        "l_quantity",
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand", "p_retailprice"
+    )
+    j = salted_broadcast_left(li, pt, "partkey", n_salts=8)
+    return j.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "partkey",
+        "p_brand",
+        r6(F.col("p_retailprice")).alias("p_retailprice"),
+        r6(F.col("l_quantity") * F.col("p_retailprice")).alias("gross"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT l_orderkey,
+       l_linenumber,
+       l_partkey AS partkey,
+       p_brand,
+       round(p_retailprice, 6) AS p_retailprice,
+       round(l_quantity * p_retailprice, 6) AS gross
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_permute_invariants(spark, sf_dir):
+    """Within-group permutation (permute.py permute_column, the G6 kernel
+    behind permutation importance) oracled via its multiset invariant: a
+    valid within-group permutation leaves every per-group count / sum /
+    min / max of the permuted column equal to the raw column's, so the
+    oracle aggregates the RAW values. Decimal sums keep the comparison
+    exact under the permuted add order. The 'actually moves rows' half of
+    the contract is seed-deterministic but not SQL-expressible (xxhash64
+    ordering); pytest covers it (test_permute invariants)."""
+    from mrmr_spark.operators.permute import permute_column
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    p = permute_column(
+        e, "v", method="within_group", group="user_id",
+        key_cols=["ts", "event_id"], seed=7,
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v_perm").cast("double").alias("sum_perm"),
+        F.min("v_perm").cast("double").alias("min_perm"),
+        F.max("v_perm").cast("double").alias("max_perm"),
+    )
+
+
+SQL_PERMUTE_INVARIANTS = """
+SELECT user_id,
+       count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_perm,
+       CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_perm,
+       CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_perm
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -1820,6 +1947,9 @@ QUERIES = {
     "binned_mi": q_binned_mi,
     "anova_relevance": q_anova_relevance,
     "jmi_event_features": q_jmi_event_features,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "permute_invariants": q_permute_invariants,
 }
 
 ORACLE_SQL = {
@@ -1864,4 +1994,7 @@ ORACLE_SQL = {
     "binned_mi": SQL_BINNED_MI,
     "anova_relevance": SQL_ANOVA_RELEVANCE,
     "jmi_event_features": SQL_JMI_EVENT_FEATURES,
+    "salted_agg": SQL_SALTED_AGG,
+    "salted_join": SQL_SALTED_JOIN,
+    "permute_invariants": SQL_PERMUTE_INVARIANTS,
 }
