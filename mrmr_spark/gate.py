@@ -1779,6 +1779,319 @@ SQL_JMI_EVENT_FEATURES = _jmi_event_sql()
 
 
 # ---------------------------------------------------------------------------
+# Gaussian cached selection path (SURVEY.md D1-D4, F4, F6)
+# ---------------------------------------------------------------------------
+
+_GC_FEATS = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+_GC_K = 3
+
+
+def _gc_run(spark, sf_dir, method: str):
+    """Shared Spark side of the cached-gaussian gate rows: build the copula
+    cache over lineitem with a DETERMINISTIC row key, run select_cached.
+
+    No column subset short of the full row is unique in the synthetic
+    lineitem (sf0.001 even has a duplicate (ok, ln, pk, sk) tuple), so the
+    key is a row_number over the full-column total order — identical and
+    deterministic in the oracle. Single-task window: fine for a ≤60k-row
+    gate fixture (this is fixture plumbing, not an engine path — the
+    engine's scale answer for global ranks is the range-partitioned
+    two-phase scan in operators/permute.py:_global_rank)."""
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    rk_order = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rk", F.row_number().over(Window.orderBy(*rk_order))
+    )
+    cache = build_cache(li, _GC_FEATS, subsample=None, row_key_col="rk")
+    res = select_cached(
+        cache, "l_extendedprice", _GC_K, method=method, top_m=len(_GC_FEATS)
+    )
+    out = res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
+    cache.unpersist()
+    return out
+
+
+def q_gaussian_mrmr_cached(spark, sf_dir):
+    """The FULL gaussian cached-selection path end-to-end (build_cache →
+    select_cached(method='mrmr_quot')): midranks → AS241 ndtri → weighted
+    standardize → float32 quantize → fused Gram+r scan (clip 0.999999) →
+    greedy |r|-ordered corr-prune at 0.95 → greedy gaussian-MI mRMR
+    (quotient, FLOOR 1e-6). The oracle rebuilds every stage in DuckDB SQL,
+    including the ndtri rational approximation (generated from the same
+    AS241 constants the engine ships, functions/ndtri.py) and the f32
+    quantization via CAST AS REAL. Tie order is deterministic on both
+    sides via an explicit row key (build_cache(row_key_col=...));
+    reference path: copula.py:85-117 + cefsplus.py:448-535."""
+    return _gc_run(spark, sf_dir, "mrmr_quot")
+
+
+def q_cefsplus_cached(spark, sf_dir):
+    """CEFS+ (F5, the reference's log-det criterion, cefsplus.py:124-281)
+    on the same cached copula pipeline: at each step pick argmax of
+    log|Σ_{S∪f}| − log|Σ_{y,S∪f}| on the shrunk ((1−1e-6) off-diagonal)
+    correlation structure. The engine runs Schur-complement bordering
+    updates; the oracle evaluates the SAME determinants directly via
+    generated cofactor expansions (p=4 → at most 4×4), equal when no
+    eps floor binds (non-degenerate fixture; engine Schur s values are
+    O(1) here). Step 1 is argmax relevance, like the engine."""
+    return _gc_run(spark, sf_dir, "cefsplus")
+
+
+def _ndtri_sql_exprs() -> tuple[str, str]:
+    """(central, tail) SQL expressions for Wichura AS241 over columns
+    ``qv`` (= u − 0.5), ``rc`` (= 0.180625 − qv²) and ``rt``
+    (= sqrt(−ln(min(u, 1−u)))) — Horner forms generated from the engine's
+    own coefficient arrays so oracle and kernel share one source of truth.
+    repr() of each float64 coefficient round-trips exactly through the SQL
+    parser."""
+    import importlib
+
+    # the package re-exports the ndtri *function* under the same name, so
+    # resolve the module (which owns the coefficient arrays) explicitly
+    nd = importlib.import_module("mrmr_spark.functions.ndtri")
+
+    def horner(coef, x):
+        expr = repr(float(coef[-1]))
+        for c in coef[-2::-1]:
+            expr = f"({expr} * {x} + {repr(float(c))})"
+        return expr
+
+    central = f"qv * {horner(nd._A, 'rc')} / {horner(nd._B, 'rc')}"
+    near = f"{horner(nd._C, '(rt - 1.6)')} / {horner(nd._D, '(rt - 1.6)')}"
+    far = f"{horner(nd._E, '(rt - 5.0)')} / {horner(nd._F, '(rt - 5.0)')}"
+    tail = (
+        f"(CASE WHEN qv < 0.0 THEN -1.0 ELSE 1.0 END)"
+        f" * (CASE WHEN rt <= 5.0 THEN {near} ELSE {far} END)"
+    )
+    return central, tail
+
+
+_GC_MI = "-0.5 * ln(1.0 - least({x} * {x}, 1.0 - 1e-12))"
+
+
+def _gc_prefix_sql() -> str:
+    """Shared DuckDB-oracle prefix for the cached-gaussian gate rows: raw
+    table → midranks → AS241 ndtri → standardize → f32 quantize → clipped
+    Gram (``st``, 1 row) → per-feature relevance/|r| ranking (``ordv``) →
+    greedy corr-prune (``kept``). Weights are 1.0 so the midrank is
+    (rows-before + 0.5)/n; the u clip [1e-6, 1−1e-6] is inactive at gate
+    scale but kept for fidelity. Ends after ``kept`` — finishers append
+    their greedy stages."""
+    feats = _GC_FEATS
+    p = len(feats)
+    central, tail = _ndtri_sql_exprs()
+    mi = _GC_MI
+
+    melt = "\n  UNION ALL ".join(
+        f"SELECT rk, {i} AS cid, f{i} AS v FROM base" for i in range(p)
+    ) + f"\n  UNION ALL SELECT rk, {p} AS cid, fy AS v FROM base"
+
+    zw_cols = ",\n    ".join(
+        f"CAST(max(CASE WHEN cid = {i} THEN zf END) AS DOUBLE) AS z{i}"
+        for i in range(p + 1)
+    )
+
+    # feature-feature corr + feature-target corr, both clipped ±0.999999
+    def clip(e):
+        return f"least(greatest({e}, -0.999999), 0.999999)"
+
+    g_cols = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            g_cols.append(clip(f"sum(z{i} * z{j}) / sum(1.0)") + f" AS c_{i}_{j}")
+        g_cols.append(clip(f"sum(z{i} * z{p}) / sum(1.0)") + f" AS ry_{i}")
+    st_cols = ",\n    ".join(g_cols)
+
+    rel_rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS cid, '{feats[i]}' AS feature, ry_{i} AS r FROM st"
+        for i in range(p)
+    )
+    gp_rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS a, {j} AS b, c_{min(i, j)}_{max(i, j)} AS rho FROM st"
+        for i in range(p)
+        for j in range(p)
+        if i != j
+    )
+
+    # greedy corr-prune: rank by |r| desc; rank-i kept unless |rho| >= 0.95
+    # vs an already-kept lower rank (loops.py greedy_corr_prune)
+    kept_stages = ["kp1 AS (SELECT cid, rnk, rel, r FROM ordv WHERE rnk = 1)"]
+    kept_union = "SELECT cid FROM kp1"
+    for i in range(2, p + 1):
+        kept_stages.append(
+            f"""kp{i} AS (
+  SELECT o.cid, o.rnk, o.rel, o.r FROM ordv o WHERE o.rnk = {i} AND NOT EXISTS (
+    SELECT 1 FROM gpairs g
+    WHERE g.a = o.cid AND g.b IN ({kept_union}) AND abs(g.rho) >= 0.95))"""
+        )
+        kept_union += f" UNION ALL SELECT cid FROM kp{i}"
+    kept = " UNION ALL ".join(f"SELECT * FROM kp{i}" for i in range(1, p + 1))
+
+    return f"""
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+           l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax) AS rk,
+         CAST(l_quantity AS DOUBLE) AS f0,
+         CAST(l_discount AS DOUBLE) AS f1,
+         CAST(l_tax AS DOUBLE) AS f2,
+         CAST(l_linenumber AS DOUBLE) AS f3,
+         CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS fy
+  FROM lineitem
+), m AS (
+  {melt}
+), u AS (
+  SELECT rk, cid,
+    (COALESCE(sum(1.0) OVER (PARTITION BY cid ORDER BY v, rk
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) + 0.5)
+      / sum(1.0) OVER (PARTITION BY cid) AS uraw
+  FROM m
+), uc AS (
+  SELECT rk, cid, uu AS uc, uu - 0.5 AS qv,
+         0.180625 - (uu - 0.5) * (uu - 0.5) AS rc,
+         sqrt(-ln(CASE WHEN uu < 0.5 THEN uu ELSE 1.0 - uu END)) AS rt
+  FROM (SELECT rk, cid, least(greatest(uraw, 1e-6), 1.0 - 1e-6) AS uu FROM u)
+), zr AS (
+  SELECT rk, cid,
+    CASE WHEN abs(qv) <= 0.425 THEN {central} ELSE {tail} END AS zraw
+  FROM uc
+), zm AS (
+  SELECT cid, sum(zraw) / sum(1.0) AS mu FROM zr GROUP BY cid
+), zv AS (
+  SELECT z.cid, sum((z.zraw - s.mu) * (z.zraw - s.mu)) / sum(1.0) AS var
+  FROM zr z JOIN zm s ON z.cid = s.cid GROUP BY z.cid
+), zq AS (
+  SELECT z.rk, z.cid,
+    CAST((z.zraw - s.mu)
+         / (CASE WHEN v.var > 1e-12 THEN sqrt(v.var) ELSE 1.0 END) AS REAL) AS zf
+  FROM zr z JOIN zm s ON z.cid = s.cid JOIN zv v ON z.cid = v.cid
+), zw AS (
+  SELECT rk,
+    {zw_cols}
+  FROM zq GROUP BY rk
+), st AS MATERIALIZED (
+  -- 1 row; MATERIALIZED so the ~16 downstream references (rels, gpairs)
+  -- don't each re-execute the full rank/ndtri/Gram chain — inlined, that
+  -- fans out enough concurrent parquet scans to exhaust the fd limit in
+  -- the shared Spark+DuckDB gate process
+  SELECT
+    {st_cols}
+  FROM zw
+), rels AS (
+  {rel_rows}
+), relv AS (
+  SELECT cid, feature, r, abs(r) AS abs_r,
+         {mi.format(x="r")} AS rel
+  FROM rels
+), ordv AS (
+  SELECT *, row_number() OVER (ORDER BY abs_r DESC, cid) AS rnk FROM relv
+), gpairs AS (
+  {gp_rows}
+),
+{",".join(kept_stages)},
+kept AS ({kept})"""
+
+
+def _gaussian_cached_sql(k: int = _GC_K) -> str:
+    """DuckDB oracle for q_gaussian_mrmr_cached: the shared prefix + the
+    greedy mRMR quotient loop — score = rel / max(mean gaussian-MI
+    redundancy vs selected, 1e-6); ties by the pruned (|r|-desc) candidate
+    order (loops.py mrmr_greedy(redundancy='gaussian_mi'))."""
+    stages = ["s1 AS (SELECT cid, rnk, rel FROM kept ORDER BY rel DESC, rnk LIMIT 1)"]
+    sel_union = "SELECT cid FROM s1"
+    for t in range(2, k + 1):
+        red = _GC_MI.format(x="g.rho")
+        stages.append(
+            f"""p{t} AS (
+  SELECT kk.cid, kk.rnk, kk.rel,
+         kk.rel / greatest(
+           (SELECT sum({red}) FROM gpairs g
+            WHERE g.a = kk.cid AND g.b IN ({sel_union})) / {float(t - 1)},
+           1e-6) AS score
+  FROM kept kk WHERE kk.cid NOT IN ({sel_union})
+), s{t} AS (SELECT cid, rnk, rel FROM p{t} ORDER BY score DESC, rnk LIMIT 1)"""
+        )
+        sel_union += f" UNION ALL SELECT cid FROM s{t}"
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, r.feature, round(s{t}.rel, 6) AS relevance"
+        f" FROM s{t} JOIN relv r ON r.cid = s{t}.cid"
+        for t in range(1, k + 1)
+    )
+    return f"{_gc_prefix_sql()},\n{','.join(stages)}\n{final}\n"
+
+
+def _det_sql(M: list[list[str]]) -> str:
+    """Cofactor-expansion determinant of a matrix of SQL expressions —
+    fine for the ≤4×4 matrices of the CEFS+ oracle (n! growth; never feed
+    it anything bigger)."""
+    n = len(M)
+    if n == 1:
+        return M[0][0]
+    terms = []
+    for j in range(n):
+        minor = [row[:j] + row[j + 1:] for row in M[1:]]
+        sign = "" if j % 2 == 0 else "-"
+        terms.append(f"{sign}({M[0][j]}) * ({_det_sql(minor)})")
+    return " + ".join(terms).replace("+ -", "- ")
+
+
+def _cefsplus_cached_sql(k: int = _GC_K) -> str:
+    """DuckDB oracle for q_cefsplus_cached: the shared prefix + the CEFS+
+    log-det greedy (loops.py cefsplus_greedy) with the step scores
+    evaluated as DIRECT determinants (generated cofactor expansions) of
+    the shrunk correlation structure — equal to the engine's incremental
+    Schur form when no eps floor binds. Step 1 = argmax relevance; step t
+    picks argmax ln det(Σ_{S∪f}) − ln det(Σ_{y,S∪f})."""
+
+    def rs(alias: str) -> str:
+        # shrunk r: engine rs = (1 - 1e-6) * r
+        return f"((1.0 - 1e-6) * {alias}.r)"
+
+    def rho(x: str, y: str) -> str:
+        # shrunk off-diagonal: engine Rs = (1 - 1e-6) * R, diag reset to 1
+        return (
+            f"((1.0 - 1e-6) * (SELECT g.rho FROM gpairs g"
+            f" WHERE g.a = {x}.cid AND g.b = {y}.cid))"
+        )
+
+    stages = ["c1 AS (SELECT cid, rnk, rel, r FROM kept ORDER BY rel DESC, rnk LIMIT 1)"]
+    for t in range(2, k + 1):
+        prev = [f"a{i}" for i in range(1, t)]
+        froms = ", ".join(f"c{i} {a}" for i, a in enumerate(prev, 1))
+        notsel = " AND ".join(f"f.cid <> {a}.cid" for a in prev)
+        syms = prev + ["f"]
+        m_s = [
+            ["1.0" if i == j else rho(syms[i], syms[j]) for j in range(len(syms))]
+            for i in range(len(syms))
+        ]
+        m_ys = [["1.0"] + [rs(s) for s in syms]] + [
+            [rs(syms[i])] + m_s[i] for i in range(len(syms))
+        ]
+        stages.append(
+            f"""q{t} AS (
+  SELECT f.cid, f.rnk, f.rel, f.r,
+         ln(greatest({_det_sql(m_s)}, 1e-12))
+           - ln(greatest({_det_sql(m_ys)}, 1e-12)) AS score
+  FROM kept f, {froms}
+  WHERE {notsel}
+), c{t} AS (SELECT cid, rnk, rel, r FROM q{t} ORDER BY score DESC, rnk LIMIT 1)"""
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, r.feature, round(c{t}.rel, 6) AS relevance"
+        f" FROM c{t} JOIN relv r ON r.cid = c{t}.cid"
+        for t in range(1, k + 1)
+    )
+    return f"{_gc_prefix_sql()},\n{','.join(stages)}\n{final}\n"
+
+
+SQL_GAUSSIAN_MRMR_CACHED = _gaussian_cached_sql()
+SQL_CEFSPLUS_CACHED = _cefsplus_cached_sql()
+
+
+# ---------------------------------------------------------------------------
 # Skew utilities + permutation invariants (SURVEY.md §2.I / G6)
 # ---------------------------------------------------------------------------
 
@@ -1947,6 +2260,8 @@ QUERIES = {
     "binned_mi": q_binned_mi,
     "anova_relevance": q_anova_relevance,
     "jmi_event_features": q_jmi_event_features,
+    "gaussian_mrmr_cached": q_gaussian_mrmr_cached,
+    "cefsplus_cached": q_cefsplus_cached,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
     "permute_invariants": q_permute_invariants,
@@ -1994,6 +2309,8 @@ ORACLE_SQL = {
     "binned_mi": SQL_BINNED_MI,
     "anova_relevance": SQL_ANOVA_RELEVANCE,
     "jmi_event_features": SQL_JMI_EVENT_FEATURES,
+    "gaussian_mrmr_cached": SQL_GAUSSIAN_MRMR_CACHED,
+    "cefsplus_cached": SQL_CEFSPLUS_CACHED,
     "salted_agg": SQL_SALTED_AGG,
     "salted_join": SQL_SALTED_JOIN,
     "permute_invariants": SQL_PERMUTE_INVARIANTS,

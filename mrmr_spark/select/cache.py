@@ -61,7 +61,18 @@ def build_cache(
     subsample: int | None = 50_000,
     seed: int = 0,
     min_std: float = 1e-12,
+    row_key_col: str | None = None,
 ) -> FeatureCache:
+    """``row_key_col``: optional caller-supplied UNIQUE integer key. The row
+    key defines the copula midrank tie order (``_midrank_long`` sorts by
+    (value, key)), so with the default ``monotonically_increasing_id`` the
+    transform of a tie-heavy column is valid but partition-layout-dependent
+    — rerunning on a different cluster size / file split can permute tied
+    rows' z values. A stable business key makes the cached selection
+    bit-reproducible across layouts (audit / checkpoint-resume at scale)
+    and is what the SQL oracle of the ``gaussian_mrmr_cached`` gate row
+    relies on. Uniqueness is the caller's contract (duplicate keys would
+    collapse rows in the wide-Z reassembly groupBy)."""
     assert_numeric(df, feature_cols)
     df, wcol = ensure_weight_column(df, weight_col)
     if subsample is not None and df.count() > subsample:
@@ -69,10 +80,25 @@ def build_cache(
 
     # weights stored float32 like the reference cache (copula.py:80)
     wexpr = (F.col(wcol) if wcol else F.lit(1.0)).cast("float").cast("double")
+    rkexpr = (
+        F.col(row_key_col).cast("long")
+        if row_key_col
+        else F.monotonically_increasing_id()
+    )
     src = df.withColumn("weight", wexpr).withColumn(
-        ROW_KEY, F.monotonically_increasing_id()
+        ROW_KEY, rkexpr
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    src.count()  # pin row keys
+    n_rows = src.count()  # pin row keys
+    if row_key_col is not None:
+        # duplicate keys would silently collapse rows in the wide-Z
+        # reassembly groupBy — fail loud; one extra single-column agg on
+        # the persisted frame, O(distinct keys) shuffle
+        n_keys = src.select(ROW_KEY).distinct().count()
+        if n_keys != n_rows:
+            raise ValueError(
+                f"row_key_col={row_key_col!r} is not unique: "
+                f"{n_rows} rows but {n_keys} distinct keys."
+            )
 
     if len(feature_cols) > kernels.MOMENTS_JVM_MAX_P:
         # wide frames: one O(p) Arrow scan (JVM aggregate planning cliff)

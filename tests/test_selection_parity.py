@@ -330,6 +330,30 @@ def test_cache_reuse_across_targets(fixture_small, gauss_cache):
     assert r1.names != r2.names
 
 
+def test_cache_row_key_col(fixture_small, gauss_cache, spark):
+    """Caller-supplied row key (build_cache(row_key_col=...)): on tie-free
+    data the copula z is key-independent, so the selection must equal the
+    default mono-id cache's; duplicate keys must fail loud (they would
+    silently collapse rows in the wide-Z reassembly)."""
+    import numpy as np
+
+    from mrmr_spark.select.cache import build_cache, select_cached
+
+    pdf, sdf, cols = fixture_small
+    keyed = spark.createDataFrame(pdf.assign(_rk=np.arange(len(pdf))))
+    cache = build_cache(keyed, cols, subsample=None, row_key_col="_rk")
+    try:
+        got = select_cached(cache, "target_reg", 5, method="mrmr_quot")
+        want = select_cached(gauss_cache, "target_reg", 5, method="mrmr_quot")
+        assert got.names == want.names
+    finally:
+        cache.unpersist()
+
+    dup = spark.createDataFrame(pdf.assign(_rk=np.arange(len(pdf)) % 100))
+    with pytest.raises(ValueError, match="not unique"):
+        build_cache(dup, cols, subsample=None, row_key_col="_rk")
+
+
 def test_ks_classif_parity(fixture_small):
     """C3: Spark window-ECDF KS vs the NumPy ks_2samp re-derivation
     (reference relevance.py:110-131 — unweighted, mean one-vs-rest)."""
