@@ -215,6 +215,21 @@ def main():
 
         timed("autok_group_cv", autok_cv)
 
+        # gaussian cached selection at the reference's default 50k-row
+        # subsample budget (copula cache build + CEFS+). First call pays
+        # this path's one-time plan/codegen compile like the headline, so
+        # run twice and record the steady number (cold kept alongside)
+        from mrmr_spark.select.cache import build_cache, select_cached
+
+        def gauss_cached():
+            cache = build_cache(feats_ak, list(feat_cols), subsample=50_000)
+            res = select_cached(cache, "target_next_gap", 8, method="cefsplus")
+            cache.unpersist()
+            return res
+
+        timed("gauss_cached_select_cold", gauss_cached)
+        timed("gauss_cached_select", gauss_cached)
+
     # operator benches over driver testdata
     for name in [] if E2E_ONLY else [
         "sessionize",

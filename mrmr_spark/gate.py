@@ -1786,7 +1786,7 @@ _GC_FEATS = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
 _GC_K = 3
 
 
-def _gc_run(spark, sf_dir, method: str):
+def _gc_run(spark, sf_dir, method: str, driver_max_cells: int | None = 0):
     """Shared Spark side of the cached-gaussian gate rows: build the copula
     cache over lineitem with a DETERMINISTIC row key, run select_cached.
 
@@ -1806,7 +1806,12 @@ def _gc_run(spark, sf_dir, method: str):
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "rk", F.row_number().over(Window.orderBy(*rk_order))
     )
-    cache = build_cache(li, _GC_FEATS, subsample=None, row_key_col="rk")
+    # driver_max_cells=0 keeps the gate on the DISTRIBUTED rank pipeline by
+    # default (the oracle's real target); the _driver row flips the backend
+    cache = build_cache(
+        li, _GC_FEATS, subsample=None, row_key_col="rk",
+        driver_max_cells=driver_max_cells,
+    )
     res = select_cached(
         cache, "l_extendedprice", _GC_K, method=method, top_m=len(_GC_FEATS)
     )
@@ -1827,6 +1832,15 @@ def q_gaussian_mrmr_cached(spark, sf_dir):
     sides via an explicit row key (build_cache(row_key_col=...));
     reference path: copula.py:85-117 + cefsplus.py:448-535."""
     return _gc_run(spark, sf_dir, "mrmr_quot")
+
+
+def q_gaussian_mrmr_cached_driver(spark, sf_dir):
+    """Same pipeline and the SAME SQL oracle as q_gaussian_mrmr_cached, but
+    through the bounded DRIVER rank-gauss backend (copula.py
+    rank_gauss_numpy — one collect, no melt shuffle). Hash-matching the
+    shared oracle proves the two backends are result-identical end to end
+    (the f32 quantize absorbs the sub-ulp sum-reassociation differences)."""
+    return _gc_run(spark, sf_dir, "mrmr_quot", driver_max_cells=None)
 
 
 def q_cefsplus_cached(spark, sf_dir):
@@ -2261,6 +2275,7 @@ QUERIES = {
     "anova_relevance": q_anova_relevance,
     "jmi_event_features": q_jmi_event_features,
     "gaussian_mrmr_cached": q_gaussian_mrmr_cached,
+    "gaussian_mrmr_cached_driver": q_gaussian_mrmr_cached_driver,
     "cefsplus_cached": q_cefsplus_cached,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
@@ -2310,6 +2325,7 @@ ORACLE_SQL = {
     "anova_relevance": SQL_ANOVA_RELEVANCE,
     "jmi_event_features": SQL_JMI_EVENT_FEATURES,
     "gaussian_mrmr_cached": SQL_GAUSSIAN_MRMR_CACHED,
+    "gaussian_mrmr_cached_driver": SQL_GAUSSIAN_MRMR_CACHED,
     "cefsplus_cached": SQL_CEFSPLUS_CACHED,
     "salted_agg": SQL_SALTED_AGG,
     "salted_join": SQL_SALTED_JOIN,

@@ -42,6 +42,8 @@ class FeatureCache:
     valid_cols: np.ndarray  # indices into feature_names that survived pruning
     feature_names: list[str]
     z_cols: list[str]
+    n_rows: int | None = None       # src row count (backend choice downstream)
+    driver_max_cells: int | None = None  # rank-gauss backend cap (None=default)
 
     def unpersist(self):
         self.src.unpersist()
@@ -62,8 +64,16 @@ def build_cache(
     seed: int = 0,
     min_std: float = 1e-12,
     row_key_col: str | None = None,
+    driver_max_cells: int | None = None,
 ) -> FeatureCache:
-    """``row_key_col``: optional caller-supplied UNIQUE integer key. The row
+    """``driver_max_cells``: rank-gauss backend cap forwarded to
+    ``rank_gauss_transform`` (None = its ``RANKGAUSS_DRIVER_MAX_CELLS``
+    default, 0 = always the distributed melt). At the reference's default
+    50k-row subsample the driver kernel cuts the transform from ~6.7 s of
+    Spark job overhead to ~0.3 s of NumPy; the distributed pipeline is the
+    ``subsample=None`` full-corpus path.
+
+    ``row_key_col``: optional caller-supplied UNIQUE integer key. The row
     key defines the copula midrank tie order (``_midrank_long`` sorts by
     (value, key)), so with the default ``monotonically_increasing_id`` the
     transform of a tie-heavy column is valid but partition-layout-dependent
@@ -128,7 +138,7 @@ def build_cache(
     pins: list = []
     z = rank_gauss_transform(
         imputed, valid_names, "weight", ROW_KEY, z_prefix="z_", store_f32=True,
-        pin=pins,
+        pin=pins, n_rows=n_rows, driver_max_cells=driver_max_cells,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     z.count()
     for dep in pins:  # the ranged melt is only needed until Z materializes
@@ -141,6 +151,8 @@ def build_cache(
         valid_cols=valid,
         feature_names=list(feature_cols),
         z_cols=[f"z_{c}" for c in valid_names],
+        n_rows=n_rows,
+        driver_max_cells=driver_max_cells,
     )
 
 
@@ -160,7 +172,10 @@ def select_cached(
         ROW_KEY, "weight", F.col(target_col).cast("float").cast("double").alias("_yv")
     )
     pins: list = []
-    zy = rank_gauss_transform(ysrc, ["_yv"], "weight", ROW_KEY, z_prefix="zy_", pin=pins)
+    zy = rank_gauss_transform(
+        ysrc, ["_yv"], "weight", ROW_KEY, z_prefix="zy_", pin=pins,
+        n_rows=cache.n_rows, driver_max_cells=cache.driver_max_cells,
+    )
     joined = cache.z.join(zy.select(ROW_KEY, "zy__yv"), ROW_KEY)
 
     p = len(cache.z_cols)

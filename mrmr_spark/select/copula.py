@@ -152,6 +152,77 @@ def weighted_midranks(
     )
 
 
+#: cells (rows × columns) at or below which ``rank_gauss_transform`` runs
+#: the DRIVER kernel instead of the distributed melt. The gaussian path's
+#: contract-mandated scale answer is the bounded ``build_cache`` subsample
+#: (default 50k rows — reference copula.py:29), and at that size the
+#: distributed pipeline is pure Spark job overhead: ~6 jobs (ranged melt
+#: shuffle, totals, offsets, window+ndtri, two stats aggregates, wide
+#: reassembly) measured 6.7 s at 50k×20 on local[32], vs ~0.3 s for the
+#: same math in NumPy on 8 MB of data. 4M cells ≈ 32 MB f64 driver-side —
+#: the same bounded-collect class as the rest of the selection layer.
+#: Callers force the distributed path with ``driver_max_cells=0``
+#: (``subsample=None`` full-corpus runs exceed the bound on their own).
+RANKGAUSS_DRIVER_MAX_CELLS = 4_000_000
+
+
+def rank_gauss_numpy(
+    X: np.ndarray, w: np.ndarray, rk: np.ndarray, quantize_f32: bool = True
+) -> np.ndarray:
+    """Driver kernel: the exact math of the distributed pipeline — midrank
+    u=(Σ_{j<i} w_j + w_i/2)/Σw over (value, row_key) order, clip
+    [1e-6, 1−1e-6], AS241 ndtri, weighted standardization (var ≤ 1e-12 →
+    std 1), non-finite rows and ≤1-finite columns → 0.0, optional f32
+    quantize. Unweighted results are bit-identical to the distributed
+    backend up to sum reassociation (~1e-16 before the f32 round, which
+    absorbs it); weighted prefix sums differ only in add association."""
+    n, m = X.shape
+    Z = np.zeros((n, m))
+    for j in range(m):
+        x = X[:, j]
+        fin = np.isfinite(x)
+        if int(fin.sum()) <= 1:
+            continue
+        idx = np.where(fin)[0]
+        order = idx[np.lexsort((rk[idx], x[idx]))]
+        wo = np.asarray(w, dtype=np.float64)[order]
+        tot = wo.sum()
+        cum = np.concatenate(([0.0], np.cumsum(wo)[:-1]))
+        u = (cum + wo / 2.0) / tot
+        zs = ndtri(np.clip(u, 1e-6, 1.0 - 1e-6))
+        zm = float(np.dot(wo, zs) / tot)
+        zv = float(np.dot(wo, (zs - zm) * (zs - zm)) / tot)
+        zstd = float(np.sqrt(zv)) if zv > 1e-12 else 1.0
+        Z[order, j] = (zs - zm) / zstd
+    if quantize_f32:
+        Z = Z.astype(np.float32).astype(np.float64)
+    return Z
+
+
+def _rank_gauss_driver(
+    df: DataFrame,
+    feature_cols: list[str],
+    weight_col: str | None,
+    row_key: str,
+    z_prefix: str,
+    store_f32: bool,
+) -> DataFrame:
+    w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
+    pdf = df.select(
+        F.col(row_key),
+        w.alias("_w"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    ).toPandas()
+    rk = pdf[row_key].to_numpy()
+    wv = pdf["_w"].to_numpy(dtype=np.float64)
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    Z = rank_gauss_numpy(X, wv, rk, quantize_f32=store_f32)
+    out = pd.DataFrame({row_key: pdf[row_key], "weight": wv})
+    for i, c in enumerate(feature_cols):
+        out[f"{z_prefix}{c}"] = Z[:, i]
+    return df.sparkSession.createDataFrame(out)
+
+
 def rank_gauss_transform(
     df: DataFrame,
     feature_cols: list[str],
@@ -160,6 +231,8 @@ def rank_gauss_transform(
     z_prefix: str = "z_",
     store_f32: bool = True,
     pin: list | None = None,
+    n_rows: int | None = None,
+    driver_max_cells: int | None = None,
 ) -> DataFrame:
     """Return (row_key, weight, z_<col>...) with each column copula-transformed.
 
@@ -170,8 +243,24 @@ def rank_gauss_transform(
     docstring); when a list is passed, the persisted DataFrame is appended
     to it so the caller can unpersist after materializing the result.
     Without ``pin`` it stays cached until the session drops it.
+
+    Backend choice: when the caller supplies ``n_rows`` and
+    ``n_rows × p ≤ driver_max_cells`` (default
+    ``RANKGAUSS_DRIVER_MAX_CELLS``), the transform runs as ONE bounded
+    collect + ``rank_gauss_numpy`` + ``createDataFrame`` — same math, no
+    melt shuffle (see the constant's docstring for the measured 50k-row
+    cliff). ``driver_max_cells=0`` forces the distributed pipeline; with
+    ``n_rows=None`` the distributed pipeline always runs (no extra count
+    job is issued to decide).
     """
     p = len(feature_cols)
+    cells_cap = (
+        RANKGAUSS_DRIVER_MAX_CELLS if driver_max_cells is None else driver_max_cells
+    )
+    if n_rows is not None and cells_cap and n_rows * p <= cells_cap:
+        return _rank_gauss_driver(
+            df, feature_cols, weight_col, row_key, z_prefix, store_f32
+        )
     ranked = _midrank_long(df, feature_cols, weight_col, row_key, pin=pin)
 
     # z = ndtri(clip(u)) — Arrow-batched, then weighted standardization per

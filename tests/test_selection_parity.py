@@ -354,6 +354,45 @@ def test_cache_row_key_col(fixture_small, gauss_cache, spark):
         build_cache(dup, cols, subsample=None, row_key_col="_rk")
 
 
+def test_rank_gauss_driver_backend_equality(fixture_large, spark):
+    """The bounded driver rank-gauss kernel (copula.py rank_gauss_numpy)
+    vs the distributed melt: same Z values (f32-quantized; the quantize
+    absorbs sum-reassociation) and identical selections, on WEIGHTED data
+    with a caller row key so the tie order is pinned on both backends.
+    The unweighted twin is also gate-oracled end to end
+    (gaussian_mrmr_cached vs gaussian_mrmr_cached_driver share one SQL
+    oracle)."""
+    import numpy as np
+
+    from mrmr_spark.select.cache import ROW_KEY, build_cache, select_cached
+
+    pdf, sdf, cols = fixture_large
+    keyed = spark.createDataFrame(pdf.assign(_rk=np.arange(len(pdf))))
+    cachea = build_cache(
+        keyed, cols, weight_col="wgt", subsample=None, row_key_col="_rk",
+        driver_max_cells=0,          # force distributed
+    )
+    cacheb = build_cache(
+        keyed, cols, weight_col="wgt", subsample=None, row_key_col="_rk",
+        driver_max_cells=10**9,      # force driver
+    )
+    try:
+        za = cachea.z.toPandas().sort_values(ROW_KEY).reset_index(drop=True)
+        zb = cacheb.z.toPandas().sort_values(ROW_KEY).reset_index(drop=True)
+        assert list(za.columns) == list(zb.columns)
+        zcols = [c for c in za.columns if c.startswith("z_")]
+        np.testing.assert_allclose(
+            za[zcols].to_numpy(), zb[zcols].to_numpy(), rtol=0, atol=1.2e-7
+        )
+        for method in ("cefsplus", "mrmr_quot"):
+            ra = select_cached(cachea, "target", 5, method=method)
+            rb = select_cached(cacheb, "target", 5, method=method)
+            assert ra.names == rb.names, method
+    finally:
+        cachea.unpersist()
+        cacheb.unpersist()
+
+
 def test_ks_classif_parity(fixture_small):
     """C3: Spark window-ECDF KS vs the NumPy ks_2samp re-derivation
     (reference relevance.py:110-131 — unweighted, mean one-vs-rest)."""
