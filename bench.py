@@ -240,6 +240,8 @@ def main():
         "revenue_by_nation",
         "dedup_exact",
         "token_stats",
+        "repetition_stats",
+        "decontaminate",
         "knn_cosine",
         "winnow_pairs",
     ]:

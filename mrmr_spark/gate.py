@@ -2232,6 +2232,130 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination / repetition stats / stratified sampling
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination on `documents`: the eval set is the
+    deterministic doc_id % 97 == 0 slice, n=3 word-grams (the synthetic
+    corpus' 31-word vocabulary makes the published n=13 default
+    collision-free; semantics are n-independent). Spark matches grams by
+    the 128-bit double-xxhash64 fingerprint; the oracle joins the gram
+    strings themselves — agreement also evidences collision-freeness."""
+    from mrmr_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3, mode="flag").select(
+        "doc_id", "contaminated", F.col("n_hit_grams").cast("bigint").alias("n_hit_grams")
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit_grams
+  FROM grams JOIN bench USING (g)
+  WHERE doc_id % 97 <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       h.doc_id IS NOT NULL AS contaminated,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (word 2- and 3-grams) —
+    the single-fold Column implementation vs an unnest+GROUP BY oracle."""
+    from mrmr_spark.operators.curation import with_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_repetition_stats(d.select("doc_id", "text"), ns=(2, 3))
+    cols = ["doc_id"]
+    for n in (2, 3):
+        cols += [
+            F.col(f"rep{n}_total").alias(f"rep{n}_total"),
+            r6(F.col(f"rep{n}_dup_frac")).alias(f"rep{n}_dup_frac"),
+            r6(F.col(f"rep{n}_top_frac")).alias(f"rep{n}_top_frac"),
+        ]
+    return out.select(*cols)
+
+
+def _sql_rep(n: int) -> str:
+    # 1-based inclusive list slice: ts[i:i+n-1] is an n-gram; i ranges
+    # over 1..len-n+1 = range(1, len(ts)-n+2)
+    return f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(ts[i:i+{n - 1}], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts) - {n - 2})) AS t(i)
+  WHERE len(ts) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+a{n} AS (
+  SELECT doc_id, sum(c) AS total,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         max(c) AS mx
+  FROM c{n} GROUP BY doc_id
+)"""
+
+
+SQL_REPETITION_STATS = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+{_sql_rep(2)},
+{_sql_rep(3)}
+SELECT d.doc_id,
+       coalesce(a2.total, 0) AS rep2_total,
+       round(coalesce(a2.dup * 1.0 / a2.total, 0.0), 6) AS rep2_dup_frac,
+       round(coalesce(a2.mx * 1.0 / a2.total, 0.0), 6) AS rep2_top_frac,
+       coalesce(a3.total, 0) AS rep3_total,
+       round(coalesce(a3.dup * 1.0 / a3.total, 0.0), 6) AS rep3_dup_frac,
+       round(coalesce(a3.mx * 1.0 / a3.total, 0.0), 6) AS rep3_top_frac
+FROM documents d
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact deterministic per-source sampling under the SQL-reproducible
+    affine key family; quota 5 per source. The xxhash64 production family
+    and the two-phase presample path are equality-tested in pytest."""
+    from mrmr_spark.operators.curation import stratified_sample_exact
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(d, "source", 5, hash_fn="affine", keep_rank=True)
+    return out.select(
+        "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 4294967296 AS skey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS sample_rank
+  FROM k
+)
+SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2280,6 +2404,9 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
     "permute_invariants": q_permute_invariants,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -2330,4 +2457,7 @@ ORACLE_SQL = {
     "salted_agg": SQL_SALTED_AGG,
     "salted_join": SQL_SALTED_JOIN,
     "permute_invariants": SQL_PERMUTE_INVARIANTS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -1,0 +1,357 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+benchmark decontamination (exact n-gram overlap), intra-document
+repetition statistics (Gopher/MassiveText-style quality rules), and
+exact deterministic stratified sampling for per-source domain balancing.
+
+These extend the dedup/textstats family (no reference counterpart —
+the reference repo is selection-only); the design rules are the same:
+
+- Everything that can be a codegen Column expression is one — the
+  repetition statistics are a single JVM fold per document, zero
+  shuffle, zero Python.
+- Decontamination never shuffles corpus text: the benchmark n-gram set
+  is distinct-hashed (small — eval sets are KBs–MBs against a 100 TB
+  corpus) and broadcast; corpus grams meet it map-side, and only the
+  (doc_id, hit-count) pairs are ever aggregated.
+- The stratified sampler has a two-phase exact path so no task ever
+  sorts a full 100 TB stratum: a per-stratum hash-threshold prefilter
+  (validated, so the result is still EXACT) shrinks the window input to
+  ~margin x quota rows per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mrmr_spark.operators.dedup import hash64
+
+#: Knuth's multiplicative hash constant (2654435761 = floor(2^32/phi));
+#: the ``affine`` sample-key family is (id * KNUTH) mod 2^32 — exactly
+#: reproducible in ANSI SQL, which makes the sampler oracle-able.
+KNUTH_MULT = 2654435761
+_HASH_SPACE = 4294967296  # 2^32
+
+
+def _bind(x: Column, f) -> Column:
+    """Evaluate ``x`` once and feed it to ``f`` as a lambda variable.
+
+    Catalyst evaluates higher-order functions interpreted; naming an
+    intermediate as a Python variable embeds its producer tree at every
+    reference site and re-runs it per element (see
+    textstats.winnow_fingerprints for the measured cost of getting this
+    wrong).
+    """
+    return F.get(F.transform(F.array(x), f), 0)
+
+
+def word_ngrams(text_col: str | Column = "text", n: int = 3, split: str = " ") -> Column:
+    """Overlapping word ``n``-grams of a text column, joined by a single
+    space, as one codegen Column expression. Documents shorter than ``n``
+    tokens yield an empty array (never a partial gram)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(col, split)
+    return _bind(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, F.lit(n))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    split: str = " ",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct word-``n``-gram 128-bit fingerprints of an eval/benchmark
+    table: columns ``(g1, g2)`` — two independently-seeded 64-bit hashes,
+    the same double-hash family ``exact_dedup`` uses, so a collision needs
+    a simultaneous 128-bit agreement. The gram STRINGS never leave this
+    plan; only the hash set (tiny: eval sets are KBs–MBs) is retained, so
+    it broadcasts."""
+    return (
+        benchmark.select(F.explode(F.array_distinct(word_ngrams(text_col, n, split))).alias("_g"))
+        .select(
+            hash64(F.col("_g"), seed=1, hash_fn=hash_fn).alias("g1"),
+            hash64(F.col("_g"), seed=2, hash_fn=hash_fn).alias("g2"),
+        )
+        .dropDuplicates(["g1", "g2"])
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    split: str = " ",
+    mode: str = "flag",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact benchmark decontamination by word-``n``-gram overlap (the
+    GPT-3 appendix-C / The-Pile scheme: a training document is
+    contaminated if it shares ANY word ``n``-gram with an eval document;
+    the published default is n=13).
+
+    mode="flag": corpus + ``contaminated`` boolean + ``n_hit_grams``
+    (count of DISTINCT corpus-doc grams that appear in the benchmark).
+    mode="drop": contaminated rows removed.
+
+    Scale design (100 TB corpus, MB-scale benchmark): the benchmark gram
+    fingerprint set is broadcast, so corpus grams meet it in the map
+    stage — corpus text is never shuffled by the matching itself. The
+    only aggregation keyed wider than a broadcast is the per-doc hit
+    count, whose input is hit grams only (∝ contamination, not corpus).
+    The final flag/drop join is keyed on ``id_col`` and carries only
+    (id, count) on the build side: AQE broadcasts it when small and
+    shuffle-joins otherwise. With mode="flag" on a truly huge corpus,
+    prefer consuming the hit frame directly (``_decontaminate_hits``)
+    if the downstream only needs the contaminated ids.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    hits = _decontaminate_hits(corpus, benchmark, text_col, id_col, n, split, hash_fn)
+    if mode == "drop":
+        return corpus.join(hits, id_col, "left_anti")
+    return corpus.join(hits, id_col, "left").select(
+        *corpus.columns,
+        F.col("n_hit_grams").isNotNull().alias("contaminated"),
+        F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+    )
+
+
+def _decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    split: str,
+    hash_fn: str,
+) -> DataFrame:
+    bench = benchmark_ngram_set(benchmark, text_col, n, split, hash_fn)
+    corpus_grams = corpus.select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(text_col, n, split))).alias("_g"),
+    ).select(
+        id_col,
+        hash64(F.col("_g"), seed=1, hash_fn=hash_fn).alias("g1"),
+        hash64(F.col("_g"), seed=2, hash_fn=hash_fn).alias("g2"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench), ["g1", "g2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def repetition_stats(text_col: str | Column = "text", n: int = 2, split: str = " ") -> Column:
+    """Intra-document repetition statistics over word ``n``-grams, as ONE
+    struct Column computed by a single JVM fold — the
+    MassiveText/Gopher-style repetitious-text quality signals
+    (Rae et al. 2021, "Scaling Language Models", table A1), re-based on
+    word n-grams since the synthetic corpus has no line structure:
+
+    - ``total``      — number of (overlapping) n-grams.
+    - ``dup_frac``   — fraction of n-gram occurrences belonging to a gram
+      that occurs more than once (Gopher's "fraction ... contained within
+      all duplicate n-grams").
+    - ``top_frac``   — fraction belonging to the single most frequent
+      gram (Gopher's "fraction ... within the most frequently-occurring
+      n-gram").
+
+    Implementation: sort the gram array, then one ``aggregate`` fold
+    tracking (prev gram, current run, best run, singleton-run count);
+    dup occurrences = total − singletons. Zero shuffle, zero Python,
+    O(g log g) per document. Catalyst evaluates the fold interpreted
+    (HOFs never codegen) but it is still JVM-side and columnar-batch
+    driven. Documents with fewer than ``n`` tokens yield
+    (0, 0.0, 0.0). Use :func:`with_repetition_stats` to expand the
+    struct into flat columns without re-evaluating the fold.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("singles"),
+    )
+
+    def step(acc, x):
+        is_run = x == acc["prev"]
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            # a run closes when the gram changes; it was a singleton iff
+            # its length was exactly 1 (run>0 guards the very first gram)
+            (
+                acc["singles"]
+                + F.when(~is_run & (acc["run"] == 1), F.lit(1)).otherwise(F.lit(0))
+            ).alias("singles"),
+        )
+
+    def finish(total):
+        def _fin(acc):
+            # close the trailing run
+            singles = acc["singles"] + F.when(acc["run"] == 1, F.lit(1)).otherwise(F.lit(0))
+            t = total.cast("double")
+            return F.struct(
+                total.alias("total"),
+                F.when(total > 0, (total - singles) / t).otherwise(F.lit(0.0)).alias("dup_frac"),
+                F.when(total > 0, acc["best"] / t).otherwise(F.lit(0.0)).alias("top_frac"),
+            )
+
+        return _fin
+
+    return _bind(
+        F.array_sort(word_ngrams(text_col, n, split)),
+        lambda grams: _bind(
+            F.size(grams).cast("long"),
+            lambda total: F.aggregate(grams, init, step, finish(total)),
+        ),
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3), split: str = " "
+) -> DataFrame:
+    """Add ``rep{n}_total``, ``rep{n}_dup_frac``, ``rep{n}_top_frac`` per
+    ``n``. Each struct is expanded via ``inline`` (a generator), which
+    guarantees the fold is evaluated once per row per ``n`` — selecting
+    struct fields individually would let projection collapse duplicate
+    the (interpreted) fold once per field."""
+    def _rename(n):
+        # NB: a plain `lambda s, n=n:` would be treated by F.transform as
+        # the (element, index) two-arg lambda form, shadowing n with the
+        # index column — hence the closure factory.
+        return lambda s: F.struct(
+            s["total"].alias(f"rep{n}_total"),
+            s["dup_frac"].alias(f"rep{n}_dup_frac"),
+            s["top_frac"].alias(f"rep{n}_top_frac"),
+        )
+
+    for n in ns:
+        st = _bind(repetition_stats(text_col, n, split), _rename(n))
+        df = df.select("*", F.inline(F.array(st)))
+    return df
+
+
+def sample_key(id_col: str | Column, hash_fn: str = "xxhash64") -> Column:
+    """Deterministic per-row sampling key.
+
+    - ``xxhash64`` (default): production family.
+    - ``affine``: (id * KNUTH_MULT) mod 2^32 — a multiplicative-hash
+      permutation that ANSI SQL reproduces exactly, so the sampler can be
+      oracle-checked end-to-end. Requires ``id < 2^31`` (kept far from
+      int64 overflow; Spark 4 runs ANSI mode, so an overflow would raise,
+      not wrap silently).
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "affine":
+        return F.pmod(col.cast("long") * F.lit(KNUTH_MULT), F.lit(_HASH_SPACE))
+    raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    presample_margin: float | None = None,
+    presample_retries: int = 2,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """EXACT deterministic stratified sampling: the ``n_per_stratum`` rows
+    of each stratum with the smallest (sample_key, id) — a fixed,
+    seed-free uniform sample that is reproducible across runs, engines
+    and cluster sizes (domain balancing / per-source quotas for training
+    mixes).
+
+    Two physical paths, identical output:
+
+    - ``presample_margin=None``: one window (`row_number` over
+      partitionBy(strata)). Fine when every stratum fits a task's sort.
+    - ``presample_margin=m`` (e.g. 2.0): per-stratum counts (one
+      map-side-combined agg), then a broadcast hash-threshold prefilter
+      keeps ~``m * quota`` rows per stratum, and the window runs on that
+      small survivor set. EXACTNESS IS VERIFIED, not assumed: if any
+      stratum's survivor count falls below min(quota, stratum size) —
+      i.e. the threshold could have cut a true top-quota row — the
+      margin is doubled and the prefilter retried (``presample_retries``
+      times; then raises with the stratum names). (The threshold keeps
+      keys < cutoff; if ≥ quota keys survive, the quota smallest keys
+      all survived.) This is the path for 100 TB strata: no task ever
+      sorts a full stratum. The per-stratum binomial tail makes a retry
+      rare already at margin 2–3 unless quota ≈ stratum size, where the
+      cutoff clamps to the full space and the check always passes.
+
+    ``affine`` hash_fn gives the SQL-oracle-able key family (see
+    :func:`sample_key`).
+    """
+    key = sample_key(id_col, hash_fn).alias("_skey")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_skey"), F.col(id_col))
+    keyed = df.select("*", key)
+
+    if presample_margin is not None:
+        if presample_margin <= 1.0:
+            raise ValueError("presample_margin must be > 1")
+        counts = keyed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        if hash_fn == "affine":
+            space = float(_HASH_SPACE)
+            lo = F.lit(0.0)
+        else:  # xxhash64 is uniform over the full signed-64 range
+            space = float(2**64)
+            lo = F.lit(float(-(2**63)))
+
+        def _attempt(margin: float) -> tuple[DataFrame, list]:
+            cut = F.least(
+                lo + F.lit(margin * n_per_stratum) / F.col("_cnt") * F.lit(space),
+                lo + F.lit(space),
+            )
+            thr = counts.select(strata_col, cut.alias("_cut"), "_cnt")
+            pre = keyed.join(F.broadcast(thr), strata_col).where(
+                F.col("_skey").cast("double") < F.col("_cut")
+            )
+            # verify: every stratum kept at least min(quota, stratum size)
+            # survivors, else the cutoff may have dropped a true sample row
+            short = (
+                pre.groupBy(strata_col, "_cnt")
+                .agg(F.count(F.lit(1)).alias("_surv"))
+                .where(F.col("_surv") < F.least(F.lit(n_per_stratum), F.col("_cnt")))
+                .select(strata_col)
+                .limit(5)
+                .collect()
+            )
+            return pre, short
+
+        margin = presample_margin
+        for _ in range(presample_retries + 1):
+            pre, short = _attempt(margin)
+            if not short:
+                break
+            margin *= 2
+        else:
+            bad = ", ".join(str(r[0]) for r in short)
+            raise ValueError(
+                f"presample margins {presample_margin}..{margin / 2} all cut below "
+                f"the quota in strata [{bad}]; pass a larger presample_margin"
+            )
+        keyed = pre.drop("_cut", "_cnt")
+
+    out = keyed.select("*", F.row_number().over(w).alias("sample_rank")).where(
+        F.col("sample_rank") <= n_per_stratum
+    )
+    drop = ["_skey"] if keep_rank else ["_skey", "sample_rank"]
+    return out.drop(*drop)

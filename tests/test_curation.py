@@ -1,0 +1,202 @@
+"""Corpus-curation operators: decontamination, repetition stats,
+stratified sampling (mrmr_spark.operators.curation). Oracles are plain
+Python (collections.Counter / sorted quotas) on synthetic frames; the
+DuckDB SQL twins run in the gate (`decontaminate`, `repetition_stats`,
+`stratified_sample` rows)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrmr_spark.operators.curation import (
+    decontaminate,
+    repetition_stats,
+    sample_key,
+    stratified_sample_exact,
+    with_repetition_stats,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # plant heavy repetition in a slice of docs
+        if i % 9 == 0 and n >= 6:
+            words[: n // 2] = ["rep", "rep2"] * (n // 4)
+        rows.append((i, " ".join(words), f"s{i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    return df.cache()
+
+
+def _py_ngrams(text, n):
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_word_ngrams_matches_python(docs):
+    got = docs.select("doc_id", "text", word_ngrams("text", 3).alias("g")).collect()
+    for r in got:
+        assert r.g == _py_ngrams(r.text, 3), r.doc_id
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("solo",)], "text string")
+    got = [r.g for r in df.select(word_ngrams("text", 3).alias("g")).collect()]
+    assert got == [[], [], []]
+
+
+def test_repetition_stats_matches_counter_oracle(docs):
+    out = with_repetition_stats(docs, ns=(2, 3)).collect()
+    assert len(out) == docs.count()
+    saw_dup = False
+    for r in out:
+        for n in (2, 3):
+            grams = _py_ngrams(r.text, n)
+            c = Counter(grams)
+            total = len(grams)
+            dup = sum(v for v in c.values() if v > 1)
+            top = max(c.values()) if c else 0
+            assert r[f"rep{n}_total"] == total
+            assert r[f"rep{n}_dup_frac"] == pytest.approx(dup / total if total else 0.0, abs=1e-12)
+            assert r[f"rep{n}_top_frac"] == pytest.approx(top / total if total else 0.0, abs=1e-12)
+            saw_dup = saw_dup or dup > 0
+    assert saw_dup, "fixture must exercise the duplicate path"
+
+
+def test_repetition_stats_plan_is_pure_project(docs):
+    plan = (
+        with_repetition_stats(docs, ns=(2, 3))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_repetition_stats_struct_direct(docs):
+    row = (
+        docs.where(F.length("text") > 20)
+        .select("text", repetition_stats("text", 2).alias("st"))
+        .first()
+    )
+    grams = _py_ngrams(row.text, 2)
+    assert row.st.total == len(grams)
+
+
+def test_decontaminate_flag_and_drop(docs):
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    flagged = decontaminate(corpus, bench, n=3, mode="flag")
+    assert flagged.columns == corpus.columns + ["contaminated", "n_hit_grams"]
+
+    bench_grams = set()
+    for r in bench.collect():
+        bench_grams |= set(_py_ngrams(r.text, 3))
+    exp = {}
+    for r in corpus.collect():
+        hits = len(set(_py_ngrams(r.text, 3)) & bench_grams)
+        exp[r.doc_id] = hits
+    got = {r.doc_id: (r.contaminated, r.n_hit_grams) for r in flagged.collect()}
+    assert set(got) == set(exp)
+    for did, (flag, nh) in got.items():
+        assert nh == exp[did], did
+        assert flag == (exp[did] > 0), did
+
+    dropped = decontaminate(corpus, bench, n=3, mode="drop")
+    assert dropped.count() == sum(1 for v in exp.values() if v == 0)
+    assert dropped.columns == corpus.columns
+
+
+def test_decontaminate_rejects_bad_mode(docs):
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(docs, docs, mode="oops")
+
+
+def test_decontaminate_never_shuffles_corpus_text(docs):
+    bench = docs.limit(5)
+    plan = (
+        decontaminate(docs, bench, n=3, mode="flag")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the gram-matching join must be a broadcast (bench side), never a
+    # shuffled corpus-gram exchange carrying text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_stratified_sample_exact_quota_and_determinism(docs):
+    out = stratified_sample_exact(docs, "source", 4, keep_rank=True)
+    rows = [(r.doc_id, r.source, r.sample_rank) for r in out.collect()]
+    per = Counter(s for _, s, _ in rows)
+    sizes = {r.source: r["cnt"] for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, c in per.items():
+        assert c == min(4, sizes[s])
+    # deterministic: second run identical
+    rows2 = [
+        (r.doc_id, r.source, r.sample_rank)
+        for r in stratified_sample_exact(docs, "source", 4, keep_rank=True).collect()
+    ]
+    assert sorted(rows) == sorted(rows2)
+
+
+def test_stratified_sample_matches_python_quota_oracle(docs):
+    out = stratified_sample_exact(docs, "source", 4, hash_fn="affine", keep_rank=True)
+    got = sorted((r.source, r.sample_rank, r.doc_id) for r in out.collect())
+    by_src = {}
+    for r in docs.select("doc_id", "source").collect():
+        key = (r.doc_id * 2654435761) % 4294967296
+        by_src.setdefault(r.source, []).append((key, r.doc_id))
+    exp = []
+    for s, ks in by_src.items():
+        for rank, (_, did) in enumerate(sorted(ks)[:4], start=1):
+            exp.append((s, rank, did))
+    assert got == sorted(exp)
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "affine"])
+def test_presample_path_identical_to_window_path(docs, hash_fn):
+    full = stratified_sample_exact(docs, "source", 4, hash_fn=hash_fn, keep_rank=True)
+    pre = stratified_sample_exact(
+        docs, "source", 4, hash_fn=hash_fn, presample_margin=3.0, keep_rank=True
+    )
+    a = sorted((r.doc_id, r.source, r.sample_rank) for r in full.collect())
+    b = sorted((r.doc_id, r.source, r.sample_rank) for r in pre.collect())
+    assert a == b
+
+
+def test_presample_quota_above_stratum_size(docs):
+    # cutoff clamps to the full hash space -> every row survives; quotas
+    # larger than a stratum return the whole stratum
+    out = stratified_sample_exact(docs, "source", 10_000, presample_margin=2.0)
+    assert out.count() == docs.count()
+
+
+def test_presample_tiny_margin_retries_then_raises(docs):
+    with pytest.raises(ValueError, match="presample"):
+        stratified_sample_exact(
+            docs, "source", 4, presample_margin=1.01, presample_retries=0
+        )
+
+
+def test_sample_key_families(spark):
+    df = spark.range(10)
+    aff = [r.k for r in df.select(sample_key("id", "affine").alias("k")).collect()]
+    assert aff == [(i * 2654435761) % 4294967296 for i in range(10)]
+    with pytest.raises(ValueError, match="hash_fn"):
+        sample_key("id", "nope")
