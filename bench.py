@@ -242,6 +242,8 @@ def main():
         "token_stats",
         "repetition_stats",
         "decontaminate",
+        "pack_documents",
+        "quantize_embeddings",
         "knn_cosine",
         "winnow_pairs",
     ]:

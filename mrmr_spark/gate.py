@@ -2356,6 +2356,91 @@ FROM r WHERE sample_rank <= 5
 """
 
 
+def q_pack_documents(spark, sf_dir, budget: int = 256):
+    """Concat-and-chunk token packing over `documents` in doc_id order —
+    the range-partitioned two-phase prefix sum vs a plain window-cumsum
+    oracle. Integer chunk arithmetic end to end."""
+    from mrmr_spark.operators.curation import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(d, budget=budget).select(
+        "doc_id", "n_tokens", "token_offset", "chunk_first", "chunk_last",
+        "n_chunks", "chunk_pos",
+    )
+
+
+SQL_PACK_DOCUMENTS = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       off AS token_offset,
+       off // 256 AS chunk_first,
+       (off + greatest(n_tokens, 1) - 1) // 256 AS chunk_last,
+       CAST((off + greatest(n_tokens, 1) - 1) // 256 - off // 256 + 1 AS INT) AS n_chunks,
+       off % 256 AS chunk_pos
+FROM c
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization + dequant diagnostics. The
+    half-up rounding is written as floor(x/scale + 0.5) in BOTH engines
+    (library round() families differ); sums/maxes over the int codes are
+    exact, float diagnostics at r6 like every embedding row."""
+    from mrmr_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, with_error_stats=True)
+    q_sum = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x)
+    q_l1 = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x))
+    return out.select(
+        "vec_id",
+        r6("scale").alias("scale"),
+        q_sum.alias("q_sum"),
+        q_l1.alias("q_l1"),
+        r6("max_abs_err").alias("max_abs_err"),
+        r6("cos_dequant").alias("cos_dequant"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+s AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+  FROM e
+),
+qv AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(x, v -> CAST(greatest(-127, least(127, floor(v / scale + 0.5))) AS INT))
+         ELSE list_transform(x, v -> 0) END AS q
+  FROM s
+),
+d AS (
+  SELECT vec_id, x, scale, q,
+         list_transform(q, v -> v * scale) AS dq
+  FROM qv
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+       round(list_max(list_transform(range(1, len(x) + 1), i -> abs(x[i] - dq[i]))), 6)
+           AS max_abs_err,
+       round(list_dot_product(x, dq)
+             / (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(dq, dq))), 6)
+           AS cos_dequant
+FROM d
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2407,6 +2492,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
+    "pack_documents": q_pack_documents,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 ORACLE_SQL = {
@@ -2460,4 +2547,6 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_documents": SQL_PACK_DOCUMENTS,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
 }

@@ -245,6 +245,89 @@ def with_repetition_stats(
     return df
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    order_col: str | None = None,
+    split: str = " ",
+    pin: list | None = None,
+) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing: documents are
+    laid out in a fixed deterministic order (``order_col``, default
+    ``id_col``) as one virtual token stream and cut into fixed
+    ``budget``-token training chunks; each document learns its global
+    ``token_offset`` and which chunks it lands in.
+
+    Added columns: ``n_tokens`` (from ``token_col`` if given, else
+    whitespace-split of ``text_col``), ``token_offset`` (exclusive global
+    prefix sum), ``chunk_first`` / ``chunk_last`` (integer chunk ids the
+    doc spans — a doc may cross a boundary, exactly like pretraining
+    concat-and-chunk), ``n_chunks`` and ``chunk_pos`` (offset within
+    chunk_first).
+
+    Scale design: the global running total is NEVER a single-task window —
+    it is the same range-partitioned two-phase prefix sum the copula
+    rank transform and the KS ECDF use: ``repartitionByRange(order)``
+    (one shuffle, contiguous order slices per task), per-range totals →
+    exclusive prefix over the O(#ranges) range totals (broadcast back),
+    plus an in-range exclusive cumsum whose window is bounded by the
+    range-partition size. Chunk arithmetic is integer ``div``/``%`` —
+    exact at 10^14-token corpora (no doubles on offsets). The ranged
+    frame is persisted (two consumers — the range totals and the output —
+    must see ONE range-boundary sample); pass ``pin`` (a list) to receive
+    the handle and unpersist after materializing downstream, the same
+    contract as the dedup/copula pins.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_col or id_col
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.split(F.col(text_col), split)).cast("long")
+    )
+    keyed = df.select("*", n_tok.alias("n_tokens"))
+
+    ranged = (
+        keyed.repartitionByRange(F.col(order))
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    if pin is not None:
+        pin.append(ranged)
+    # per-range token totals -> exclusive prefix over ranges (tiny frame)
+    wo = Window.orderBy("_rid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_rid")
+        .agg(F.sum("n_tokens").alias("_rt"))
+        .select("_rid", F.coalesce(F.sum("_rt").over(wo), F.lit(0)).alias("_roff"))
+    )
+    wi = Window.partitionBy("_rid").orderBy(F.col(order)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = (F.col("_roff") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))).alias(
+        "token_offset"
+    )
+    out = ranged.join(F.broadcast(offsets), "_rid").select(*keyed.columns, start)
+    last_tok = F.col("token_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    chunk_first = F.expr(f"token_offset div {budget}").alias("chunk_first")
+    return out.select(
+        "*",
+        chunk_first,
+        last_tok.alias("_lt"),
+    ).select(
+        *keyed.columns,
+        "token_offset",
+        "chunk_first",
+        F.expr(f"_lt div {budget}").alias("chunk_last"),
+        (F.expr(f"_lt div {budget}") - F.col("chunk_first") + 1).cast("int").alias("n_chunks"),
+        (F.col("token_offset") % budget).alias("chunk_pos"),
+    )
+
+
 def sample_key(id_col: str | Column, hash_fn: str = "xxhash64") -> Column:
     """Deterministic per-row sampling key.
 

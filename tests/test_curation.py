@@ -200,3 +200,47 @@ def test_sample_key_families(spark):
     assert aff == [(i * 2654435761) % 4294967296 for i in range(10)]
     with pytest.raises(ValueError, match="hash_fn"):
         sample_key("id", "nope")
+
+
+def test_pack_documents_matches_sequential_oracle(docs):
+    from mrmr_spark.operators.curation import pack_documents
+
+    pin = []
+    out = pack_documents(docs, budget=64, pin=pin)
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.token_offset, r.chunk_first, r.chunk_last, r.n_chunks, r.chunk_pos)
+        for r in out.collect()
+    )
+    rows = sorted((r.doc_id, len(r.text.split(" "))) for r in docs.select("doc_id", "text").collect())
+    off, exp = 0, []
+    for did, nt in rows:
+        last = off + max(nt, 1) - 1
+        exp.append((did, nt, off, off // 64, last // 64, last // 64 - off // 64 + 1, off % 64))
+        off += nt
+    assert got == exp
+    assert any(g[5] > 1 for g in got), "fixture must contain boundary-spanning docs"
+    for h in pin:
+        h.unpersist()
+
+
+def test_pack_documents_token_col_and_order_col(spark):
+    from mrmr_spark.operators.curation import pack_documents
+
+    df = spark.createDataFrame(
+        [(3, "irrelevant", 10), (1, "x", 5), (2, "y", 7)],
+        "doc_id long, text string, toks long",
+    )
+    pin = []
+    out = pack_documents(df, budget=8, token_col="toks", order_col="doc_id", pin=pin)
+    got = {r.doc_id: (r.token_offset, r.chunk_first, r.chunk_last) for r in out.collect()}
+    # order 1(5), 2(7), 3(10): offsets 0, 5, 12
+    assert got == {1: (0, 0, 0), 2: (5, 0, 1), 3: (12, 1, 2)}
+    for h in pin:
+        h.unpersist()
+
+
+def test_pack_documents_rejects_bad_budget(docs):
+    from mrmr_spark.operators.curation import pack_documents
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(docs, budget=0)

@@ -465,3 +465,46 @@ def test_candidate_generator_pin_contract(spark):
     assert len(pin) == 2  # both range exchanges
     for frame in pin:
         frame.unpersist()
+
+
+def test_quantize_embeddings_matches_numpy(vectors):
+    from mrmr_spark.operators.similarity import quantize_embeddings
+
+    sdf, X = vectors
+    out = quantize_embeddings(sdf, with_error_stats=True).collect()
+    assert len(out) == len(X)
+    for r in out:
+        x = X[r.vec_id]
+        scale = np.abs(x).max() / 127.0
+        q = np.clip(np.floor(x / scale + 0.5), -127, 127).astype(int)
+        assert list(q) == r.q
+        assert r.scale == pytest.approx(scale, rel=1e-15)
+        # dequant error bound: |x - q*scale| <= scale/2 wherever |q| < 127
+        assert r.max_abs_err <= scale / 2 + 1e-12
+        assert r.cos_dequant > 0.999
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from mrmr_spark.operators.similarity import quantize_embeddings
+
+    sdf = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(sdf).collect()}
+    assert rows[0].q == [0, 0, 0] and rows[0].scale == 0.0
+    assert rows[1].q[1] == -127  # max-magnitude element pins the scale
+
+
+def test_quantize_embeddings_plan_is_pure_project(vectors):
+    from mrmr_spark.operators.similarity import quantize_embeddings
+
+    sdf, _ = vectors
+    plan = (
+        quantize_embeddings(sdf, with_error_stats=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
