@@ -244,6 +244,7 @@ def main():
         "decontaminate",
         "pack_documents",
         "quantize_embeddings",
+        "lm_score",
         "knn_cosine",
         "winnow_pairs",
     ]:

@@ -2441,6 +2441,59 @@ FROM d
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring: model trained on the
+    doc_id % 7 == 0 reference slice, every document scored (add-k=0.5).
+    Runs in decimal_terms mode so the per-doc log-prob sum is
+    order-independent; Spark joins hashed grams, the oracle joins gram
+    strings — agreement doubles as 128-bit collision evidence."""
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    model = bigram_lm_counts(d.where(F.col("doc_id") % 7 == 0))
+    out = ngram_lm_score(d, model, add_k=0.5, decimal_terms=True)
+    return out.select(
+        "doc_id", "n_terms", r6("avg_logprob").alias("avg_logprob"), r6("ppl").alias("ppl")
+    )
+
+
+SQL_LM_SCORE = """
+WITH rtok AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id % 7 = 0),
+uni AS (SELECT w AS g, count(*) AS cnt FROM (SELECT unnest(ts) AS w FROM rtok) GROUP BY w),
+big AS (
+  SELECT array_to_string(ts[i:i+1], ' ') AS g, count(*) AS cnt
+  FROM rtok, LATERAL unnest(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+  GROUP BY 1
+),
+v AS (SELECT count(*) AS vs FROM uni),
+terms AS (
+  SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS bg, ts[i] AS pre
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       LATERAL unnest(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+),
+lp AS (
+  SELECT doc_id,
+         CAST(ln((coalesce(b.cnt, 0) + 0.5) / (coalesce(u.cnt, 0) + 0.5 * v.vs))
+              AS DECIMAL(28,12)) AS lp
+  FROM terms
+  LEFT JOIN big b ON terms.bg = b.g
+  LEFT JOIN uni u ON terms.pre = u.g
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_terms,
+         CAST(sum(lp) AS DOUBLE) / count(*) AS avg_lp
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       round(avg_lp, 6) AS avg_logprob,
+       round(exp(-avg_lp), 6) AS ppl
+FROM agg
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2494,6 +2547,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_documents": q_pack_documents,
     "quantize_embeddings": q_quantize_embeddings,
+    "lm_score": q_lm_score,
 }
 
 ORACLE_SQL = {
@@ -2549,4 +2603,5 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_documents": SQL_PACK_DOCUMENTS,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "lm_score": SQL_LM_SCORE,
 }

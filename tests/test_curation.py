@@ -244,3 +244,70 @@ def test_pack_documents_rejects_bad_budget(docs):
 
     with pytest.raises(ValueError, match="budget"):
         pack_documents(docs, budget=0)
+
+
+def test_repetition_stats_arrow_bit_identical(docs):
+    a = with_repetition_stats(docs, ns=(2, 3), backend="column").collect()
+    b = with_repetition_stats(docs, ns=(2, 3), backend="arrow").collect()
+    am = {r.doc_id: r for r in a}
+    for r in b:
+        s = am[r.doc_id]
+        for c in ("rep2_total", "rep2_dup_frac", "rep2_top_frac",
+                  "rep3_total", "rep3_dup_frac", "rep3_top_frac"):
+            assert r[c] == s[c], (r.doc_id, c)
+
+
+def test_repetition_stats_rejects_bad_backend(docs):
+    with pytest.raises(ValueError, match="backend"):
+        with_repetition_stats(docs, backend="nope")
+
+
+def test_ngram_lm_score_matches_python_oracle(docs):
+    import math
+
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    model = bigram_lm_counts(ref)
+    uni, big = Counter(), Counter()
+    for r in ref.collect():
+        ws = r.text.split(" ")
+        uni.update(ws)
+        big.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+    assert model["vocab_size"] == len(uni)
+
+    k = 0.5
+    got = {r.doc_id: r for r in ngram_lm_score(docs, model, add_k=k).collect()}
+    n_scored = 0
+    for r in docs.collect():
+        ws = r.text.split(" ")
+        if len(ws) < 2:
+            assert r.doc_id not in got  # no transitions -> no row
+            continue
+        lps = [
+            math.log((big[" ".join(ws[i : i + 2])] + k) / (uni[ws[i]] + k * len(uni)))
+            for i in range(len(ws) - 1)
+        ]
+        g = got[r.doc_id]
+        assert g.n_terms == len(lps)
+        assert g.avg_logprob == pytest.approx(sum(lps) / len(lps), abs=1e-9)
+        assert g.ppl == pytest.approx(math.exp(-sum(lps) / len(lps)), rel=1e-9)
+        n_scored += 1
+    assert n_scored == len(got)
+
+
+def test_ngram_lm_score_decimal_mode_close_and_deterministic(docs):
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    model = bigram_lm_counts(docs.where(F.col("doc_id") % 5 == 0))
+    f = {r.doc_id: r.avg_logprob for r in ngram_lm_score(docs, model).collect()}
+    d1 = {r.doc_id: r.avg_logprob for r in ngram_lm_score(docs, model, decimal_terms=True).collect()}
+    d2 = {
+        r.doc_id: r.avg_logprob
+        for r in ngram_lm_score(
+            docs.repartition(7), model, decimal_terms=True
+        ).collect()
+    }
+    for did in f:
+        assert d1[did] == pytest.approx(f[did], abs=1e-9)
+        assert d1[did] == d2[did]  # bit-equal under any partitioning
