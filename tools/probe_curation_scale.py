@@ -1,0 +1,171 @@
+"""Curation-family scale probe: a planted synthetic corpus (longer docs,
+bigger vocab, skewed sources — deliberately unlike the tiny gate
+fixtures) driven through decontaminate / repetition stats / stratified
+sampling / pack_documents / lm_score, timed per stage, with exact
+driver-side verification of every planted property via aggregates only
+(no 100k-row collects).
+
+Corpus: N_DOCS docs of L_TOKENS tokens drawn from a VOCAB-word
+vocabulary by a deterministic per-doc RNG; sources follow a Zipf-ish
+split so the sampler sees skewed strata.
+
+Planted truth:
+- every doc with doc_id % 37 == 0 gets the benchmark 13-gram injected
+  at a deterministic position -> decontaminate(n=13) must flag exactly
+  those (a chance 13-gram collision at VOCAB=4000 is ~4000^-13: zero);
+- every doc with doc_id % 23 == 0 has its second quarter overwritten
+  by a 2-token phrase repeat -> rep2_dup_frac must exceed 0.2 there and
+  (statistically) stay ~0 elsewhere at VOCAB >> L.
+
+Usage:
+  MRMR_PROBE_DOCS=200000 MRMR_PROBE_TOKENS=160 python tools/probe_curation_scale.py
+
+Prints one JSON line: per-stage seconds + verification verdicts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("MRMR_PROBE_DOCS", "200000"))
+L_TOKENS = int(os.environ.get("MRMR_PROBE_TOKENS", "160"))
+VOCAB = int(os.environ.get("MRMR_PROBE_VOCAB", "4000"))
+N_SOURCES = 50
+BENCH_GRAM = " ".join(f"evalmark{i}" for i in range(13))
+REP_PHRASE = ["dupalpha", "dupbeta"]
+
+
+def build_corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(20260818)
+    vocab = np.array([f"tok{i:05d}" for i in range(VOCAB)])
+    ids = rng.integers(0, VOCAB, size=(N_DOCS, L_TOKENS))
+    toks = vocab[ids]
+    # plant repetition: overwrite the second quarter with a 2-token cycle
+    rep_rows = np.arange(0, N_DOCS, 23)
+    q = L_TOKENS // 4
+    cycle = np.tile(REP_PHRASE, q // 2 + 1)[:q]
+    toks[rep_rows, q : 2 * q] = cycle
+    texts = [" ".join(row) for row in toks]
+    # plant contamination: inject the benchmark 13-gram mid-document
+    for i in range(0, N_DOCS, 37):
+        t = texts[i].split(" ")
+        t[40:40] = BENCH_GRAM.split(" ")
+        texts[i] = " ".join(t)
+    # Zipf-ish sources: source s gets weight 1/(s+1)
+    w = 1.0 / (np.arange(N_SOURCES) + 1)
+    src = rng.choice(N_SOURCES, size=N_DOCS, p=w / w.sum())
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(N_DOCS, dtype=np.int64),
+            "text": texts,
+            "source": [f"src{s}" for s in src],
+        }
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mrmr_spark.operators.curation import (
+        bigram_lm_counts,
+        decontaminate,
+        ngram_lm_score,
+        pack_documents,
+        stratified_sample_exact,
+        with_repetition_stats,
+    )
+    from mrmr_spark.session import get_spark
+
+    t0 = time.time()
+    pdf = build_corpus()
+    build_s = round(time.time() - t0, 3)
+
+    spark = get_spark(app_name="curation-probe",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.createDataFrame(pdf).repartition(64).persist()
+    n = docs.count()
+
+    out: dict = {"n_docs": n, "tokens_per_doc": L_TOKENS, "build_s": build_s}
+
+    # --- decontaminate (planted benchmark table) -------------------------
+    bench = spark.createDataFrame(pd.DataFrame({"text": [f"prefix {BENCH_GRAM} suffix"]}))
+    t0 = time.time()
+    flagged = decontaminate(docs, bench, n=13, mode="flag")
+    agg = flagged.agg(
+        F.sum(F.col("contaminated").cast("long")).alias("n_flagged"),
+        F.sum(F.when(F.col("contaminated"), F.col("doc_id"))).alias("id_sum"),
+    ).first()
+    out["decontaminate_s"] = round(time.time() - t0, 3)
+    planted = np.arange(0, N_DOCS, 37, dtype=np.int64)
+    out["decontaminate_ok"] = bool(
+        agg.n_flagged == len(planted) and agg.id_sum == int(planted.sum())
+    )
+
+    # --- repetition stats (both backends) --------------------------------
+    for backend in ("arrow", "column"):
+        t0 = time.time()
+        rep = with_repetition_stats(docs, ns=(2,), backend=backend)
+        chk = rep.agg(
+            F.sum(F.when((F.col("doc_id") % 23 == 0) & (F.col("rep2_dup_frac") > 0.2), 1).otherwise(0)).alias("hit"),
+            F.max(F.when(F.col("doc_id") % 23 != 0, F.col("rep2_dup_frac"))).alias("bg_max"),
+        ).first()
+        out[f"repetition_{backend}_s"] = round(time.time() - t0, 3)
+        out[f"repetition_{backend}_ok"] = bool(
+            chk.hit == len(range(0, N_DOCS, 23)) and chk.bg_max < 0.2
+        )
+
+    # --- stratified sampling (presample tier, skewed strata) -------------
+    t0 = time.time()
+    samp = stratified_sample_exact(
+        docs, "source", 1000, presample_margin=2.5, keep_rank=True
+    )
+    per = {r.source: r.cnt for r in samp.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    out["sample_s"] = round(time.time() - t0, 3)
+    sizes = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    out["sample_ok"] = all(per.get(s, 0) == min(1000, c) for s, c in sizes.items())
+
+    # --- pack_documents ---------------------------------------------------
+    t0 = time.time()
+    pin: list = []
+    packed = pack_documents(docs, budget=2048, pin=pin)
+    agg = packed.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("token_offset") + F.col("n_tokens")).alias("end"),
+        F.max("chunk_last").alias("last_chunk"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    out["pack_s"] = round(time.time() - t0, 3)
+    out["pack_ok"] = bool(
+        agg.tot == agg.end and agg.last_chunk == (agg.tot - 1) // 2048 and agg.n == n
+    )
+    for h in pin:
+        h.unpersist()
+
+    # --- lm_score (model on the doc_id%11==0 slice) -----------------------
+    t0 = time.time()
+    model = bigram_lm_counts(docs.where(F.col("doc_id") % 11 == 0))
+    scored = ngram_lm_score(docs, model, add_k=0.5)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("ppl").alias("mean_ppl")
+    ).first()
+    out["lm_score_s"] = round(time.time() - t0, 3)
+    out["lm_vocab"] = model["vocab_size"]
+    out["lm_ok"] = bool(stats.n == n and stats.mean_ppl > 1.0)
+    out["lm_mean_ppl"] = round(stats.mean_ppl, 2)
+
+    out["all_ok"] = all(v for k, v in out.items() if k.endswith("_ok"))
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
