@@ -138,3 +138,83 @@ def test_stateless_text_ops_run_on_streams(spark, doc_stream_dir):
     b = batch.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[cols], b[cols])
     assert [list(x) for x in a["fps"]] == [list(x) for x in b["fps"]]
+
+
+@pytest.fixture(scope="module")
+def contam_stream_dir(spark, tmp_path_factory):
+    """3 slices of 3-token-vocab docs; some share a 3-gram with the bench."""
+    rng = __import__("random").Random(3)
+    vocab = [f"v{i}" for i in range(9)]
+    rows = []
+    for i in range(60):
+        rows.append((i % 3, i, " ".join(rng.choice(vocab) for _ in range(12))))
+    pdf = pd.DataFrame(rows, columns=["slice", "doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("contam_stream_in"))
+    sdf = spark.createDataFrame(pdf)
+    for i in range(3):
+        part = sdf.where(f"slice = {i}").drop("slice").coalesce(1)
+        sub = os.path.join(d, f"b{i}")
+        part.write.mode("overwrite").parquet(sub)
+        f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+        os.rename(os.path.join(sub, f), os.path.join(d, f"slice{i}.parquet"))
+    schema = sdf.drop("slice").schema
+    return d, schema, sdf.drop("slice")
+
+
+def test_streaming_decontaminate_replays_batch(spark, contam_stream_dir):
+    from mrmr_spark.operators.curation import decontaminate
+    from mrmr_spark.streaming.curation import (
+        collect_benchmark_grams,
+        streaming_decontaminate,
+    )
+
+    d, schema, batch = contam_stream_dir
+    bench = batch.where("doc_id % 13 = 0")
+    corpus = batch.where("doc_id % 13 != 0")
+
+    exp = {
+        r.doc_id: (r.contaminated, r.n_hit_grams)
+        for r in decontaminate(corpus, bench, n=3, mode="flag").collect()
+    }
+    assert any(f for f, _ in exp.values()), "fixture must plant contamination"
+
+    grams = collect_benchmark_grams(bench, n=3)
+    stream = _read_stream(spark, d, schema).where("doc_id % 13 != 0")
+    got_pdf = _run_stream(
+        spark, streaming_decontaminate(stream, grams, n=3), "contam_flag"
+    )
+    got = {
+        int(r.doc_id): (bool(r.contaminated), int(r.n_hit_grams))
+        for r in got_pdf.itertuples()
+    }
+    assert got == exp
+
+    # drop mode: survivors == batch drop survivors
+    stream2 = _read_stream(spark, d, schema).where("doc_id % 13 != 0")
+    kept = _run_stream(
+        spark, streaming_decontaminate(stream2, grams, n=3, mode="drop"), "contam_drop"
+    )
+    batch_kept = {r.doc_id for r in decontaminate(corpus, bench, n=3, mode="drop").collect()}
+    assert set(kept["doc_id"].astype(int)) == batch_kept
+
+
+def test_streaming_decontaminate_rejects_bad_mode(spark, contam_stream_dir):
+    from mrmr_spark.streaming.curation import streaming_decontaminate
+
+    _, _, batch = contam_stream_dir
+    with pytest.raises(ValueError, match="mode"):
+        streaming_decontaminate(batch, {"a b c"}, mode="oops")
+
+
+def test_repetition_stats_runs_on_streams(spark, contam_stream_dir):
+    from mrmr_spark.operators.curation import with_repetition_stats
+
+    d, schema, batch = contam_stream_dir
+    stream = _read_stream(spark, d, schema)
+    got = _run_stream(
+        spark, with_repetition_stats(stream, ns=(2,)), "rep_stream"
+    ).set_index("doc_id")
+    exp = {r.doc_id: r.rep2_dup_frac for r in with_repetition_stats(batch, ns=(2,)).collect()}
+    assert len(got) == len(exp)
+    for did, v in exp.items():
+        assert got.loc[did, "rep2_dup_frac"] == v
