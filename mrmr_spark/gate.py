@@ -2494,6 +2494,56 @@ FROM agg
 """
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rule quality filter (flag mode), thresholds tuned
+    so every rule is exercised on the synthetic corpus (word band 30+,
+    mean-word-length band [3,5]; repetition caps at the published
+    values). Every rule boolean plus the conjunction is value-checked."""
+    from mrmr_spark.operators.curation import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_quality_filter(
+        d.select("doc_id", "text"),
+        min_words=30,
+        min_mean_word_len=3.0,
+        max_mean_word_len=5.0,
+        mode="flag",
+    )
+    return out.select(
+        "doc_id", "q_words", "q_word_len", "q_symbols", "q_stopwords",
+        "q_rep2", "q_rep3", "keep",
+    )
+
+
+SQL_GOPHER_FILTER = f"""
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+{_sql_rep(2)},
+{_sql_rep(3)}
+SELECT t.doc_id,
+       len(ts) BETWEEN 30 AND 100000 AS q_words,
+       (list_sum(list_transform(ts, w -> length(w))) * 1.0 / greatest(len(ts), 1))
+           BETWEEN 3.0 AND 5.0 AS q_word_len,
+       (length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1)) <= 0.1 AS q_symbols,
+       len(list_filter(ts, w -> lower(w) IN
+           ('the','and','of','to','a','in','is','it','for','on'))) >= 2 AS q_stopwords,
+       coalesce(a2.mx * 1.0 / a2.total, 0.0) <= 0.20 AS q_rep2,
+       coalesce(a3.dup * 1.0 / a3.total, 0.0) <= 0.18 AS q_rep3,
+       (len(ts) BETWEEN 30 AND 100000)
+         AND ((list_sum(list_transform(ts, w -> length(w))) * 1.0 / greatest(len(ts), 1))
+              BETWEEN 3.0 AND 5.0)
+         AND ((length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0
+              / greatest(length(text), 1)) <= 0.1)
+         AND (len(list_filter(ts, w -> lower(w) IN
+              ('the','and','of','to','a','in','is','it','for','on'))) >= 2)
+         AND (coalesce(a2.mx * 1.0 / a2.total, 0.0) <= 0.20)
+         AND (coalesce(a3.dup * 1.0 / a3.total, 0.0) <= 0.18) AS keep
+FROM tok t
+LEFT JOIN a2 ON t.doc_id = a2.doc_id
+LEFT JOIN a3 ON t.doc_id = a3.doc_id
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2548,6 +2598,7 @@ QUERIES = {
     "pack_documents": q_pack_documents,
     "quantize_embeddings": q_quantize_embeddings,
     "lm_score": q_lm_score,
+    "gopher_filter": q_gopher_filter,
 }
 
 ORACLE_SQL = {
@@ -2604,4 +2655,5 @@ ORACLE_SQL = {
     "pack_documents": SQL_PACK_DOCUMENTS,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "lm_score": SQL_LM_SCORE,
+    "gopher_filter": SQL_GOPHER_FILTER,
 }

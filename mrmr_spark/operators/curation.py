@@ -623,3 +623,79 @@ def stratified_sample_exact(
     )
     drop = ["_skey"] if keep_rank else ["_skey", "sample_rank"]
     return out.drop(*drop)
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    split: str = " ",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_top2gram_frac: float = 0.20,
+    max_dup3gram_frac: float = 0.18,
+    stopwords: list[str] | None = None,
+    mode: str = "flag",
+) -> DataFrame:
+    """Composite document-quality filter following the published
+    Gopher/MassiveText rule set (Rae et al. 2021, table A1), re-expressed
+    over this engine's Column primitives — word-count band, mean word
+    length band, symbol-to-char ratio, minimum stopword evidence, and the
+    repetition caps (top-2-gram occupancy, duplicate-3-gram occupancy).
+    Thresholds default to the published values; every rule is a kwarg
+    because real pipelines always re-tune them per corpus.
+
+    mode="flag": adds one boolean per rule (``q_words``, ``q_word_len``,
+    ``q_symbols``, ``q_stopwords``, ``q_rep2``, ``q_rep3``) plus the
+    conjunction ``keep``. mode="drop": only rows passing all rules,
+    original columns. One zero-shuffle, zero-Python projection — the
+    repetition folds are the dominant cost (see
+    ``with_repetition_stats`` for the Arrow alternative when filtering
+    petabytes).
+    """
+    from mrmr_spark.operators.textstats import EN_STOPWORDS
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    sw = [w.lower() for w in (stopwords or EN_STOPWORDS)]
+
+    toks = F.split(F.col(text_col), split)
+    n_words = F.size(toks)
+    # mean word length over the words themselves (not chars/words: the
+    # separator must not count)
+    mean_wl = _bind(
+        toks,
+        lambda ts: F.aggregate(
+            ts, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / F.greatest(F.size(ts), F.lit(1)),
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[\p{L}\p{N}\s]", ""))
+        / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    )
+    sw_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
+
+    flagged = with_repetition_stats(df, text_col, ns=(2, 3), split=split).select(
+        *df.columns,
+        ((n_words >= min_words) & (n_words <= max_words)).alias("q_words"),
+        ((mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)).alias("q_word_len"),
+        (symbol_ratio <= max_symbol_ratio).alias("q_symbols"),
+        (sw_hits >= min_stopword_hits).alias("q_stopwords"),
+        (F.col("rep2_top_frac") <= max_top2gram_frac).alias("q_rep2"),
+        (F.col("rep3_dup_frac") <= max_dup3gram_frac).alias("q_rep3"),
+    )
+    keep = (
+        F.col("q_words")
+        & F.col("q_word_len")
+        & F.col("q_symbols")
+        & F.col("q_stopwords")
+        & F.col("q_rep2")
+        & F.col("q_rep3")
+    )
+    if mode == "drop":
+        return flagged.where(keep).select(*df.columns)
+    return flagged.select("*", keep.alias("keep"))

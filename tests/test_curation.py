@@ -311,3 +311,59 @@ def test_ngram_lm_score_decimal_mode_close_and_deterministic(docs):
     for did in f:
         assert d1[did] == pytest.approx(f[did], abs=1e-9)
         assert d1[did] == d2[did]  # bit-equal under any partitioning
+
+
+def test_gopher_filter_matches_python_oracle(docs):
+    from mrmr_spark.operators.curation import gopher_quality_filter
+
+    kw = dict(min_words=8, min_mean_word_len=1.0, max_mean_word_len=3.0,
+              min_stopword_hits=0, max_top2gram_frac=0.5, max_dup3gram_frac=0.5)
+    out = {r.doc_id: r for r in gopher_quality_filter(docs, **kw).collect()}
+    n_keep = 0
+    for r in docs.collect():
+        ws = r.text.split(" ")
+        grams2 = [" ".join(ws[i:i+2]) for i in range(len(ws)-1)] if len(ws) >= 2 else []
+        grams3 = [" ".join(ws[i:i+3]) for i in range(len(ws)-2)] if len(ws) >= 3 else []
+        c2, c3 = Counter(grams2), Counter(grams3)
+        top2 = max(c2.values()) / len(grams2) if grams2 else 0.0
+        dup3 = (sum(v for v in c3.values() if v > 1) / len(grams3)) if grams3 else 0.0
+        exp = {
+            "q_words": 8 <= len(ws) <= 100_000,
+            "q_word_len": 1.0 <= sum(map(len, ws)) / max(len(ws), 1) <= 3.0,
+            "q_symbols": True,  # fixture is alnum-only
+            "q_stopwords": True,  # min 0
+            "q_rep2": top2 <= 0.5,
+            "q_rep3": dup3 <= 0.5,
+        }
+        g = out[r.doc_id]
+        for k, v in exp.items():
+            assert g[k] == v, (r.doc_id, k)
+        assert g.keep == all(exp.values())
+        n_keep += g.keep
+    assert 0 < n_keep < len(out), "thresholds must split the fixture"
+
+
+def test_gopher_filter_drop_mode_and_validation(docs):
+    from mrmr_spark.operators.curation import gopher_quality_filter
+
+    kw = dict(min_words=8, min_mean_word_len=1.0, max_mean_word_len=3.0,
+              min_stopword_hits=0)
+    flagged = gopher_quality_filter(docs, **kw)
+    dropped = gopher_quality_filter(docs, mode="drop", **kw)
+    assert dropped.columns == docs.columns
+    assert dropped.count() == flagged.where("keep").count()
+    with pytest.raises(ValueError, match="mode"):
+        gopher_quality_filter(docs, mode="oops")
+
+
+def test_gopher_filter_plan_is_pure_project(docs):
+    from mrmr_spark.operators.curation import gopher_quality_filter
+
+    plan = (
+        gopher_quality_filter(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
