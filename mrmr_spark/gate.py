@@ -2544,6 +2544,39 @@ LEFT JOIN a3 ON t.doc_id = a3.doc_id
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling without replacement (Efraimidis–Spirakis
+    exponential keys), weight = n_chars+1, top-3 per source under the
+    SQL-reproducible affine uniform. A 1-ulp ln() divergence between
+    libm implementations could in principle flip an ordering; hash
+    agreement across 100 selected rows doubles as evidence it does not."""
+    from mrmr_spark.operators.curation import weighted_sample_exact
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("n_chars") + 1).cast("double")
+    )
+    out = weighted_sample_exact(d, "w", 3, strata_col="source", hash_fn="affine")
+    return out.select("doc_id", "source")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(n_chars + 1 AS DOUBLE) AS w,
+         greatest(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                  0.5 / 4294967296.0) AS u
+  FROM documents
+),
+e AS (SELECT doc_id, source, -ln(u) / w AS ekey FROM k),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ekey ASC, doc_id ASC) AS rk
+  FROM e
+)
+SELECT doc_id, source FROM r WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2599,6 +2632,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "lm_score": q_lm_score,
     "gopher_filter": q_gopher_filter,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -2656,4 +2690,5 @@ ORACLE_SQL = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "lm_score": SQL_LM_SCORE,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

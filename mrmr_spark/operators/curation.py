@@ -531,6 +531,72 @@ def sample_key(id_col: str | Column, hash_fn: str = "xxhash64") -> Column:
     raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
 
 
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res, the quality-weighted training-mix sampler): row i is kept iff
+    its exponential key  e_i = −ln(u_i) / w_i  is among the ``k``
+    smallest — distributionally identical to drawing ``k`` rows one at a
+    time with probability ∝ weight, never repeating a row. ``u_i`` is a
+    deterministic hash-derived uniform (seed-free, reproducible across
+    runs/engines/cluster sizes — the same determinism contract as
+    :func:`stratified_sample_exact`); the ``affine`` family makes the
+    whole key ANSI-SQL-reproducible for the gate oracle.
+
+    ``strata_col`` given → top-k per stratum (weighted domain quotas).
+    Weights must be strictly positive finite; raises on the first
+    violation (checked in the same pass via a conditional count — cheap).
+
+    Scale design: one window per stratum (or the global top-k via
+    ``orderBy.limit(k)``, which Spark executes as per-partition top-k +
+    driver merge of k·#partitions rows — no global sort materialization);
+    for huge strata the same hash-threshold presample trick as
+    `stratified_sample_exact` applies to e_i, but weighted cutoffs need a
+    weight-distribution bound, so it is not automated here.
+    """
+    u = (sample_key(id_col, hash_fn).cast("double") - F.lit(_key_lo(hash_fn))) / F.lit(
+        _key_space(hash_fn)
+    )
+    # map u=0 -> the half-step so ln() never sees 0 (affine keys can be 0)
+    u = F.greatest(u, F.lit(0.5 / _key_space(hash_fn)))
+    w = F.col(weight_col).cast("double")
+    key = (-F.log(u) / w).alias("_ekey")
+
+    bad = df.where(
+        F.col(weight_col).isNull()
+        | F.isnan(w)
+        | (w <= 0)
+        | (F.abs(w) == float("inf"))
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(f"weights in {weight_col!r} must be strictly positive finite")
+
+    keyed = df.select("*", key)
+    if strata_col is None:
+        out = keyed.orderBy(F.col("_ekey").asc(), F.col(id_col).asc()).limit(k)
+    else:
+        win = Window.partitionBy(strata_col).orderBy(F.col("_ekey").asc(), F.col(id_col).asc())
+        out = keyed.select("*", F.row_number().over(win).alias("_rk")).where(
+            F.col("_rk") <= k
+        ).drop("_rk")
+    return out if keep_key else out.drop("_ekey")
+
+
+def _key_lo(hash_fn: str) -> float:
+    return 0.0 if hash_fn == "affine" else float(-(2**63))
+
+
+def _key_space(hash_fn: str) -> float:
+    return float(_HASH_SPACE) if hash_fn == "affine" else float(2**64)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

@@ -367,3 +367,67 @@ def test_gopher_filter_plan_is_pure_project(docs):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def _ekey(did, w):
+    import math
+
+    u = ((did * 2654435761) % 4294967296) / 4294967296
+    u = max(u, 0.5 / 4294967296)
+    return -math.log(u) / w
+
+
+def test_weighted_sample_matches_python_oracle(docs):
+    from mrmr_spark.operators.curation import weighted_sample_exact
+
+    d = docs.withColumn("w", (F.length("text") + 1).cast("double"))
+    rows = [(r.doc_id, r.w, r.source) for r in d.select("doc_id", "w", "source").collect()]
+
+    got = sorted(r.doc_id for r in weighted_sample_exact(d, "w", 15, hash_fn="affine").collect())
+    exp = sorted(r[0] for r in sorted(rows, key=lambda r: (_ekey(r[0], r[1]), r[0]))[:15])
+    assert got == exp
+
+    got_s = sorted(
+        (r.source, r.doc_id)
+        for r in weighted_sample_exact(d, "w", 2, strata_col="source", hash_fn="affine").collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r[2], []).append(r)
+    exp_s = sorted(
+        (s, r[0])
+        for s, rs in by.items()
+        for r in sorted(rs, key=lambda r: (_ekey(r[0], r[1]), r[0]))[:2]
+    )
+    assert got_s == exp_s
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from mrmr_spark.operators.curation import weighted_sample_exact
+
+    # 500 rows, 50 with weight 100x the rest: the heavy rows must
+    # dominate a k=50 sample (expected ~46; deterministic given xxhash64)
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, 100.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample_exact(df, "w", 50)
+    n_heavy = got.where("doc_id % 10 = 0").count()
+    assert n_heavy >= 35, n_heavy
+
+
+def test_weighted_sample_rejects_bad_weights(docs):
+    from mrmr_spark.operators.curation import weighted_sample_exact
+
+    for bad in (F.lit(0.0), F.lit(-1.0), F.lit(float("inf")), F.lit(None).cast("double")):
+        with pytest.raises(ValueError, match="positive finite"):
+            weighted_sample_exact(docs.withColumn("w", bad), "w", 3)
+
+
+def test_weighted_sample_deterministic(docs):
+    from mrmr_spark.operators.curation import weighted_sample_exact
+
+    d = docs.withColumn("w", (F.length("text") + 1).cast("double"))
+    a = sorted(r.doc_id for r in weighted_sample_exact(d, "w", 20).collect())
+    b = sorted(r.doc_id for r in weighted_sample_exact(d.repartition(13), "w", 20).collect())
+    assert a == b
