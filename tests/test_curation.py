@@ -431,3 +431,19 @@ def test_weighted_sample_deterministic(docs):
     a = sorted(r.doc_id for r in weighted_sample_exact(d, "w", 20).collect())
     b = sorted(r.doc_id for r in weighted_sample_exact(d.repartition(13), "w", 20).collect())
     assert a == b
+
+
+@pytest.mark.parametrize("mode", ["flag", "drop"])
+def test_decontaminate_gram_key_backends_identical(docs, mode):
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    a = decontaminate(corpus, bench, n=3, mode=mode, gram_keys="tokens")
+    b = decontaminate(corpus, bench, n=3, mode=mode, gram_keys="string")
+    ka = sorted(tuple(r) for r in a.collect())
+    kb = sorted(tuple(r) for r in b.collect())
+    assert ka == kb
+
+
+def test_decontaminate_rejects_bad_gram_keys(docs):
+    with pytest.raises(ValueError, match="gram_keys"):
+        decontaminate(docs, docs, gram_keys="oops")
