@@ -118,6 +118,34 @@ def main():
           "one MapInArrow GEMM per side for centroid assignment, int-key "
           "inverted-list join (bucket sizes ~n/n_lists), exact re-rank on "
           "probed candidates only")
+    audit("decontaminate (benchmark n-gram overlap)",
+          gate.QUERIES["decontaminate"](spark, SF),
+          "benchmark gram set broadcast; corpus grams meet it MAP-SIDE "
+          "(no corpus-gram exchange, no text in any shuffle key); hit-count "
+          "agg ∝ contamination; flag join keyed on doc_id")
+    audit("repetition_stats (Gopher repetition signals)",
+          gate.QUERIES["repetition_stats"](spark, SF),
+          "pure projection: ZERO exchanges, ZERO Python nodes — one JVM "
+          "sort+fold per document per n")
+    audit("gopher_filter (composite quality rules)",
+          gate.QUERIES["gopher_filter"](spark, SF),
+          "pure projection like repetition_stats; all six rules + the "
+          "conjunction in one pass over the scan")
+    audit("pack_documents (concat-and-chunk token packing)",
+          gate.QUERIES["pack_documents"](spark, SF),
+          "ONE range exchange on the order key; per-range totals -> "
+          "broadcast offsets; in-range window bounded by partition size — "
+          "no single-task global window; integer chunk math")
+    audit("quantize_embeddings (int8 + dequant diagnostics)",
+          gate.QUERIES["quantize_embeddings"](spark, SF),
+          "pure projection over the embedding array: zero exchanges, zero "
+          "Python")
+    audit("lm_score (bigram-LM quality scoring)",
+          gate.QUERIES["lm_score"](spark, SF),
+          "bigram explode -> TWO broadcast left joins against the narrow "
+          "hashed model frames -> one per-doc hash aggregate; the only "
+          "non-broadcast exchanges are the model count aggs (vocab-bounded) "
+          "and the per-doc agg")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
