@@ -2577,6 +2577,28 @@ SELECT doc_id, source FROM r WHERE rk <= 3
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment under the affine
+    uniform; every (doc_id, split) pair value-checked."""
+    from mrmr_spark.operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="affine"
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE
+         WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8 THEN 'train'
+         WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2633,6 +2655,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "gopher_filter": q_gopher_filter,
     "weighted_sample": q_weighted_sample,
+    "hash_split": q_hash_split,
 }
 
 ORACLE_SQL = {
@@ -2691,4 +2714,5 @@ ORACLE_SQL = {
     "lm_score": SQL_LM_SCORE,
     "gopher_filter": SQL_GOPHER_FILTER,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "hash_split": SQL_HASH_SPLIT,
 }

@@ -579,6 +579,51 @@ def sample_key(id_col: str | Column, hash_fn: str = "xxhash64") -> Column:
     raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket: row i goes
+    to the split whose cumulative-fraction interval contains
+    u_i = hash(id) mapped to [0,1). Seed-free and stable — a document
+    keeps its split across runs, engines, cluster sizes and corpus
+    growth (new rows never move old rows between splits, the property
+    random `randomSplit` does NOT have). Fractions must sum to 1 within
+    1e-9. The ``affine`` family is ANSI-SQL-reproducible (gate row
+    `hash_split`); note affine u is id*KNUTH mod 2^32 / 2^32 — uniform
+    over any contiguous id range, but NOT independent of id arithmetic
+    like xxhash64, so production uses the default.
+
+    Pure projection: zero shuffle, zero Python; exact split sizes follow
+    the binomial concentration around n·f (for EXACT quota sizes use
+    :func:`stratified_sample_exact` instead).
+    """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty dict")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("every fraction must be positive")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+
+    u = (sample_key(id_col, hash_fn).cast("double") - F.lit(_key_lo(hash_fn))) / F.lit(
+        _key_space(hash_fn)
+    )
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.select("*", out.alias(split_col))
+
+
 def weighted_sample_exact(
     df: DataFrame,
     weight_col: str,

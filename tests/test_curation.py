@@ -447,3 +447,35 @@ def test_decontaminate_gram_key_backends_identical(docs, mode):
 def test_decontaminate_rejects_bad_gram_keys(docs):
     with pytest.raises(ValueError, match="gram_keys"):
         decontaminate(docs, docs, gram_keys="oops")
+
+
+def test_hash_split_matches_python_oracle_and_is_stable(docs):
+    from mrmr_spark.operators.curation import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in hash_split(docs, fr, hash_fn="affine").collect()}
+    for did in got:
+        u = ((did * 2654435761) % 4294967296) / 4294967296
+        exp = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+        assert got[did] == exp, did
+    # growth stability: adding rows never reassigns existing rows
+    half = docs.where("doc_id < 100")
+    sub = {r.doc_id: r.split for r in hash_split(half, fr, hash_fn="affine").collect()}
+    assert all(got[d] == s for d, s in sub.items())
+    # default family covers all splits at reasonable proportions
+    full = hash_split(docs, fr)
+    per = {r["split"]: r["cnt"] for r in full.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(per.values())
+    assert set(per) == {"train", "val", "test"}
+    assert per["train"] / n > 0.6
+
+
+def test_hash_split_validation(docs):
+    from mrmr_spark.operators.curation import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(docs, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(docs, {})
