@@ -479,3 +479,21 @@ def test_hash_split_validation(docs):
         hash_split(docs, {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="non-empty"):
         hash_split(docs, {})
+
+
+def test_lm_score_gram_key_backends_identical(docs):
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    m_tok = bigram_lm_counts(ref, gram_keys="tokens")
+    m_str = bigram_lm_counts(ref, gram_keys="string")
+    assert m_tok["vocab_size"] == m_str["vocab_size"]
+    a = {r.doc_id: (r.n_terms, r.avg_logprob) for r in ngram_lm_score(docs, m_tok).collect()}
+    b = {r.doc_id: (r.n_terms, r.avg_logprob) for r in ngram_lm_score(docs, m_str).collect()}
+    assert set(a) == set(b)
+    for did in a:
+        assert a[did][0] == b[did][0]
+        assert a[did][1] == pytest.approx(b[did][1], abs=1e-12)
+    from mrmr_spark.operators.curation import bigram_lm_counts as blc
+    with pytest.raises(ValueError, match="gram_keys"):
+        blc(ref, gram_keys="oops")
