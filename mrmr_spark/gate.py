@@ -2599,6 +2599,48 @@ FROM documents
 """
 
 
+def q_explode_chunks(spark, sf_dir, budget: int = 256):
+    """The materialized training-chunk span table from pack_documents —
+    one row per (chunk, doc) intersection, spans tiling every chunk."""
+    from mrmr_spark.operators.curation import explode_chunks, pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_documents(d, budget=budget)
+    return explode_chunks(packed, budget).select(
+        "chunk_id", "doc_id", "doc_start", "span", "chunk_pos"
+    )
+
+
+SQL_EXPLODE_CHUNKS = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_tokens, off,
+         off // 256 AS chunk_first,
+         (off + greatest(n_tokens, 1) - 1) // 256 AS chunk_last
+  FROM c
+),
+x AS (
+  SELECT doc_id, n_tokens, off, ch AS chunk_id,
+         greatest(ch * 256 - off, 0) AS doc_start,
+         least((ch + 1) * 256 - off, n_tokens) AS doc_end
+  FROM p, LATERAL unnest(range(chunk_first, chunk_last + 1)) AS u(ch)
+  WHERE n_tokens > 0
+)
+SELECT chunk_id, doc_id, doc_start,
+       doc_end - doc_start AS span,
+       greatest(off - chunk_id * 256, 0) AS chunk_pos
+FROM x
+WHERE doc_end - doc_start > 0
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2656,6 +2698,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "weighted_sample": q_weighted_sample,
     "hash_split": q_hash_split,
+    "explode_chunks": q_explode_chunks,
 }
 
 ORACLE_SQL = {
@@ -2715,4 +2758,5 @@ ORACLE_SQL = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
+    "explode_chunks": SQL_EXPLODE_CHUNKS,
 }

@@ -627,6 +627,53 @@ def pack_documents(
     )
 
 
+def explode_chunks(
+    packed: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the training-chunk spans from :func:`pack_documents`
+    output — the table a training data-loader actually reads: one row
+    per (chunk, document) intersection with the half-open token span
+    the document contributes.
+
+    Columns: ``chunk_id``, ``id_col``, ``doc_start`` (0-based first
+    token of the doc inside this chunk), ``span`` (token count), and
+    ``chunk_pos`` (0-based position of that span inside the chunk).
+    Every chunk's spans sum to exactly ``budget`` tokens except the
+    final partial chunk; grouping by ``chunk_id`` and ordering by
+    ``chunk_pos`` reproduces the virtual token stream.
+
+    Pure per-row explode over ``sequence(chunk_first, chunk_last)`` —
+    fan-out = number of chunks a doc touches (≥1), no shuffle; the
+    downstream `groupBy(chunk_id)` (if the loader wants assembled
+    chunks) is the caller's one keyed exchange.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = F.lit(budget)
+    c = F.col("_chunk")
+    doc_start = F.greatest(c * b - F.col("token_offset"), F.lit(0))
+    doc_end = F.least((c + 1) * b - F.col("token_offset"), F.col("n_tokens"))
+    return (
+        packed.select(
+            id_col,
+            "token_offset",
+            "n_tokens",
+            F.explode(F.sequence(F.col("chunk_first"), F.col("chunk_last"))).alias("_chunk"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            c.alias("chunk_id"),
+            id_col,
+            doc_start.alias("doc_start"),
+            (doc_end - doc_start).alias("span"),
+            F.greatest(F.col("token_offset") - c * b, F.lit(0)).alias("chunk_pos"),
+        )
+        .where(F.col("span") > 0)
+    )
+
+
 def sample_key(id_col: str | Column, hash_fn: str = "xxhash64") -> Column:
     """Deterministic per-row sampling key.
 

@@ -497,3 +497,36 @@ def test_lm_score_gram_key_backends_identical(docs):
     from mrmr_spark.operators.curation import bigram_lm_counts as blc
     with pytest.raises(ValueError, match="gram_keys"):
         blc(ref, gram_keys="oops")
+
+
+def test_explode_chunks_tiles_every_chunk(docs):
+    from collections import defaultdict
+
+    from mrmr_spark.operators.curation import explode_chunks, pack_documents
+
+    pin = []
+    packed = pack_documents(docs, budget=64, pin=pin)
+    rows = explode_chunks(packed, 64).collect()
+    tot = packed.agg(F.sum("n_tokens")).first()[0]
+
+    per_chunk, per_doc, tiles = {}, {}, defaultdict(list)
+    for r in rows:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.span
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.span
+        tiles[r.chunk_id].append((r.chunk_pos, r.span))
+    last = max(per_chunk)
+    for cid, s in per_chunk.items():
+        assert s == (64 if cid != last else tot - 64 * last), cid
+    nt = {r.doc_id: r.n_tokens for r in packed.collect()}
+    assert per_doc == {d: n for d, n in nt.items() if n > 0}
+    for cid, sp in tiles.items():
+        sp.sort()
+        pos = 0
+        for p, s in sp:
+            assert p == pos, cid
+            pos += s
+    for h in pin:
+        h.unpersist()
+
+    with pytest.raises(ValueError, match="budget"):
+        explode_chunks(packed, 0)
