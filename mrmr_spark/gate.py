@@ -2641,6 +2641,62 @@ WHERE doc_end - doc_start > 0
 """
 
 
+def q_lm_score_trigram(spark, sf_dir):
+    """The order-3 LM path (trigram counts / bigram prefixes) — same
+    decimal-terms contract as `lm_score`."""
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    model = bigram_lm_counts(d.where(F.col("doc_id") % 7 == 0), order=3)
+    out = ngram_lm_score(d, model, add_k=0.5, decimal_terms=True)
+    return out.select(
+        "doc_id", "n_terms", r6("avg_logprob").alias("avg_logprob"), r6("ppl").alias("ppl")
+    )
+
+
+SQL_LM_SCORE_TRIGRAM = """
+WITH rtok AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE doc_id % 7 = 0),
+uni AS (
+  SELECT array_to_string(ts[i:i+1], ' ') AS g, count(*) AS cnt
+  FROM rtok, LATERAL unnest(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+  GROUP BY 1
+),
+big AS (
+  SELECT array_to_string(ts[i:i+2], ' ') AS g, count(*) AS cnt
+  FROM rtok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+  GROUP BY 1
+),
+v AS (SELECT count(DISTINCT w) AS vs FROM (SELECT unnest(ts) AS w FROM rtok)),
+terms AS (
+  SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS bg,
+         array_to_string(ts[i:i+1], ' ') AS pre
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+lp AS (
+  SELECT doc_id,
+         CAST(ln((coalesce(b.cnt, 0) + 0.5) / (coalesce(u.cnt, 0) + 0.5 * v.vs))
+              AS DECIMAL(28,12)) AS lp
+  FROM terms
+  LEFT JOIN big b ON terms.bg = b.g
+  LEFT JOIN uni u ON terms.pre = u.g
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_terms,
+         CAST(sum(lp) AS DOUBLE) / count(*) AS avg_lp
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       round(avg_lp, 6) AS avg_logprob,
+       round(exp(-avg_lp), 6) AS ppl
+FROM agg
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2699,6 +2755,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "hash_split": q_hash_split,
     "explode_chunks": q_explode_chunks,
+    "lm_score_trigram": q_lm_score_trigram,
 }
 
 ORACLE_SQL = {
@@ -2759,4 +2816,5 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
     "explode_chunks": SQL_EXPLODE_CHUNKS,
+    "lm_score_trigram": SQL_LM_SCORE_TRIGRAM,
 }

@@ -356,20 +356,40 @@ def with_repetition_stats(
     return df
 
 
+def _hash_slices(th: Column, n: int) -> Column:
+    """Length-``n`` windows of a token-hash array (empty when too short)."""
+    if n == 1:
+        return th
+    return _bind(
+        th,
+        lambda h: F.when(
+            F.size(h) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - F.lit(n - 1)),
+                lambda i: F.slice(h, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<array<bigint>>")),
+    )
+
+
 def bigram_lm_counts(
     reference: DataFrame,
     text_col: str = "text",
     split: str = " ",
     hash_fn: str = "xxhash64",
     gram_keys: str = "tokens",
+    order: int = 2,
 ) -> dict:
-    """Train an add-k-smoothable bigram language model on a reference
-    corpus (the CCNet quality-scoring recipe, honestly downscoped from
-    KenLM 5-gram to a bigram model — the Spark shape is identical at any
-    order): returns ``{"bigrams": df(g1,g2,cnt), "unigrams":
-    df(g1,g2,cnt), "vocab_size": int}``. Gram keys are the 128-bit
-    double-hash family (the strings never leave the count aggregation),
-    so the model frames stay narrow for the broadcast to scorers.
+    """Train an add-k-smoothable ``order``-gram language model on a
+    reference corpus (the CCNet quality-scoring recipe; default order 2,
+    and ``order=3..5`` gives the KenLM-style higher orders — the Spark
+    shape is identical at any order): returns ``{"bigrams":
+    df(g1,g2,cnt) — the order-n gram counts, "unigrams": df(g1,g2,cnt)
+    — the (order−1)-gram PREFIX counts, "vocab_size": |distinct
+    tokens|, "order": n}`` (dict keys kept from the bigram original for
+    API stability). Gram keys are the 128-bit double-hash family (gram
+    text never leaves the count aggregation), so the model frames stay
+    narrow for the broadcast to scorers.
 
     Scale: two hash-aggregations with map-side combine; the model size
     is bounded by the observed vocabulary/bigram set, not the corpus.
@@ -411,28 +431,29 @@ def bigram_lm_counts(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
+    if order < 2:
+        raise ValueError("order must be >= 2")
     if gram_keys == "string":
-        unigrams = _cnt_str(F.split(F.col(text_col), split))
-        bigrams = _cnt_str(word_ngrams(text_col, 2, split))
+        prefix_col = (
+            F.split(F.col(text_col), split)
+            if order == 2
+            else word_ngrams(text_col, order - 1, split)
+        )
+        unigrams = _cnt_str(prefix_col)
+        bigrams = _cnt_str(word_ngrams(text_col, order, split))
+        vocab = _cnt_str(F.split(F.col(text_col), split)) if order > 2 else unigrams
     else:
         th = F.transform(F.split(F.col(text_col), split), lambda t: F.xxhash64(t))
-        unigrams = _cnt_key(th)
-        slices = _bind(
-            th,
-            lambda h: F.when(
-                F.size(h) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(h) - 1), lambda i: F.slice(h, i, F.lit(2))
-                ),
-            ).otherwise(F.array().cast("array<array<bigint>>")),
-        )
-        bigrams = _cnt_key(slices)
+        unigrams = _cnt_key(_hash_slices(th, order - 1))
+        bigrams = _cnt_key(_hash_slices(th, order))
+        vocab = _cnt_key(th) if order > 2 else unigrams
     return {
-        "bigrams": bigrams,
-        "unigrams": unigrams,
-        "vocab_size": unigrams.count(),
+        "bigrams": bigrams,  # the order-n gram counts (name kept for API stability)
+        "unigrams": unigrams,  # the (order-1)-gram PREFIX counts
+        "vocab_size": vocab.count(),  # |distinct tokens| — the smoothing V
         "gram_keys": gram_keys,
         "hash_fn": hash_fn,
+        "order": order,
     }
 
 
@@ -447,12 +468,13 @@ def ngram_lm_score(
     broadcast_model: bool = True,
     decimal_terms: bool = False,
 ) -> DataFrame:
-    """Score documents under a reference bigram LM (from
-    :func:`bigram_lm_counts`) — the CCNet-style fluency/quality signal:
-    per document, the mean log-probability of its bigram transitions
-    under add-k smoothing, and the perplexity
+    """Score documents under a reference n-gram LM (from
+    :func:`bigram_lm_counts`; the model's recorded ``order`` drives the
+    scoring shape) — the CCNet-style fluency/quality signal: per
+    document, the mean log-probability of its order-n transitions under
+    add-k smoothing, and the perplexity
 
-        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V)
+        P(w_i | prefix) = (c(prefix·w_i) + k) / (c(prefix) + k·V)
 
     Returns ``(id_col, n_terms, avg_logprob, ppl)`` — one row per doc
     with ≥1 bigram (docs shorter than 2 tokens have no transitions; the
@@ -473,22 +495,28 @@ def ngram_lm_score(
     v = float(model["vocab_size"])
     gram_keys = model.get("gram_keys", "string")
     model_hash_fn = model.get("hash_fn", hash_fn)
+    order = model.get("order", 2)
 
     toks = F.split(F.col(text_col), split)
     if gram_keys == "tokens":
         th = F.transform(toks, lambda t: F.xxhash64(t))
+        pre_t = "bigint" if order == 2 else "array<bigint>"
         pairs = _bind(
             th,
             lambda h: F.when(
-                F.size(h) >= 2,
+                F.size(h) >= order,
                 F.transform(
-                    F.sequence(F.lit(1), F.size(h) - 1),
+                    F.sequence(F.lit(1), F.size(h) - F.lit(order - 1)),
                     lambda i: F.struct(
-                        F.slice(h, i, F.lit(2)).alias("bs"),
-                        F.get(h, i - 1).alias("ph"),
+                        F.slice(h, i, F.lit(order)).alias("bs"),
+                        (
+                            F.get(h, i - 1)
+                            if order == 2
+                            else F.slice(h, i, F.lit(order - 1))
+                        ).alias("ph"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<bs:array<bigint>,ph:bigint>>")),
+            ).otherwise(F.array().cast(f"array<struct<bs:array<bigint>,ph:{pre_t}>>")),
         )
         exploded = corpus.select(id_col, F.explode(pairs).alias("_p")).select(
             id_col,
@@ -501,12 +529,16 @@ def ngram_lm_score(
         pairs = _bind(
             toks,
             lambda ts: F.when(
-                F.size(ts) >= 2,
+                F.size(ts) >= order,
                 F.transform(
-                    F.sequence(F.lit(1), F.size(ts) - 1),
+                    F.sequence(F.lit(1), F.size(ts) - F.lit(order - 1)),
                     lambda i: F.struct(
-                        F.concat_ws(" ", F.slice(ts, i, F.lit(2))).alias("big"),
-                        F.get(ts, i - 1).alias("pre"),
+                        F.concat_ws(" ", F.slice(ts, i, F.lit(order))).alias("big"),
+                        (
+                            F.get(ts, i - 1)
+                            if order == 2
+                            else F.concat_ws(" ", F.slice(ts, i, F.lit(order - 1)))
+                        ).alias("pre"),
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<big:string,pre:string>>")),

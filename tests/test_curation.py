@@ -530,3 +530,41 @@ def test_explode_chunks_tiles_every_chunk(docs):
 
     with pytest.raises(ValueError, match="budget"):
         explode_chunks(packed, 0)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("gram_keys", ["tokens", "string"])
+def test_ngram_lm_any_order_matches_python(docs, order, gram_keys):
+    import math
+
+    from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
+
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    model = bigram_lm_counts(ref, gram_keys=gram_keys, order=order)
+    grams, prefixes, vocab = Counter(), Counter(), set()
+    for r in ref.collect():
+        ws = r.text.split(" ")
+        vocab.update(ws)
+        grams.update(" ".join(ws[i : i + order]) for i in range(len(ws) - order + 1))
+        prefixes.update(
+            " ".join(ws[i : i + order - 1]) for i in range(len(ws) - order + 2)
+        )
+    assert model["vocab_size"] == len(vocab)
+
+    k = 0.5
+    got = {r.doc_id: r for r in ngram_lm_score(docs, model, add_k=k).collect()}
+    for r in docs.collect():
+        ws = r.text.split(" ")
+        if len(ws) < order:
+            assert r.doc_id not in got
+            continue
+        lps = [
+            math.log(
+                (grams[" ".join(ws[i : i + order])] + k)
+                / (prefixes[" ".join(ws[i : i + order - 1])] + k * len(vocab))
+            )
+            for i in range(len(ws) - order + 1)
+        ]
+        g = got[r.doc_id]
+        assert g.n_terms == len(lps)
+        assert g.avg_logprob == pytest.approx(sum(lps) / len(lps), abs=1e-9)
