@@ -218,3 +218,17 @@ def test_repetition_stats_runs_on_streams(spark, contam_stream_dir):
     assert len(got) == len(exp)
     for did, v in exp.items():
         assert got.loc[did, "rep2_dup_frac"] == v
+
+
+def test_gopher_filter_runs_on_streams(spark, contam_stream_dir):
+    from mrmr_spark.operators.curation import gopher_quality_filter
+
+    d, schema, batch = contam_stream_dir
+    kw = dict(min_words=8, min_mean_word_len=1.0, max_mean_word_len=3.0,
+              min_stopword_hits=0)
+    stream = _read_stream(spark, d, schema)
+    got = _run_stream(spark, gopher_quality_filter(stream, **kw), "gopher_stream")
+    exp = {r.doc_id: r.keep for r in gopher_quality_filter(batch, **kw).collect()}
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert bool(r.keep) == exp[int(r.doc_id)]
