@@ -232,3 +232,26 @@ def test_gopher_filter_runs_on_streams(spark, contam_stream_dir):
     assert len(got) == len(exp)
     for r in got.itertuples():
         assert bool(r.keep) == exp[int(r.doc_id)]
+
+
+def test_quantize_embeddings_runs_on_streams(spark, tmp_path_factory):
+    import numpy as np
+
+    from mrmr_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [list(map(float, v)) for v in rng.normal(size=(40, 8)).astype("float32")],
+    })
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    d = str(tmp_path_factory.mktemp("emb_stream_in"))
+    sdf.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(d)
+    got = _run_stream(spark, quantize_embeddings(stream), "quant_stream")
+    exp = {r.vec_id: (list(r.q), r.scale) for r in quantize_embeddings(sdf).collect()}
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        q, s = exp[int(r.vec_id)]
+        assert list(r.q) == q and r.scale == s
