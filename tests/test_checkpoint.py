@@ -65,3 +65,35 @@ def test_phase_runner_lineage(spark, tmp_path, transcripts):
     assert "text_len" in out.columns and "session_id" in out.columns
     assert len(runner.manifests) == 2
     assert runner.manifests[1]["parents"] == [runner.manifests[0]["manifest_id"]]
+
+
+def test_run_curation_pipeline_resumes(spark, tmp_path):
+    """The curation spark-submit entrypoint: one full run, then a resume
+    run that must read every phase back from its manifest (identical
+    output, identical manifest ids, no recompute)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation
+
+    ckpt = str(tmp_path / "cur")
+    argv = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--checkpoint-dir", ckpt,
+        "--budget", "512",
+        "--min-words", "10",
+        "--min-stopword-hits", "0",
+    ]
+    first = run_curation.main(argv)
+    assert first["n_docs"] > 0 and first["n_chunks"] > 0
+    assert [p["phase"] for p in first["phases"]] == [
+        "ingest", "decontaminate", "quality", "dedup", "split", "pack"
+    ]
+
+    second = run_curation.main(argv)
+    assert second["n_docs"] == first["n_docs"]
+    assert second["n_chunks"] == first["n_chunks"]
+    # resume = identical manifest ids (phases read back, not rebuilt)
+    assert [p["manifest_id"] for p in second["phases"]] == [
+        p["manifest_id"] for p in first["phases"]
+    ]

@@ -1,0 +1,121 @@
+"""spark-submit entrypoint: resumable corpus curation.
+
+The training-data twin of ``run_pipeline.py``: documents in, a cleaned /
+deduplicated / split / chunk-packed corpus out, with every phase
+checkpointed through ``plans.checkpoint.PhaseRunner`` — kill the driver
+anywhere and completed phases resume from their manifests
+(per-partition lineage + metrics inside).
+
+    zip -r mrmr_spark.zip mrmr_spark
+    spark-submit --py-files mrmr_spark.zip tools/run_curation.py \\
+        --input <parquet dir> --eval-set <parquet dir> \\
+        --checkpoint-dir /lake/checkpoints/curation1 --budget 4096
+
+Local smoke:
+    python tools/run_curation.py --input /root/testdata/sf0.01/documents.parquet \\
+        --checkpoint-dir /tmp/curation_run --budget 1024
+
+Phases (each resumable): ingest -> decontaminate (skipped without
+--eval-set) -> quality (Gopher rules) -> dedup (winnow candidates ->
+exact verify -> transitive clusters -> canonical corpus) -> split ->
+pack. The chunk-span table and per-phase row counts are the output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents table (parquet dir/file)")
+    ap.add_argument("--eval-set", default=None, help="benchmark table to decontaminate against")
+    ap.add_argument("--checkpoint-dir", default="/tmp/mrmr_curation")
+    ap.add_argument("--contam-n", type=int, default=13)
+    ap.add_argument("--budget", type=int, default=4096)
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stopword-hits", type=int, default=2)
+    ap.add_argument("--train-frac", type=float, default=0.99)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from mrmr_spark.operators.curation import (
+        decontaminate,
+        gopher_quality_filter,
+        hash_split,
+        pack_documents,
+    )
+    from mrmr_spark.operators.dedup import dedup_documents, verify_candidate_pairs
+    from mrmr_spark.operators.textstats import winnow_candidate_pairs
+    from mrmr_spark.plans.checkpoint import PhaseRunner
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from mrmr_spark.session import get_spark
+
+        spark = get_spark(app_name="mrmr-curation")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def ingest(_):
+        return spark.read.parquet(args.input)
+
+    def decontam(prev):
+        if args.eval_set is None:
+            return prev
+        bench = spark.read.parquet(args.eval_set)
+        return decontaminate(prev, bench, n=args.contam_n, mode="drop")
+
+    def quality(prev):
+        return gopher_quality_filter(
+            prev,
+            min_words=args.min_words,
+            min_stopword_hits=args.min_stopword_hits,
+            mode="drop",
+        )
+
+    def dedup(prev):
+        pairs = verify_candidate_pairs(prev, winnow_candidate_pairs(prev))
+        ckpt = os.path.join(args.checkpoint_dir, "_cc")
+        return dedup_documents(prev, pairs, checkpoint_dir=ckpt)
+
+    def split(prev):
+        fr = {"train": args.train_frac, "val": round(1.0 - args.train_frac, 12)}
+        return hash_split(prev, fr)
+
+    def pack(prev):
+        return pack_documents(prev, budget=args.budget)
+
+    runner = PhaseRunner(spark, args.checkpoint_dir)
+    packed = runner.run(
+        [
+            ("ingest", ingest),
+            ("decontaminate", decontam),
+            ("quality", quality),
+            ("dedup", dedup),
+            ("split", split),
+            ("pack", pack),
+        ],
+        key_cols=["doc_id"],
+    )
+    n_chunks = packed.agg({"chunk_last": "max"}).first()[0] + 1
+    out = {
+        "n_docs": packed.count(),
+        "n_chunks": int(n_chunks),
+        "budget": args.budget,
+        "phases": [
+            {k: m[k] for k in ("phase", "n_rows", "n_partitions", "wall_s", "manifest_id")}
+            for m in runner.manifests
+        ],
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main()
