@@ -2697,6 +2697,146 @@ FROM agg
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over `documents` with deterministic synthetic PII
+    (emails/IPs/phones keyed off doc_id, ssn constant on the %5 slice,
+    md5-hex "secrets" on the %7 slice) injected by the SAME expression
+    in both engines. The redacted text and every per-kind count are
+    value-checked; the patterns are the character-identical strings on
+    both sides (Java regex ∩ RE2 portable subset — no lookaround, no
+    backreferences; both engines match leftmost-first)."""
+    from mrmr_spark.operators.pii import DEFAULT_KINDS, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                doc,
+                F.lit("@ex.example.org ip 10.1."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".9 tel 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(" key "), F.md5(doc))
+        ).otherwise(F.lit("")),
+    )
+    inj = d.select("doc_id", injected.alias("text"))
+    out = redact_pii(inj)
+    return out.select(
+        "doc_id",
+        "text",
+        *[F.col(f"n_{k}").cast("int").alias(f"n_{k}") for k in DEFAULT_KINDS],
+    )
+
+
+def _pii_sql() -> str:
+    """Build the oracle from the live PII_PATTERNS dict so the pattern
+    strings can never drift between the engine and the oracle."""
+    from mrmr_spark.operators.pii import DEFAULT_KINDS, PII_PATTERNS
+
+    red = "text"
+    for k in DEFAULT_KINDS:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS INT) AS n_{k}"
+        for k in DEFAULT_KINDS
+    )
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN
+           ' mail user' || CAST(doc_id AS VARCHAR) || '@ex.example.org ip 10.1.'
+           || CAST(doc_id % 250 AS VARCHAR) || '.9 tel 415-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' key ' || md5(CAST(doc_id AS VARCHAR))
+         ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {red} AS text,
+       {counts}
+FROM inj
+"""
+
+
+SQL_PII_REDACT = _pii_sql()
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based domain-mixture sampling (quota ∝ count^(1/T),
+    T=2, largest-remainder seats, clamp to stratum size) over a skewed
+    60/30/10 domain derived from doc_id — the affine key family makes
+    the within-stratum fill order SQL-reproducible; the quota arithmetic
+    itself is re-derived independently in the oracle's window
+    functions."""
+    from mrmr_spark.operators.curation import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    strata = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    dd = d.select("doc_id", strata.alias("domain"))
+    out = temperature_sample(dd, "domain", 60, 2.0, hash_fn="affine", keep_rank=True)
+    return out.select(
+        "doc_id", "domain", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS domain
+  FROM documents
+),
+c AS (SELECT domain, count(*) AS cnt FROM d GROUP BY domain),
+w AS (SELECT domain, cnt, pow(CAST(cnt AS DOUBLE), 0.5) AS w FROM c),
+i AS (SELECT domain, cnt, 60.0 * w / sum(w) OVER () AS ideal FROM w),
+b AS (
+  SELECT domain, cnt, CAST(floor(ideal) AS BIGINT) AS base,
+         round(ideal - floor(ideal), 9) AS frac
+  FROM i
+),
+r AS (
+  SELECT domain, cnt, base,
+         row_number() OVER (ORDER BY frac DESC, domain) AS rk,
+         60 - sum(base) OVER () AS seats
+  FROM b
+),
+q AS (
+  SELECT domain,
+         least(base + CASE WHEN rk <= seats THEN 1 ELSE 0 END, cnt) AS quota
+  FROM r
+),
+k AS (
+  SELECT doc_id, domain, (doc_id * 2654435761) % 4294967296 AS skey FROM d
+),
+rnk AS (
+  SELECT k.doc_id, k.domain, q.quota,
+         row_number() OVER (PARTITION BY k.domain ORDER BY skey, doc_id)
+             AS sample_rank
+  FROM k JOIN q ON k.domain = q.domain
+)
+SELECT doc_id, domain, CAST(sample_rank AS INT) AS sample_rank
+FROM rnk WHERE sample_rank <= quota
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2756,6 +2896,8 @@ QUERIES = {
     "hash_split": q_hash_split,
     "explode_chunks": q_explode_chunks,
     "lm_score_trigram": q_lm_score_trigram,
+    "pii_redact": q_pii_redact,
+    "temperature_sample": q_temperature_sample,
 }
 
 ORACLE_SQL = {
@@ -2817,4 +2959,6 @@ ORACLE_SQL = {
     "hash_split": SQL_HASH_SPLIT,
     "explode_chunks": SQL_EXPLODE_CHUNKS,
     "lm_score_trigram": SQL_LM_SCORE_TRIGRAM,
+    "pii_redact": SQL_PII_REDACT,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
 }

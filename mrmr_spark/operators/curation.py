@@ -1003,3 +1003,112 @@ def gopher_quality_filter(
     if mode == "drop":
         return flagged.where(keep).select(*df.columns)
     return flagged.select("*", keep.alias("keep"))
+
+
+def temperature_quotas(
+    counts: DataFrame,
+    total: int,
+    temperature: float = 2.0,
+    strata_col: str = "source",
+    count_col: str = "_cnt",
+) -> DataFrame:
+    """Per-stratum quotas for temperature-based domain mixing: quota_s is
+    the largest-remainder rounding of ``total * c_s^(1/T) / sum
+    c_j^(1/T)`` — T=1 is proportional-to-size, T→inf is uniform-per-
+    domain; intermediate T up-weights small domains the way the
+    multilingual-corpus samplers do (XLM-R eq. 1, also The Pile's
+    epoch-weighting and DoReMi's mixture baseline all parameterize the
+    mix this way).
+
+    Largest-remainder (Hamilton) rounding: floor every ideal quota, then
+    hand the remaining ``total - sum(floor)`` seats to the largest
+    fractional parts (fraction ROUNDED TO 9 DECIMALS before ranking, so
+    a last-ulp `pow` difference between engines cannot flip a rank;
+    ties then break by stratum name). Quotas are finally clamped to the
+    stratum size; any shortfall from clamping is NOT redistributed —
+    iterative redistribution is neither SQL-expressible nor
+    order-independent, so callers who need the full ``total`` under
+    binding caps raise T (which is what a binding cap means).
+
+    ``counts`` is the (strata, count) frame — #strata rows, so the two
+    global windows here run over a frame the size of the DOMAIN LIST,
+    not the corpus (the same bounded-small-side reasoning as the group
+    cap elsewhere in the engine).
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+    if not (temperature > 0) or temperature != temperature:
+        raise ValueError("temperature must be a positive finite number")
+    w = F.pow(F.col(count_col).cast("double"), F.lit(1.0 / temperature))
+    every = Window.partitionBy()
+    ideal = F.lit(float(total)) * w / F.sum(w).over(every)
+    base = F.floor(ideal).cast("long")
+    frac = F.round(ideal - base.cast("double"), 9)
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_frac"), F.col(strata_col))
+    )
+    seats = F.lit(total) - F.sum("_base").over(every)
+    return (
+        counts.select(
+            strata_col, count_col, base.alias("_base"), frac.alias("_frac")
+        )
+        .select(
+            strata_col,
+            count_col,
+            "_base",
+            "_frac",
+            rk.alias("_rk"),
+            seats.alias("_seats"),
+        )
+        .select(
+            strata_col,
+            F.least(
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_seats"), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+                F.col(count_col),
+            ).alias("quota"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Temperature-based domain-mixture sampling: draw ~``total`` rows
+    with per-stratum quotas ∝ count^(1/T) (see
+    :func:`temperature_quotas`), each stratum's quota filled by the same
+    exact deterministic hash-order rule as
+    :func:`stratified_sample_exact` — seed-free, reproducible across
+    runs/engines/cluster sizes, and ANSI-SQL-oracle-able under the
+    ``affine`` key family (gate row ``temperature_sample``).
+
+    Physical shape: one map-side-combined count aggregation (#strata
+    rows), the quota arithmetic on that tiny frame, a broadcast join of
+    the quotas back, and one per-stratum window. For strata too large to
+    sort in a task, the validated hash-threshold prefilter of
+    ``stratified_sample_exact`` composes: run it per stratum with the
+    quota frame's values — left as the caller's composition since quota
+    varies per stratum.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    quotas = temperature_quotas(
+        counts, total, temperature, strata_col=strata_col, count_col="_cnt"
+    )
+    key = sample_key(id_col, hash_fn).alias("_skey")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_skey"), F.col(id_col))
+    out = (
+        df.select("*", key)
+        .join(F.broadcast(quotas), strata_col)
+        .select("*", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= F.col("quota"))
+    )
+    cols = list(df.columns) + (["sample_rank"] if keep_rank else [])
+    return out.select(*cols)
