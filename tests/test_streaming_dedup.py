@@ -255,3 +255,34 @@ def test_quantize_embeddings_runs_on_streams(spark, tmp_path_factory):
     for r in got.itertuples():
         q, s = exp[int(r.vec_id)]
         assert list(r.q) == q and r.scale == s
+
+
+def test_redact_pii_runs_on_streams(spark, tmp_path_factory):
+    """PII redaction is a stateless projection — it runs on a streaming
+    frame with no twin needed (the live-admission contract: scrub before
+    anything is persisted)."""
+    from mrmr_spark.operators.pii import redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                f"msg u{i}@ex.org from 10.0.0.{i}" if i % 2 == 0 else f"plain {i}"
+                for i in range(6)
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("pii_stream_in"))
+    sdf.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(d)
+    got = _run_stream(spark, redact_pii(stream), "pii_stream")
+    exp = {
+        r.doc_id: (r.text, r.n_email, r.n_ipv4) for r in redact_pii(sdf).collect()
+    }
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        t, ne, ni = exp[int(r.doc_id)]
+        assert r.text == t and r.n_email == ne and r.n_ipv4 == ni
+    assert "[EMAIL]" in exp[0][0] and "[IPV4]" in exp[0][0]
