@@ -131,6 +131,17 @@ def main():
           gate.QUERIES["gopher_filter"](spark, SF),
           "pure projection like repetition_stats; all six rules + the "
           "conjunction in one pass over the scan")
+    audit("pii_redact (regex scrub + audit counts)",
+          gate.QUERIES["pii_redact"](spark, SF),
+          "pure projection: zero exchanges, zero Python — the chained "
+          "regexp_replace redaction and every per-kind regexp_count fuse "
+          "into the scan")
+    audit("temperature_sample (domain-mixture quota sampling)",
+          gate.QUERIES["temperature_sample"](spark, SF),
+          "one map-side-combined count agg (#strata rows); quota "
+          "arithmetic windows run on that tiny frame only; quotas "
+          "broadcast back; one per-stratum window fills them — no global "
+          "sort, corpus shuffled once on the stratum key")
     audit("pack_documents (concat-and-chunk token packing)",
           gate.QUERIES["pack_documents"](spark, SF),
           "ONE range exchange on the order key; per-range totals -> "
