@@ -245,6 +245,8 @@ def main():
         "pack_documents",
         "quantize_embeddings",
         "lm_score",
+        "pii_redact",
+        "temperature_sample",
         "knn_cosine",
         "winnow_pairs",
     ]:
