@@ -2837,6 +2837,114 @@ FROM rnk WHERE sample_rank <= quota
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Lee et al. 2021 exact substring dedup on `documents`: maximal
+    token spans covered by 6-grams occurring >=2 times corpus-wide, the
+    per-gram canonical (min doc_id, pos) occurrence exempt. The corpus'
+    planted exact-duplicate docs surface as whole-document spans with
+    the first copy span-free. Spark merges positions with a
+    gaps-and-islands window over token-hash-slice fingerprints; the
+    oracle re-derives the same spans from the gram STRINGS with
+    windowed df/row_number — agreement also evidences fingerprint
+    collision-freeness."""
+    from mrmr_spark.operators.curation import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(d, n=6).select(
+        "doc_id",
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.col("tok_end").cast("bigint").alias("tok_end"),
+        "n_grams",
+    )
+
+
+_SQL_SPANS_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+5], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts) - 4)) AS t(i)
+  WHERE len(ts) >= 6
+),
+ranked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY g) AS df,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+dup AS (SELECT doc_id, pos FROM ranked WHERE df >= 2 AND rn > 1),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 6
+              THEN 1 ELSE 0 END AS new
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, min(pos) AS tok_start, max(pos) + 6 AS tok_end,
+         count(*) AS n_grams
+  FROM isl GROUP BY doc_id, island
+)"""
+
+SQL_DUPLICATE_SPANS = f"""
+WITH {_SQL_SPANS_CTE}
+SELECT doc_id, tok_start, tok_end, n_grams FROM spans
+"""
+
+
+def q_duplicate_trim(spark, sf_dir):
+    """End-to-end span dedup: duplicate_spans -> trim_duplicate_spans.
+    Non-canonical copies of every duplicated passage are cut out of the
+    text (tokens re-joined on the split char); canonical copies and
+    span-free docs pass through byte-identical. The oracle rebuilds the
+    kept tokens with an anti-semijoin against the span table and an
+    ordered string_agg."""
+    from mrmr_spark.operators.curation import duplicate_spans, trim_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = trim_duplicate_spans(d, duplicate_spans(d, n=6))
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_removed_tokens").cast("bigint").alias("n_removed_tokens"),
+    )
+
+
+SQL_DUPLICATE_TRIM = f"""
+WITH {_SQL_SPANS_CTE},
+tokpos AS (
+  SELECT doc_id, ts[i] AS tokn, i - 1 AS pos, len(ts) AS ntok
+  FROM tok, LATERAL unnest(range(1, len(ts) + 1)) AS t(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tokn, tp.pos
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id
+      AND tp.pos >= s.tok_start AND tp.pos < s.tok_end)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+spanned AS (SELECT DISTINCT doc_id FROM spans)
+SELECT d.doc_id,
+       CASE WHEN sp.doc_id IS NULL THEN d.text
+            ELSE coalesce(r.text, '') END AS text,
+       CASE WHEN sp.doc_id IS NULL THEN 0
+            ELSE len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+            END AS n_removed_tokens
+FROM documents d
+LEFT JOIN spanned sp USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -2898,6 +3006,8 @@ QUERIES = {
     "lm_score_trigram": q_lm_score_trigram,
     "pii_redact": q_pii_redact,
     "temperature_sample": q_temperature_sample,
+    "duplicate_spans": q_duplicate_spans,
+    "duplicate_trim": q_duplicate_trim,
 }
 
 ORACLE_SQL = {
@@ -2961,4 +3071,6 @@ ORACLE_SQL = {
     "lm_score_trigram": SQL_LM_SCORE_TRIGRAM,
     "pii_redact": SQL_PII_REDACT,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "duplicate_trim": SQL_DUPLICATE_TRIM,
 }

@@ -1112,3 +1112,177 @@ def temperature_sample(
     )
     cols = list(df.columns) + (["sample_rank"] if keep_rank else [])
     return out.select(*cols)
+
+
+def _positioned_gram_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    split: str,
+    hash_fn: str,
+    gram_keys: str,
+) -> DataFrame:
+    """(id, pos, g1, g2) — one row per gram OCCURRENCE (0-based token
+    position, NOT distinct: substring dedup needs every position). Key
+    families as :func:`_exploded_gram_keys`."""
+    if gram_keys not in ("tokens", "string"):
+        raise ValueError(f"gram_keys must be 'tokens' or 'string', got {gram_keys!r}")
+    if gram_keys == "string" or hash_fn != "xxhash64":
+        return df.select(
+            id_col, F.posexplode(word_ngrams(text_col, n, split)).alias("pos", "_g")
+        ).select(
+            id_col,
+            "pos",
+            hash64(F.col("_g"), seed=1, hash_fn=hash_fn).alias("g1"),
+            hash64(F.col("_g"), seed=2, hash_fn=hash_fn).alias("g2"),
+        )
+    toks = F.split(F.col(text_col), split)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    sliced = _bind(
+        th,
+        lambda h: F.when(
+            F.size(h) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - F.lit(n - 1)),
+                lambda i: F.slice(h, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<array<bigint>>")),
+    )
+    return df.select(id_col, F.posexplode(sliced).alias("pos", "_hs")).select(
+        id_col,
+        "pos",
+        F.xxhash64(F.lit(1), "_hs").alias("g1"),
+        F.xxhash64(F.lit(2), "_hs").alias("g2"),
+    )
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    split: str = " ",
+    min_df: int = 2,
+    keep_first: bool = True,
+    hash_fn: str = "xxhash64",
+    gram_keys: str = "tokens",
+) -> DataFrame:
+    """EXACT substring deduplication, the Lee et al. 2021 scheme
+    ("Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span covered by word ``n``-grams that occur
+    ``min_df``+ times across the corpus (the paper's published setting
+    is 50 BPE tokens; here tokens are ``split`` units). Returns one row
+    per (document, maximal duplicated span): ``(id_col, tok_start,
+    tok_end, n_grams)`` with ``tok_end`` exclusive, 0-based.
+
+    ``keep_first=True`` implements the paper's except-one semantics at
+    gram granularity: each gram's corpus-canonical occurrence — minimum
+    (id, pos) — is exempt, so the canonical copy of a duplicated passage
+    yields no span and survives :func:`trim_duplicate_spans` intact.
+
+    Spark-native re-expression of the paper's suffix-array pass: the
+    suffix array exists to find repeated substrings on one machine; on a
+    cluster the same set (for fixed ``n``) is one shuffle — count gram
+    occurrences by 128-bit fingerprint, join the ``>= min_df`` survivors
+    back to positions, and merge overlapping/adjacent positions per
+    document with a gaps-and-islands window (new island when
+    ``pos > prev_pos + n``; spans of a sorted fixed-width cover are
+    monotone, so the lag test is exact). Shuffle volume is ~32 bytes per
+    corpus token for the count and ∝ DUPLICATED occurrences afterwards;
+    nothing is ever quadratic and no task holds more than one document's
+    positions. The windows partition by document — bounded by the
+    longest document, the same bound the FE layer lives with.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would span every token)")
+    occ = _positioned_gram_keys(corpus, id_col, text_col, n, split, hash_fn, gram_keys)
+    stats = occ.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
+    )
+    rep = stats.where(F.col("_df") >= min_df)
+    dup = occ.join(rep, ["g1", "g2"])
+    if keep_first:
+        dup = dup.where(
+            (F.col(id_col) != F.col(f"_canon.{id_col}"))
+            | (F.col("pos") != F.col("_canon.pos"))
+        )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.select(
+        id_col,
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + n),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        id_col,
+        "pos",
+        F.sum("_new")
+        .over(Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, 0
+        ))
+        .alias("_island"),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("tok_start"),
+        (F.max("pos") + n).alias("tok_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("_island")
+
+
+def trim_duplicate_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = " ",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cut the duplicated spans out of each document: tokens whose
+    position falls in any of the document's ``[tok_start, tok_end)``
+    spans are dropped and the survivors re-joined with ``split``.
+    Appends ``n_removed_tokens``; with ``keep_first=True`` upstream, the
+    canonical copy of every passage is untouched (0 removed).
+
+    Shape: spans aggregate to one array per document (∝ spans, small),
+    broadcast-or-shuffle join on ``id_col``, then one pure-Column pass —
+    position filter via higher-order functions, O(tokens × spans/doc)
+    per row, zero Python. Documents without spans pass through the left
+    join unchanged."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("tok_start", "tok_end")).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), split)
+    kept = _bind(
+        toks,
+        lambda ts: F.filter(
+            ts,
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["tok_start"]) & (i < s["tok_end"]),
+            ),
+        ),
+    )
+    trimmed = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(split, kept)
+    )
+    removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    tgt = out_col or text_col
+    cols = [
+        trimmed.alias(tgt) if c == tgt else F.col(c) for c in corpus.columns
+    ]
+    if out_col is not None and out_col not in corpus.columns:
+        cols.append(trimmed.alias(out_col))
+    return corpus.join(sp, id_col, "left").select(
+        *cols, removed.alias("n_removed_tokens")
+    )

@@ -568,3 +568,167 @@ def test_ngram_lm_any_order_matches_python(docs, order, gram_keys):
         g = got[r.doc_id]
         assert g.n_terms == len(lps)
         assert g.avg_logprob == pytest.approx(sum(lps) / len(lps), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) deduplication — Lee et al. 2021 scheme
+# ---------------------------------------------------------------------------
+
+def _py_dup_spans(rows, n, min_df=2, keep_first=True):
+    """Independent oracle: gram occurrences -> df counts -> canonical
+    exemption -> merge positions closer than n into maximal spans."""
+    occ = []
+    for did, text in rows:
+        ts = text.split(" ")
+        for p in range(len(ts) - n + 1):
+            occ.append((did, p, tuple(ts[p : p + n])))
+    df_ = Counter(g for _, _, g in occ)
+    canon = {}
+    for did, p, g in sorted(occ):
+        canon.setdefault(g, (did, p))
+    from collections import defaultdict
+
+    dup = defaultdict(list)
+    for did, p, g in occ:
+        if df_[g] >= min_df and (not keep_first or canon[g] != (did, p)):
+            dup[did].append(p)
+    spans = []
+    for did, ps in dup.items():
+        ps.sort()
+        s = last = None
+        cnt = 0
+        for p in ps:
+            if s is None:
+                s, last, cnt = p, p, 1
+            elif p <= last + n:
+                last, cnt = p, cnt + 1
+            else:
+                spans.append((did, s, last + n, cnt))
+                s, last, cnt = p, p, 1
+        if s is not None:
+            spans.append((did, s, last + n, cnt))
+    return sorted(spans)
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    """Cross-doc planted passages over a tiny vocab: shared 8-token
+    passages at different offsets, a three-way copy (two non-canonical
+    spans), an exact whole-doc duplicate pair, and unique filler."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"v{i}" for i in range(40)]
+    passage_a = " ".join(rng.choice(vocab) for _ in range(8))
+    passage_b = " ".join(rng.choice(vocab) for _ in range(11))
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        txt = " ".join(words)
+        if i % 7 == 0:
+            txt = f"{txt} {passage_a}".strip()
+        if i % 11 == 0:
+            txt = f"{passage_b} {txt}".strip()
+        rows.append((i, txt))
+    rows.append((100, rows[3][1]))  # exact whole-doc duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.cache()
+
+
+@pytest.mark.parametrize("keep_first", [True, False])
+def test_duplicate_spans_matches_python_oracle(span_docs, keep_first):
+    from mrmr_spark.operators.curation import duplicate_spans
+
+    rows = [(r.doc_id, r.text) for r in span_docs.collect()]
+    n = 4
+    want = _py_dup_spans(rows, n, keep_first=keep_first)
+    got = sorted(
+        (r.doc_id, r.tok_start, r.tok_end, r.n_grams)
+        for r in duplicate_spans(span_docs, n=n, keep_first=keep_first).collect()
+    )
+    assert want, "fixture must contain duplicated spans"
+    assert got == want
+
+
+def test_duplicate_spans_gram_key_backends_identical(span_docs):
+    from mrmr_spark.operators.curation import duplicate_spans
+
+    a = sorted(map(tuple, duplicate_spans(span_docs, n=4).collect()))
+    b = sorted(map(tuple, duplicate_spans(span_docs, n=4, gram_keys="string").collect()))
+    assert a == b
+
+
+def test_duplicate_spans_canonical_copy_untouched(span_docs):
+    """keep_first: the (min doc_id, pos) copy of the whole-doc duplicate
+    pair yields no span; the later copy is spanned end to end."""
+    from mrmr_spark.operators.curation import duplicate_spans
+
+    n = 4
+    spans = duplicate_spans(span_docs, n=n).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    txt3 = {r.doc_id: r.text for r in span_docs.collect()}
+    ntok = len(txt3[3].split(" "))
+    if ntok >= n:
+        got = by_doc[100]
+        assert len(got) == 1
+        assert (got[0].tok_start, got[0].tok_end) == (0, ntok)
+        # doc 3's copy of ITS OWN text is canonical except where doc 3
+        # shares grams with other docs' planted passages
+        own = [
+            s for s in by_doc.get(3, []) if s.tok_end - s.tok_start >= ntok
+        ]
+        assert not own
+
+
+def test_trim_duplicate_spans_matches_python_oracle(span_docs):
+    from mrmr_spark.operators.curation import duplicate_spans, trim_duplicate_spans
+
+    rows = [(r.doc_id, r.text) for r in span_docs.collect()]
+    n = 4
+    spans = _py_dup_spans(rows, n)
+    by_doc = {}
+    for did, s, e, _ in spans:
+        by_doc.setdefault(did, []).append((s, e))
+    want = {}
+    for did, text in rows:
+        ts = text.split(" ")
+        sp = by_doc.get(did)
+        if sp is None:
+            want[did] = (text, 0)
+        else:
+            kept = [
+                t
+                for i, t in enumerate(ts)
+                if not any(s <= i < e for s, e in sp)
+            ]
+            want[did] = (" ".join(kept), len(ts) - len(kept))
+    out = trim_duplicate_spans(span_docs, duplicate_spans(span_docs, n=n))
+    got = {r.doc_id: (r.text, r.n_removed_tokens) for r in out.collect()}
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())
+    assert any(v[1] == 0 for v in want.values())
+
+
+def test_trim_duplicate_spans_out_col_keeps_original(span_docs):
+    from mrmr_spark.operators.curation import duplicate_spans, trim_duplicate_spans
+
+    sp = duplicate_spans(span_docs, n=4)
+    out = trim_duplicate_spans(span_docs, sp, out_col="clean_text")
+    orig = {r.doc_id: r.text for r in span_docs.collect()}
+    for r in out.collect():
+        assert r.text == orig[r.doc_id]
+        if r.n_removed_tokens == 0:
+            assert r.clean_text == r.text
+
+
+def test_duplicate_spans_validation(span_docs):
+    from mrmr_spark.operators.curation import duplicate_spans
+
+    with pytest.raises(ValueError, match="min_df"):
+        duplicate_spans(span_docs, min_df=1)
+    with pytest.raises(ValueError, match="n must"):
+        duplicate_spans(span_docs, n=0)
+    with pytest.raises(ValueError, match="gram_keys"):
+        duplicate_spans(span_docs, gram_keys="bogus")

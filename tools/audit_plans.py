@@ -142,6 +142,18 @@ def main():
           "arithmetic windows run on that tiny frame only; quotas "
           "broadcast back; one per-stratum window fills them — no global "
           "sort, corpus shuffled once on the stratum key")
+    audit("duplicate_spans (Lee et al. exact substring dedup)",
+          gate.QUERIES["duplicate_spans"](spark, SF),
+          "positioned-gram explode -> ONE map-side-combined hash agg on the "
+          "128-bit gram key -> shuffle join of survivors back to positions "
+          "(∝ duplicated occurrences only) -> per-doc gaps-and-islands "
+          "windows sharing one doc_id exchange; zero Python nodes")
+    audit("duplicate_trim (span removal, end to end)",
+          gate.QUERIES["duplicate_trim"](spark, SF),
+          "spans collapse to one array row per spanned doc (small side), "
+          "doc_id-keyed left join back to the corpus, then a pure-Column "
+          "higher-order-function trim — corpus text never in a shuffle key "
+          "beyond the one join")
     audit("pack_documents (concat-and-chunk token packing)",
           gate.QUERIES["pack_documents"](spark, SF),
           "ONE range exchange on the order key; per-range totals -> "
