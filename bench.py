@@ -247,6 +247,8 @@ def main():
         "lm_score",
         "pii_redact",
         "temperature_sample",
+        "duplicate_spans",
+        "duplicate_trim",
         "knn_cosine",
         "winnow_pairs",
     ]:

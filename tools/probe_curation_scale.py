@@ -15,7 +15,14 @@ Planted truth:
   those (a chance 13-gram collision at VOCAB=4000 is ~4000^-13: zero);
 - every doc with doc_id % 23 == 0 has its second quarter overwritten
   by a 2-token phrase repeat -> rep2_dup_frac must exceed 0.2 there and
-  (statistically) stay ~0 elsewhere at VOCAB >> L.
+  (statistically) stay ~0 elsewhere at VOCAB >> L;
+- every doc with doc_id % 41 == 0 has tokens [100, 130) overwritten by
+  a fixed 30-marker passage -> duplicate_spans(n=20) on the %23!=0
+  slice (the rep cycle is ALSO a legitimate within-doc duplicate, so
+  the slice keeps the passage the only planted truth) must yield
+  exactly one 30-token / 11-gram span per passage doc except the
+  canonical (min doc_id) copy, and trim_duplicate_spans must remove
+  exactly 30 tokens from exactly those docs.
 
 Usage:
   MRMR_PROBE_DOCS=200000 MRMR_PROBE_TOKENS=160 python tools/probe_curation_scale.py
@@ -41,18 +48,32 @@ VOCAB = int(os.environ.get("MRMR_PROBE_VOCAB", "4000"))
 N_SOURCES = 50
 BENCH_GRAM = " ".join(f"evalmark{i}" for i in range(13))
 REP_PHRASE = ["dupalpha", "dupbeta"]
+PASSAGE = [f"passtok{i:02d}" for i in range(30)]
+PASSAGE_AT = 100  # after the rep region [L/4, L/2); needs L_TOKENS >= 130
 
 
 def build_corpus() -> pd.DataFrame:
     rng = np.random.default_rng(20260818)
     vocab = np.array([f"tok{i:05d}" for i in range(VOCAB)])
     ids = rng.integers(0, VOCAB, size=(N_DOCS, L_TOKENS))
-    toks = vocab[ids]
+    # <U16, not the vocab's <U8: the fixed-width dtype silently TRUNCATES
+    # later planted tokens (sentL2460 -> sentL246 collided with doc 246's
+    # sentinel; passtok00 -> passtok0 folded the passage onto itself)
+    toks = vocab[ids].astype("<U16")
     # plant repetition: overwrite the second quarter with a 2-token cycle
     rep_rows = np.arange(0, N_DOCS, 23)
     q = L_TOKENS // 4
     cycle = np.tile(REP_PHRASE, q // 2 + 1)[:q]
     toks[rep_rows, q : 2 * q] = cycle
+    if L_TOKENS >= PASSAGE_AT + len(PASSAGE) + 1:
+        pass_rows = np.arange(0, N_DOCS, 41)
+        toks[pass_rows, PASSAGE_AT : PASSAGE_AT + len(PASSAGE)] = PASSAGE
+        # per-doc UNIQUE sentinels flanking the passage: without them a
+        # straddling 20-gram occasionally duplicates by a chance match
+        # of the one adjacent context token across two passage docs
+        # (~C(N/41,2)/VOCAB pairs), legitimately extending the span
+        toks[pass_rows, PASSAGE_AT - 1] = [f"sentL{i}" for i in pass_rows]
+        toks[pass_rows, PASSAGE_AT + len(PASSAGE)] = [f"sentR{i}" for i in pass_rows]
     texts = [" ".join(row) for row in toks]
     # plant contamination: inject the benchmark 13-gram mid-document
     for i in range(0, N_DOCS, 37):
@@ -149,6 +170,49 @@ def main() -> None:
     )
     for h in pin:
         h.unpersist()
+
+    # --- duplicate_spans / trim (planted cross-doc passage) ---------------
+    # the rep-cycle region is ALSO a true within-doc duplicate under the
+    # Lee et al. semantics (correct, but its span truth is intricate), so
+    # probe on the %23!=0 slice where the passage is the only planted dup
+    if L_TOKENS >= PASSAGE_AT + len(PASSAGE) + 1:
+        from mrmr_spark.operators.curation import (
+            duplicate_spans,
+            trim_duplicate_spans,
+        )
+
+        clean = docs.where(F.col("doc_id") % 23 != 0)
+        t0 = time.time()
+        spans = duplicate_spans(clean, n=20)
+        agg = spans.agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("n_grams").alias("gmin"),
+            F.max("n_grams").alias("gmax"),
+            F.min(F.col("tok_end") - F.col("tok_start")).alias("lmin"),
+            F.max(F.col("tok_end") - F.col("tok_start")).alias("lmax"),
+        ).first()
+        out["dup_spans_s"] = round(time.time() - t0, 3)
+        dprime = [i for i in range(0, N_DOCS, 41) if i % 23 != 0]
+        want_grams = len(PASSAGE) - 20 + 1
+        out["dup_spans_ok"] = bool(
+            agg.n_spans == len(dprime) - 1
+            and agg.id_sum == sum(dprime) - min(dprime)
+            and agg.gmin == agg.gmax == want_grams
+            and agg.lmin == agg.lmax == len(PASSAGE)
+        )
+        t0 = time.time()
+        chk = trim_duplicate_spans(clean, spans).agg(
+            F.sum(F.when(F.col("n_removed_tokens") == len(PASSAGE), 1).otherwise(0)).alias("n_hit"),
+            F.sum("n_removed_tokens").alias("tot"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        out["dup_trim_s"] = round(time.time() - t0, 3)
+        out["dup_trim_ok"] = bool(
+            chk.n_hit == len(dprime) - 1
+            and chk.tot == len(PASSAGE) * (len(dprime) - 1)
+            and chk.n == clean.count()
+        )
 
     # --- lm_score (model on the doc_id%11==0 slice) -----------------------
     t0 = time.time()
