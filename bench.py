@@ -249,6 +249,7 @@ def main():
         "temperature_sample",
         "duplicate_spans",
         "duplicate_trim",
+        "dsir_logweights",
         "knn_cosine",
         "winnow_pairs",
     ]:

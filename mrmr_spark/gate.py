@@ -2945,6 +2945,106 @@ LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights: target = the doc_id%13
+    slice, raw = the rest (scored); 256 buckets over unigrams+bigrams
+    under the SQL-reproducible md5_60 bucket family, decimal terms so
+    the per-doc sums are order-independent. The oracle re-derives both
+    multinomials and every per-gram log ratio in DuckDB."""
+    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 13 == 0)
+    pool = d.where(F.col("doc_id") % 13 != 0)
+    tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
+    rm = dsir_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
+    out = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True)
+    return out.select("doc_id", "n_features", r6(F.col("log_weight")).alias("log_weight"))
+
+
+_SQL_DSIR_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, unnest(ts) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+),
+bkt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('1:' || g), 1, 15))::BIGINT % 256 AS bucket
+  FROM grams
+),
+tcnt AS (
+  SELECT bucket, count(*) AS ct FROM bkt WHERE doc_id % 13 = 0 GROUP BY bucket
+),
+rcnt AS (
+  SELECT bucket, count(*) AS cr FROM bkt WHERE doc_id % 13 <> 0 GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tcnt) AS tt,
+         (SELECT CAST(sum(cr) AS DOUBLE) FROM rcnt) AS tr
+),
+terms AS (
+  SELECT b.doc_id,
+         CAST(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 256.0))
+              - ln((coalesce(r.cr, 0) + 1.0) / (tot.tr + 256.0))
+              AS DECIMAL(28,12)) AS lr
+  FROM bkt b
+  LEFT JOIN tcnt t USING (bucket)
+  LEFT JOIN rcnt r USING (bucket)
+  CROSS JOIN tot
+  WHERE b.doc_id % 13 <> 0
+),
+lw AS (
+  SELECT doc_id, count(*) AS n_features,
+         CAST(sum(lr) AS DOUBLE) AS log_weight
+  FROM terms GROUP BY doc_id
+)"""
+
+SQL_DSIR_LOGWEIGHTS = f"""
+WITH {_SQL_DSIR_CTE}
+SELECT doc_id, n_features, round(log_weight, 6) AS log_weight FROM lw
+"""
+
+
+def q_dsir_sample(spark, sf_dir):
+    """End-to-end DSIR: importance weights (md5_60 buckets, decimal
+    terms) -> Gumbel top-100 resampling under the affine uniform. As
+    with `weighted_sample`, a 1-ulp ln() divergence could in principle
+    flip an ordering; hash agreement over the selected set doubles as
+    evidence it does not."""
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 13 == 0)
+    pool = d.where(F.col("doc_id") % 13 != 0)
+    tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
+    rm = dsir_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
+    lw = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True)
+    out = dsir_sample(lw, 100, hash_fn="affine")
+    return out.select("doc_id", "n_features")
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH {_SQL_DSIR_CTE},
+keyed AS (
+  SELECT doc_id, n_features,
+         log_weight
+         - ln(-ln(greatest(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                           0.5 / 4294967296.0))) AS gkey
+  FROM lw
+)
+SELECT doc_id, n_features
+FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 100
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3008,6 +3108,8 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "duplicate_spans": q_duplicate_spans,
     "duplicate_trim": q_duplicate_trim,
+    "dsir_logweights": q_dsir_logweights,
+    "dsir_sample": q_dsir_sample,
 }
 
 ORACLE_SQL = {
@@ -3073,4 +3175,6 @@ ORACLE_SQL = {
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "duplicate_trim": SQL_DUPLICATE_TRIM,
+    "dsir_logweights": SQL_DSIR_LOGWEIGHTS,
+    "dsir_sample": SQL_DSIR_SAMPLE,
 }

@@ -1286,3 +1286,171 @@ def trim_duplicate_spans(
     return corpus.join(sp, id_col, "left").select(
         *cols, removed.alias("n_removed_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_grams(text_col: str, split: str, ns: tuple) -> Column:
+    """All word n-grams for every order in ``ns`` as one array (order 1 =
+    the tokens themselves) — DSIR's bag-of-hashed-ngrams feature space
+    pools the orders into one bucket space."""
+    toks = F.split(F.col(text_col), split)
+    arrays = [toks if n == 1 else word_ngrams(text_col, n, split) for n in ns]
+    return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+
+
+def dsir_bucket_counts(
+    reference: DataFrame,
+    text_col: str = "text",
+    split: str = " ",
+    ns: tuple = (1, 2),
+    n_buckets: int = 10_000,
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """Hashed n-gram bucket counts for DSIR importance weighting
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): every order-``ns`` word gram is hashed into one of
+    ``n_buckets`` buckets (the paper's 10k-bucket unigram+bigram
+    feature space), and the returned counts define a multinomial
+    distribution over buckets. Bucket collisions are PART of the method
+    — they bound the model at ``n_buckets`` rows no matter the corpus.
+
+    Returns ``{"counts": df(bucket, cnt), "total": sum(cnt),
+    "n_buckets", "ns", "hash_fn"}``. Train one model on the TARGET
+    distribution (the high-quality corpus you want more of) and one on
+    the RAW pool, then :func:`dsir_logweights` scores the pool.
+
+    Scale: one explode + one map-side-combined count agg; the model is
+    ≤ ``n_buckets`` rows (broadcastable at any corpus size). ``total``
+    is the one driver action. ``hash_fn="md5_60"`` gives the
+    SQL-reproducible bucket family (see :func:`~mrmr_spark.operators.dedup.hash64`)
+    the gate oracles; production keeps JVM xxhash64.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be a non-empty tuple of orders >= 1")
+    bucket = F.pmod(
+        hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(n_buckets)
+    ).alias("bucket")
+    counts = (
+        reference.select(F.explode(_dsir_grams(text_col, split, ns)).alias("_g"))
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    return {
+        "counts": counts,
+        "total": int(total),
+        "n_buckets": n_buckets,
+        "ns": tuple(ns),
+        "hash_fn": hash_fn,
+    }
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target_model: dict,
+    raw_model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = " ",
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+    decimal_terms: bool = False,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: under the two hashed
+    n-gram multinomials from :func:`dsir_bucket_counts`,
+
+        log w(doc) = sum over gram occurrences of
+                     log p_target(bucket) - log p_raw(bucket)
+
+    with add-``alpha`` smoothing p_m(b) = (cnt_m(b) + alpha) /
+    (total_m + alpha * n_buckets). Returns ``(id_col, n_features,
+    log_weight)`` — one row per doc with >= 1 gram; scores-only by
+    design (joining back is the caller's shuffle decision), like
+    :func:`ngram_lm_score`.
+
+    Scale: corpus grams explode -> bucket -> TWO broadcast left joins
+    against the <= n_buckets-row model frames -> one per-doc agg.
+    ``decimal_terms=True`` casts each log-ratio term to DECIMAL(28,12)
+    before summing — bit-reproducible under any partitioning (the mode
+    the gate oracles). Both models must share ``n_buckets``/``ns``/
+    ``hash_fn`` (checked): bucket ids are only comparable inside one
+    hashed feature space.
+    """
+    for k in ("n_buckets", "ns", "hash_fn"):
+        if target_model[k] != raw_model[k]:
+            raise ValueError(
+                f"target and raw models disagree on {k}: "
+                f"{target_model[k]!r} != {raw_model[k]!r}"
+            )
+    b = target_model["n_buckets"]
+    hash_fn = target_model["hash_fn"]
+    ns = target_model["ns"]
+    maybe_bc = F.broadcast if broadcast_model else (lambda d: d)
+    ex = corpus.select(
+        id_col, F.explode(_dsir_grams(text_col, split, ns)).alias("_g")
+    ).select(
+        id_col,
+        F.pmod(hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(b)).alias("bucket"),
+    )
+    t = target_model["counts"].select("bucket", F.col("cnt").alias("_ct"))
+    r = raw_model["counts"].select("bucket", F.col("cnt").alias("_cr"))
+    lr = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
+        / F.lit(float(target_model["total"]) + alpha * b)
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(alpha))
+        / F.lit(float(raw_model["total"]) + alpha * b)
+    )
+    term = F.col("_lr").cast("decimal(28,12)") if decimal_terms else F.col("_lr")
+    return (
+        ex.join(maybe_bc(t), "bucket", "left")
+        .join(maybe_bc(r), "bucket", "left")
+        .select(id_col, lr.alias("_lr"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(term).cast("double").alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    k: int,
+    log_weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    keep_key: bool = False,
+) -> DataFrame:
+    """DSIR's resampling step: draw ``k`` rows without replacement with
+    probability ∝ exp(log_weight) via Gumbel top-k — identical in
+    distribution to :func:`weighted_sample_exact` on w = exp(log_weight)
+    (same deterministic hash uniforms; selections provably equal, see
+    the pytest), but computed entirely in LOG space so importance
+    weights spanning hundreds of nats never overflow a double.
+
+    Key: g_i = log_weight_i - ln(-ln(u_i)); keep the ``k`` LARGEST
+    (Gumbel-max without replacement). u from the seed-free
+    :func:`sample_key` families; ``affine`` is ANSI-SQL-reproducible
+    for the oracle. Global top-k runs as orderBy.limit(k) —
+    per-partition top-k + a k·#partitions driver merge, no global sort.
+    """
+    u = (sample_key(id_col, hash_fn).cast("double") - F.lit(_key_lo(hash_fn))) / F.lit(
+        _key_space(hash_fn)
+    )
+    u = F.greatest(u, F.lit(0.5 / _key_space(hash_fn)))
+    lw = F.col(log_weight_col).cast("double")
+    bad = df.where(
+        F.col(log_weight_col).isNull() | F.isnan(lw) | (F.abs(lw) == float("inf"))
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(f"log weights in {log_weight_col!r} must be finite")
+    key = (lw - F.log(-F.log(u))).alias("_gkey")
+    out = df.select("*", key).orderBy(F.col("_gkey").desc(), F.col(id_col).asc()).limit(k)
+    return out if keep_key else out.drop("_gkey")

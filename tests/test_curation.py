@@ -732,3 +732,139 @@ def test_duplicate_spans_validation(span_docs):
         duplicate_spans(span_docs, n=0)
     with pytest.raises(ValueError, match="gram_keys"):
         duplicate_spans(span_docs, gram_keys="bogus")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed n-gram importance weights + Gumbel resampling
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(g: str, b: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"1:{g}".encode()).hexdigest()[:15], 16) % b
+
+
+def _py_dsir_counts(rows, ns, b):
+    c = Counter()
+    for _, text in rows:
+        ts = text.split(" ")
+        for n in ns:
+            for i in range(len(ts) - n + 1):
+                c[_md5_bucket(" ".join(ts[i : i + n]), b)] += 1
+    return c, sum(c.values())
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    import random
+
+    rng = random.Random(17)
+    tv = [f"sci{i}" for i in range(15)]
+    rv = [f"web{i}" for i in range(60)]
+    pool, target = [], []
+    for i in range(150):
+        mix = 0.8 if i % 5 == 0 else 0.05
+        ws = [rng.choice(tv) if rng.random() < mix else rng.choice(rv)
+              for _ in range(rng.randint(2, 25))]
+        pool.append((i, " ".join(ws)))
+    for i in range(40):
+        target.append((1000 + i, " ".join(rng.choice(tv) for _ in range(20))))
+    return (
+        spark.createDataFrame(pool, "doc_id long, text string").cache(),
+        spark.createDataFrame(target, "doc_id long, text string").cache(),
+        pool,
+        target,
+    )
+
+
+def test_dsir_logweights_matches_python_oracle(dsir_docs):
+    import math
+
+    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweights
+
+    docs, target, pool_rows, target_rows = dsir_docs
+    b, ns, a = 256, (1, 2), 1.0
+    tm = dsir_bucket_counts(target, ns=ns, n_buckets=b, hash_fn="md5_60")
+    rm = dsir_bucket_counts(docs, ns=ns, n_buckets=b, hash_fn="md5_60")
+    tc, tt = _py_dsir_counts(target_rows, ns, b)
+    rc, rt = _py_dsir_counts(pool_rows, ns, b)
+    assert tm["total"] == tt and rm["total"] == rt
+    got = {r.doc_id: r for r in dsir_logweights(docs, tm, rm, alpha=a).collect()}
+    for did, text in pool_rows:
+        ts = text.split(" ")
+        grams = [
+            " ".join(ts[i : i + n])
+            for n in ns
+            for i in range(len(ts) - n + 1)
+        ]
+        if not grams:
+            assert did not in got
+            continue
+        want = sum(
+            math.log((tc[_md5_bucket(g, b)] + a) / (tt + a * b))
+            - math.log((rc[_md5_bucket(g, b)] + a) / (rt + a * b))
+            for g in grams
+        )
+        r = got[did]
+        assert r.n_features == len(grams)
+        assert r.log_weight == pytest.approx(want, abs=1e-9)
+
+
+def test_dsir_prefers_target_like_docs(dsir_docs):
+    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweights
+
+    docs, target, pool_rows, _ = dsir_docs
+    tm = dsir_bucket_counts(target, n_buckets=512)
+    rm = dsir_bucket_counts(docs, n_buckets=512)
+    lw = dsir_logweights(docs, tm, rm)
+    top = [
+        r.doc_id
+        for r in lw.orderBy(
+            F.desc(F.col("log_weight") / F.col("n_features"))
+        ).limit(25).collect()
+    ]
+    assert sum(1 for d in top if d % 5 == 0) >= 23
+
+
+def test_dsir_sample_equals_weighted_sample_on_exp_weights(dsir_docs):
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweights,
+        dsir_sample,
+        weighted_sample_exact,
+    )
+
+    docs, target, _, _ = dsir_docs
+    tm = dsir_bucket_counts(target, n_buckets=512)
+    rm = dsir_bucket_counts(docs, n_buckets=512)
+    j = docs.join(dsir_logweights(docs, tm, rm), "doc_id").withColumn(
+        "w", F.exp("log_weight")
+    )
+    for hash_fn in ("xxhash64", "affine"):
+        a = sorted(r.doc_id for r in dsir_sample(j, 30, hash_fn=hash_fn).collect())
+        b = sorted(
+            r.doc_id
+            for r in weighted_sample_exact(j, "w", 30, hash_fn=hash_fn).collect()
+        )
+        assert a == b and len(a) == 30
+
+
+def test_dsir_validation(dsir_docs):
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    docs, target, _, _ = dsir_docs
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_bucket_counts(target, n_buckets=1)
+    with pytest.raises(ValueError, match="ns"):
+        dsir_bucket_counts(target, ns=())
+    tm = dsir_bucket_counts(target, n_buckets=64)
+    rm = dsir_bucket_counts(docs, n_buckets=128)
+    with pytest.raises(ValueError, match="disagree on n_buckets"):
+        dsir_logweights(docs, tm, rm)
+    bad = docs.limit(5).withColumn("log_weight", F.lit(float("inf")))
+    with pytest.raises(ValueError, match="finite"):
+        dsir_sample(bad, 3)

@@ -154,6 +154,15 @@ def main():
           "doc_id-keyed left join back to the corpus, then a pure-Column "
           "higher-order-function trim — corpus text never in a shuffle key "
           "beyond the one join")
+    audit("dsir_logweights (hashed-ngram importance weights)",
+          gate.QUERIES["dsir_logweights"](spark, SF),
+          "two bucket-bounded count aggs train the models (<= n_buckets "
+          "rows each); scoring = gram explode -> TWO broadcast left joins "
+          "-> one per-doc agg; corpus text never in a shuffle key")
+    audit("dsir_sample (Gumbel top-k importance resampling)",
+          gate.QUERIES["dsir_sample"](spark, SF),
+          "the logweights plan + a TakeOrderedAndProject top-k — "
+          "per-partition top-k + k-row driver merge, no global sort")
     audit("pack_documents (concat-and-chunk token packing)",
           gate.QUERIES["pack_documents"](spark, SF),
           "ONE range exchange on the order key; per-range totals -> "
