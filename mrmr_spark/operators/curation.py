@@ -1454,3 +1454,66 @@ def dsir_sample(
     key = (lw - F.log(-F.log(u))).alias("_gkey")
     out = df.select("*", key).orderBy(F.col("_gkey").desc(), F.col(id_col).asc()).limit(k)
     return out if keep_key else out.drop("_gkey")
+
+
+def dsir_logweight_expr(
+    target_model: dict,
+    raw_model: dict,
+    text_col: str = "text",
+    split: str = " ",
+    alpha: float = 1.0,
+    decimal_terms: bool = False,
+) -> tuple[Column, Column]:
+    """The DSIR scorer as a PURE Column expression pair
+    ``(n_features, log_weight)`` — the streaming-admission form: the two
+    bucket multinomials fold into ONE literal array of per-bucket log
+    ratios (length ``n_buckets`` — the whole model is the bounded part
+    of DSIR by construction), and each document's weight is a
+    higher-order-function fold over its own grams. Zero shuffle, zero
+    Python, no join: the projection runs on a streaming frame unchanged
+    (pytest), and on batch frames it is the map-side-only alternative to
+    :func:`dsir_logweights` when the driver may hold ``n_buckets``
+    doubles (it may: the paper's default is 10k).
+
+    Docs with no grams score (0, 0.0) here — the join path emits no row
+    for them; align with ``F.when(n_features > 0, ...)`` if needed.
+    Equality with the join path is ~1e-12 relative (the log ratios are
+    computed once in Python libm here vs per-row in the JVM there;
+    both IEEE doubles, tested at 1e-9). ``decimal_terms`` folds with a
+    stable-width DECIMAL(28,12) accumulator like the join path's sum.
+    """
+    for k in ("n_buckets", "ns", "hash_fn"):
+        if target_model[k] != raw_model[k]:
+            raise ValueError(
+                f"target and raw models disagree on {k}: "
+                f"{target_model[k]!r} != {raw_model[k]!r}"
+            )
+    import math
+
+    b = target_model["n_buckets"]
+    hash_fn = target_model["hash_fn"]
+    tc = {r["bucket"]: r["cnt"] for r in target_model["counts"].collect()}
+    rc = {r["bucket"]: r["cnt"] for r in raw_model["counts"].collect()}
+    td = float(target_model["total"]) + alpha * b
+    rd = float(raw_model["total"]) + alpha * b
+    lr = [
+        math.log((tc.get(i, 0) + alpha) / td) - math.log((rc.get(i, 0) + alpha) / rd)
+        for i in range(b)
+    ]
+    arr = F.lit(lr)
+    grams = _dsir_grams(text_col, split, target_model["ns"])
+
+    def term(g: Column) -> Column:
+        idx = (F.pmod(hash64(g, seed=1, hash_fn=hash_fn), F.lit(b)) + 1).cast("int")
+        t = F.element_at(arr, idx)
+        return t.cast("decimal(28,12)") if decimal_terms else t
+
+    zero = F.lit(0).cast("decimal(28,12)") if decimal_terms else F.lit(0.0)
+    if decimal_terms:
+        # re-cast inside the fold: decimal addition widens precision and
+        # aggregate() requires merge type == zero type
+        merge = lambda acc, g: (acc + term(g)).cast("decimal(28,12)")
+    else:
+        merge = lambda acc, g: acc + term(g)
+    logw = _bind(grams, lambda gs: F.aggregate(gs, zero, merge)).cast("double")
+    return F.size(grams).alias("n_features"), logw.alias("log_weight")

@@ -20,7 +20,11 @@ operator's 128-bit hash join is an equality join on the same strings.
 The other curation columns need no twin at all: repetition stats,
 n-gram builders and the quantizer are per-row expressions and run on a
 streaming frame unchanged (the repetition Column backend is tested on
-streams alongside the stateless text ops).
+streams alongside the stateless text ops). DSIR admission scoring
+follows the same principle via
+``operators.curation.dsir_logweight_expr`` — the bucket models fold
+into one literal log-ratio array, so the scorer is a pure projection
+and streams unchanged (pytest: ``test_dsir_logweight_expr_runs_on_streams``).
 """
 
 from __future__ import annotations

@@ -868,3 +868,64 @@ def test_dsir_validation(dsir_docs):
     bad = docs.limit(5).withColumn("log_weight", F.lit(float("inf")))
     with pytest.raises(ValueError, match="finite"):
         dsir_sample(bad, 3)
+
+
+def test_dsir_logweight_expr_matches_join_path(dsir_docs):
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweight_expr,
+        dsir_logweights,
+    )
+
+    docs, target, _, _ = dsir_docs
+    for hash_fn in ("xxhash64", "md5_60"):
+        tm = dsir_bucket_counts(target, n_buckets=128, hash_fn=hash_fn)
+        rm = dsir_bucket_counts(docs, n_buckets=128, hash_fn=hash_fn)
+        nf, lw = dsir_logweight_expr(tm, rm)
+        got = {
+            r.doc_id: (r.n_features, r.log_weight)
+            for r in docs.select("doc_id", nf, lw).collect()
+        }
+        want = {
+            r.doc_id: (r.n_features, r.log_weight)
+            for r in dsir_logweights(docs, tm, rm).collect()
+        }
+        for did, (n, w) in want.items():
+            assert got[did][0] == n
+            assert got[did][1] == pytest.approx(w, abs=1e-9)
+        # expr path also scores gram-less docs as (n>=0, 0.0); join path omits
+        for did in set(got) - set(want):
+            assert got[did][1] == 0.0
+
+
+def test_dsir_logweight_expr_decimal_matches_join_decimal(dsir_docs):
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweight_expr,
+        dsir_logweights,
+    )
+
+    docs, target, _, _ = dsir_docs
+    tm = dsir_bucket_counts(target, n_buckets=64)
+    rm = dsir_bucket_counts(docs, n_buckets=64)
+    nf, lw = dsir_logweight_expr(tm, rm, decimal_terms=True)
+    got = {r.doc_id: r.log_weight for r in docs.select("doc_id", nf, lw).collect()}
+    want = {
+        r.doc_id: r.log_weight
+        for r in dsir_logweights(docs, tm, rm, decimal_terms=True).collect()
+    }
+    for did, w in want.items():
+        assert got[did] == pytest.approx(w, abs=1e-9)
+
+
+def test_dsir_expr_plan_is_pure_project(dsir_docs):
+    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweight_expr
+
+    docs, target, _, _ = dsir_docs
+    tm = dsir_bucket_counts(target, n_buckets=64)
+    rm = dsir_bucket_counts(docs, n_buckets=64)
+    nf, lw = dsir_logweight_expr(tm, rm)
+    plan = docs.select("doc_id", nf, lw)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan

@@ -286,3 +286,41 @@ def test_redact_pii_runs_on_streams(spark, tmp_path_factory):
         t, ne, ni = exp[int(r.doc_id)]
         assert r.text == t and r.n_email == ne and r.n_ipv4 == ni
     assert "[EMAIL]" in exp[0][0] and "[IPV4]" in exp[0][0]
+
+
+def test_dsir_logweight_expr_runs_on_streams(spark, tmp_path_factory):
+    """The pure-Column DSIR scorer (model folded into one literal
+    log-ratio array) is a stateless projection — streaming admission
+    scoring needs no twin, no state store, no shuffle."""
+    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweight_expr
+
+    rng = __import__("random").Random(11)
+    tv = [f"sci{i}" for i in range(8)]
+    rv = [f"web{i}" for i in range(30)]
+    rows = [
+        (i, " ".join((rng.choice(tv) if i % 3 == 0 else rng.choice(rv))
+                     for _ in range(12)))
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(900, " ".join(rng.choice(tv) for _ in range(30)))], "doc_id long, text string"
+    )
+    tm = dsir_bucket_counts(target, n_buckets=64)
+    rm = dsir_bucket_counts(sdf, n_buckets=64)
+    nf, lw = dsir_logweight_expr(tm, rm)
+
+    d = str(tmp_path_factory.mktemp("dsir_stream_in"))
+    sdf.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(sdf.schema).parquet(d)
+    got = _run_stream(spark, stream.select("doc_id", nf, lw), "dsir_stream")
+    exp = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in sdf.select("doc_id", nf, lw).collect()
+    }
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        n, w = exp[int(r.doc_id)]
+        assert r.n_features == n and r.log_weight == w
+    assert any(v[1] > 0 for v in exp.values()) and any(v[1] < 0 for v in exp.values())
