@@ -50,12 +50,34 @@ BENCH_GRAM = " ".join(f"evalmark{i}" for i in range(13))
 REP_PHRASE = ["dupalpha", "dupbeta"]
 PASSAGE = [f"passtok{i:02d}" for i in range(30)]
 PASSAGE_AT = 100  # after the rep region [L/4, L/2); needs L_TOKENS >= 130
+TARGET_VOCAB = 100  # DSIR target distribution = uniform over vocab[:100]
+N_TARGET_DOCS = 2000
+
+
+def build_target_corpus() -> pd.DataFrame:
+    """The DSIR target corpus: narrow-vocab docs (vocab[:TARGET_VOCAB]).
+    Every corpus doc with doc_id % 29 == 0 is drawn from the SAME narrow
+    distribution -> those docs' per-gram importance weights must
+    strictly separate from the broad-vocab background."""
+    rng = np.random.default_rng(20260819)
+    vocab = np.array([f"tok{i:05d}" for i in range(TARGET_VOCAB)])
+    ids = rng.integers(0, TARGET_VOCAB, size=(N_TARGET_DOCS, L_TOKENS))
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(N_TARGET_DOCS, dtype=np.int64),
+            "text": [" ".join(r) for r in vocab[ids]],
+        }
+    )
 
 
 def build_corpus() -> pd.DataFrame:
     rng = np.random.default_rng(20260818)
     vocab = np.array([f"tok{i:05d}" for i in range(VOCAB)])
     ids = rng.integers(0, VOCAB, size=(N_DOCS, L_TOKENS))
+    # plant DSIR target-like docs: every %29 doc drawn from the narrow
+    # target vocab (before the rep/passage overwrites, which stack on top)
+    nar = np.arange(0, N_DOCS, 29)
+    ids[nar] = rng.integers(0, TARGET_VOCAB, size=(len(nar), L_TOKENS))
     # <U16, not the vocab's <U8: the fixed-width dtype silently TRUNCATES
     # later planted tokens (sentL2460 -> sentL246 collided with doc 246's
     # sentinel; passtok00 -> passtok0 folded the passage onto itself)
@@ -213,6 +235,42 @@ def main() -> None:
             and chk.tot == len(PASSAGE) * (len(dprime) - 1)
             and chk.n == clean.count()
         )
+
+    # --- DSIR importance weights + resampling (planted narrow-vocab docs) -
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    tdf = spark.createDataFrame(build_target_corpus())
+    t0 = time.time()
+    tm = dsir_bucket_counts(tdf, n_buckets=10_000)
+    rm = dsir_bucket_counts(docs, n_buckets=10_000)
+    lw = dsir_logweights(docs, tm, rm)
+    pg = F.col("log_weight") / F.col("n_features")
+    chk = lw.agg(
+        F.min(F.when(F.col("doc_id") % 29 == 0, pg)).alias("t_min"),
+        F.max(F.when(F.col("doc_id") % 29 != 0, pg)).alias("o_max"),
+        F.sum(F.when(F.col("doc_id") % 29 == 0, 1).otherwise(0)).alias("n_t"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    out["dsir_s"] = round(time.time() - t0, 3)
+    n_planted = len(range(0, N_DOCS, 29))
+    out["dsir_sep"] = [round(chk.t_min, 4), round(chk.o_max, 4)]
+    out["dsir_ok"] = bool(
+        chk.n == n and chk.n_t == n_planted and chk.t_min > chk.o_max
+    )
+    t0 = time.time()
+    k = min(5000, n_planted)
+    picked = dsir_sample(lw, k).agg(
+        F.sum(F.when(F.col("doc_id") % 29 == 0, 1).otherwise(0)).alias("hit"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    out["dsir_sample_s"] = round(time.time() - t0, 3)
+    # planted docs outweigh background by hundreds of nats: the Gumbel
+    # top-k must come entirely from the planted set
+    out["dsir_sample_ok"] = bool(picked.n == k and picked.hit == k)
 
     # --- lm_score (model on the doc_id%11==0 slice) -----------------------
     t0 = time.time()
