@@ -250,6 +250,7 @@ def main():
         "duplicate_spans",
         "duplicate_trim",
         "dsir_logweights",
+        "semdedup",
         "knn_cosine",
         "winnow_pairs",
     ]:

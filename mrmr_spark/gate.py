@@ -3045,6 +3045,71 @@ FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-scoped semantic dedup) on `embeddings`. Oracled
+    like ann_ivf: the gate variant uses the normalized vec_id<16
+    embeddings as centroids so DuckDB reconstructs the assignment, the
+    within-cluster ranking (ascending centroid similarity — the paper's
+    keep-the-atypical rule), the above-eps pair drops and the keep
+    flags from scratch. Cosine is scale-invariant, so the oracle skips
+    the centroid normalization; hash agreement across 500 rows doubles
+    as evidence the cross-engine double ulps never flip a rank."""
+    import numpy as np
+
+    from mrmr_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    C = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    out = semdedup(e, dim=64, eps=0.30, centroids=C)
+    return out.select(
+        "vec_id",
+        F.col("list_id").cast("bigint").alias("list_id"),
+        r6(F.col("centroid_sim")).alias("centroid_sim"),
+        "keep",
+    )
+
+
+SQL_SEMDEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS list_id, e AS c FROM base WHERE vec_id < 16
+), cos AS (
+  SELECT b.vec_id, c.list_id,
+         list_dot_product(b.e, c.c)
+           / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.c, c.c)))
+           AS csim
+  FROM base b CROSS JOIN cents c
+), asg AS (
+  SELECT vec_id, list_id, csim FROM (
+    SELECT vec_id, list_id, csim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) AS rn
+    FROM cos
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT vec_id, list_id, csim,
+         row_number() OVER (PARTITION BY list_id ORDER BY csim ASC, vec_id ASC) AS rk
+  FROM asg
+), drops AS (
+  SELECT DISTINCT hi.vec_id
+  FROM ranked lo
+  JOIN ranked hi ON lo.list_id = hi.list_id AND lo.rk < hi.rk
+  JOIN base bl ON bl.vec_id = lo.vec_id
+  JOIN base bh ON bh.vec_id = hi.vec_id
+  WHERE list_dot_product(bl.e, bh.e)
+          / (sqrt(list_dot_product(bl.e, bl.e)) * sqrt(list_dot_product(bh.e, bh.e)))
+        > 0.30
+)
+SELECT r.vec_id, r.list_id, round(r.csim, 6) AS centroid_sim,
+       d.vec_id IS NULL AS keep
+FROM ranked r LEFT JOIN drops d USING (vec_id)
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3110,6 +3175,7 @@ QUERIES = {
     "duplicate_trim": q_duplicate_trim,
     "dsir_logweights": q_dsir_logweights,
     "dsir_sample": q_dsir_sample,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
@@ -3177,4 +3243,5 @@ ORACLE_SQL = {
     "duplicate_trim": SQL_DUPLICATE_TRIM,
     "dsir_logweights": SQL_DSIR_LOGWEIGHTS,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "semdedup": SQL_SEMDEDUP,
 }

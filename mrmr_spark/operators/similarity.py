@@ -437,3 +437,101 @@ def _get_once(x, f):
     """Evaluate ``x`` once, feed it to ``f`` as a lambda variable (the
     interpreted-HOF single-evaluation bind; see curation._bind)."""
     return F.get(F.transform(F.array(x), f), 0)
+
+
+def semdedup(
+    corpus: DataFrame,
+    dim: int,
+    eps: float = 0.95,
+    n_lists: int = 64,
+    centroids: np.ndarray | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep: str = "far_from_centroid",
+    pin: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embeddings
+    with a k-means coarse quantizer, then WITHIN each cluster drop every
+    vector whose cosine similarity to a better-ranked cluster member
+    exceeds ``eps``. Returns one row per vector:
+    ``(id_col, list_id, centroid_sim, keep)``.
+
+    ``keep="far_from_centroid"`` is the paper's rule — rank within a
+    cluster by ascending centroid similarity (most atypical first, the
+    diversity-maximizing choice), drop i iff some pair (j, i) with
+    sim > eps has rank_j < rank_i. ``keep="min_id"`` ranks by id — the
+    keep-first convention of the rest of the dedup family. Either way
+    the drop decision is single-pass (a pair only ever drops its
+    higher-ranked side), no iteration and no transitive clustering.
+
+    Scale: the quadratic work is per-CLUSTER by construction — the
+    paper's own design point (n_lists is chosen so clusters are small,
+    e.g. 50k lists over 100M docs); the pair join is an equi-join on
+    ``list_id``, never a corpus self-join, and a skewed cluster is
+    capped by raising ``n_lists``. The ranked frame feeds both sides of
+    the self-join — pass ``pin`` (a list) to persist it and receive the
+    handle (the pack_documents/dedup contract); unpinned, the
+    deterministic lineage is recomputed once. Pass ``centroids`` to skip
+    :func:`ivf_train` (the gate oracle does, for SQL-reproducibility —
+    ranking by centroid_sim compares doubles computed through slightly
+    different parenthesizations across engines, so as with the sampler
+    oracles, hash agreement doubles as evidence the ulps never flip a
+    rank). Cites the dedup family conventions at
+    `mrmr_spark/operators/dedup.py:354` (canonical = best-ranked copy).
+    """
+    if keep not in ("far_from_centroid", "min_id"):
+        raise ValueError(f"keep must be 'far_from_centroid' or 'min_id', got {keep!r}")
+    if not (0.0 < eps < 1.0):
+        raise ValueError("eps must be in (0, 1)")
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, dim, n_lists=n_lists, seed=seed, id_col=id_col, emb_col=emb_col
+        )
+    asg = ivf_assign(corpus, centroids, 1, id_col, emb_col)
+    e = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(centroids))],
+        f"list_id int, _c array<double>",
+    )
+    base = (
+        asg.join(e, id_col)
+        .join(F.broadcast(cent), "list_id")
+        .select(id_col, "list_id", "_e", _cosine("_e", "_c").alias("centroid_sim"))
+    )
+    order = (
+        [F.col("centroid_sim").asc(), F.col(id_col).asc()]
+        if keep == "far_from_centroid"
+        else [F.col(id_col).asc()]
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("list_id").orderBy(*order))
+        .alias("_rk"),
+    )
+    if pin is not None:
+        ranked = ranked.persist()
+        pin.append(ranked)
+    lo = ranked.select(
+        "list_id", F.col("_e").alias("_ei"), F.col("_rk").alias("_ri")
+    )
+    hi = ranked.select(
+        F.col(id_col), "list_id", F.col("_e").alias("_ej"), F.col("_rk").alias("_rj")
+    )
+    drops = (
+        lo.join(hi, "list_id")
+        .where(F.col("_ri") < F.col("_rj"))
+        .where(_cosine("_ei", "_ej") > eps)
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return ranked.join(drops, id_col, "left").select(
+        id_col,
+        "list_id",
+        "centroid_sim",
+        F.col("_dup").isNull().alias("keep"),
+    )

@@ -508,3 +508,134 @@ def test_quantize_embeddings_plan_is_pure_project(vectors):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _py_semdedup(ids, vecs, C, eps, keep="far_from_centroid"):
+    """Independent numpy oracle mirroring the operator's contract."""
+    V = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    asg = np.argmax(V @ C.T, axis=1)
+    out = {}
+    for lst in np.unique(asg):
+        members = [i for i in range(len(ids)) if asg[i] == lst]
+        cs = {
+            i: float(
+                np.dot(vecs[i], C[lst])
+                / (np.linalg.norm(vecs[i]) * np.linalg.norm(C[lst]))
+            )
+            for i in members
+        }
+        if keep == "far_from_centroid":
+            members.sort(key=lambda i: (cs[i], ids[i]))
+        else:
+            members.sort(key=lambda i: ids[i])
+        for ri, i in enumerate(members):
+            dropped = any(
+                float(
+                    np.dot(vecs[j], vecs[i])
+                    / (np.linalg.norm(vecs[j]) * np.linalg.norm(vecs[i]))
+                )
+                > eps
+                for j in members[:ri]
+            )
+            out[ids[i]] = (int(lst), not dropped)
+    return out
+
+
+@pytest.fixture(scope="module")
+def sem_vectors(spark):
+    """4 well-separated cluster directions; per cluster, 3 tight near-dup
+    GROUPS of 3 vectors (within-group cosine ~0.999) plus 6 loners."""
+    rng = np.random.default_rng(23)
+    C = rng.normal(size=(4, 16))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    ids, vecs = [], []
+    nid = 0
+    for c in range(4):
+        for g in range(3):
+            # anchor noise 4: cross-group cosine ~0.3 (with noise 1 the
+            # anchors share the dominant cluster direction at ~0.98 and
+            # every group in a cluster merges into ONE dup set)
+            anchor = C[c] * 10 + rng.normal(size=16) * 4.0
+            for _ in range(3):
+                ids.append(nid); nid += 1
+                vecs.append(anchor + rng.normal(size=16) * 0.01)
+        for _ in range(6):
+            ids.append(nid); nid += 1
+            vecs.append(C[c] * 10 + rng.normal(size=16) * 3.0)
+    vecs = np.array(vecs)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: the oracle must see the same values the engine sees
+    vecs32 = vecs.astype(np.float32).astype(np.float64)
+    return df.cache(), ids, vecs32, C
+
+
+@pytest.mark.parametrize("keep", ["far_from_centroid", "min_id"])
+def test_semdedup_matches_numpy_oracle(sem_vectors, keep):
+    from mrmr_spark.operators.similarity import semdedup
+
+    df, ids, vecs, C = sem_vectors
+    got = {
+        r.vec_id: (r.list_id, r.keep)
+        for r in semdedup(df, dim=16, eps=0.9, centroids=C, keep=keep).collect()
+    }
+    want = _py_semdedup(ids, vecs, C, 0.9, keep=keep)
+    assert got == want
+    n_kept = sum(1 for _, k in want.values() if k)
+    assert 0 < n_kept < len(ids), "fixture must exercise both outcomes"
+
+
+def test_semdedup_one_survivor_per_tight_group(sem_vectors):
+    from mrmr_spark.operators.similarity import semdedup
+
+    df, ids, vecs, C = sem_vectors
+    out = {r.vec_id: r.keep for r in semdedup(df, dim=16, eps=0.9, centroids=C).collect()}
+    # ids were assigned group-major: every consecutive triple (per cluster,
+    # first 9 ids of each 15-block) is one tight near-dup group
+    for c in range(4):
+        base = c * 15
+        for g in range(3):
+            grp = [base + g * 3 + j for j in range(3)]
+            assert sum(out[i] for i in grp) == 1, grp
+        loners = [base + 9 + j for j in range(6)]
+        for i in loners:
+            assert out[i], i
+
+
+def test_semdedup_eps_monotone(sem_vectors):
+    from mrmr_spark.operators.similarity import semdedup
+
+    df, ids, vecs, C = sem_vectors
+    kept_lo = {r.vec_id for r in semdedup(df, dim=16, eps=0.5, centroids=C).collect() if r.keep}
+    kept_hi = {r.vec_id for r in semdedup(df, dim=16, eps=0.999, centroids=C).collect() if r.keep}
+    assert kept_lo <= kept_hi
+
+
+def test_semdedup_trained_centroids_and_pin(sem_vectors):
+    from mrmr_spark.operators.similarity import semdedup
+
+    df, ids, vecs, C = sem_vectors
+    pin = []
+    out = semdedup(df, dim=16, eps=0.9, n_lists=4, seed=3, pin=pin)
+    rows = out.collect()
+    assert len(rows) == len(ids)
+    assert any(not r.keep for r in rows) and any(r.keep for r in rows)
+    assert pin and pin[0].is_cached
+    for h in pin:
+        h.unpersist()
+
+
+def test_semdedup_validation(sem_vectors):
+    from mrmr_spark.operators.similarity import semdedup
+
+    df, *_ = sem_vectors
+    with pytest.raises(ValueError, match="keep must"):
+        semdedup(df, dim=16, keep="bogus")
+    with pytest.raises(ValueError, match="eps"):
+        semdedup(df, dim=16, eps=1.5)

@@ -154,6 +154,11 @@ def main():
           "doc_id-keyed left join back to the corpus, then a pure-Column "
           "higher-order-function trim — corpus text never in a shuffle key "
           "beyond the one join")
+    audit("semdedup (cluster-scoped semantic dedup)",
+          gate.QUERIES["semdedup"](spark, SF),
+          "one MapInArrow GEMM assignment, centroid frame broadcast for "
+          "the sim column, per-cluster rank window, pair join equi-keyed "
+          "on list_id (never a corpus self-join), drop set ∝ duplicates")
     audit("dsir_logweights (hashed-ngram importance weights)",
           gate.QUERIES["dsir_logweights"](spark, SF),
           "two bucket-bounded count aggs train the models (<= n_buckets "
