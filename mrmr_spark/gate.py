@@ -3045,6 +3045,89 @@ FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_contamination_trim(spark, sf_dir):
+    """Surgical decontamination end to end: the doc_id%97 slice is the
+    benchmark (same split as the `decontaminate` row, n=3), and instead
+    of dropping contaminated docs the benchmark-covered spans are
+    located and trimmed out. Oracle: DuckDB re-derives the benchmark
+    gram set by STRING, the hit positions, the gaps-and-islands merge
+    and the anti-semijoin rebuild."""
+    from mrmr_spark.operators.curation import (
+        contamination_spans,
+        trim_duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    sp = contamination_spans(corpus, bench, n=3)
+    return trim_duplicate_spans(corpus, sp).select(
+        "doc_id",
+        "text",
+        F.col("n_removed_tokens").cast("bigint").alias("n_removed_tokens"),
+    )
+
+
+SQL_CONTAMINATION_TRIM = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bgrams AS (
+  SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE doc_id % 97 = 0 AND len(ts) >= 3
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+2], ' ') AS g
+  FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE doc_id % 97 <> 0 AND len(ts) >= 3
+),
+hit AS (SELECT doc_id, pos FROM occ JOIN bgrams USING (g)),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 3
+              THEN 1 ELSE 0 END AS new
+  FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, min(pos) AS tok_start, max(pos) + 3 AS tok_end
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, ts[i] AS tokn, i - 1 AS pos
+  FROM tok, LATERAL unnest(range(1, len(ts) + 1)) AS t(i)
+  WHERE doc_id % 97 <> 0
+),
+kept AS (
+  SELECT tp.doc_id, tp.tokn, tp.pos
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id
+      AND tp.pos >= s.tok_start AND tp.pos < s.tok_end)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+spanned AS (SELECT DISTINCT doc_id FROM spans)
+SELECT d.doc_id,
+       CASE WHEN sp.doc_id IS NULL THEN d.text
+            ELSE coalesce(r.text, '') END AS text,
+       CASE WHEN sp.doc_id IS NULL THEN 0
+            ELSE len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+            END AS n_removed_tokens
+FROM documents d
+LEFT JOIN spanned sp USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (cluster-scoped semantic dedup) on `embeddings`. Oracled
     like ann_ivf: the gate variant uses the normalized vec_id<16
@@ -3176,6 +3259,7 @@ QUERIES = {
     "dsir_logweights": q_dsir_logweights,
     "dsir_sample": q_dsir_sample,
     "semdedup": q_semdedup,
+    "contamination_trim": q_contamination_trim,
 }
 
 ORACLE_SQL = {
@@ -3244,4 +3328,5 @@ ORACLE_SQL = {
     "dsir_logweights": SQL_DSIR_LOGWEIGHTS,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "semdedup": SQL_SEMDEDUP,
+    "contamination_trim": SQL_CONTAMINATION_TRIM,
 }

@@ -1210,8 +1210,17 @@ def duplicate_spans(
             (F.col(id_col) != F.col(f"_canon.{id_col}"))
             | (F.col("pos") != F.col("_canon.pos"))
         )
+    return _positions_to_spans(dup, id_col, n)
+
+
+def _positions_to_spans(marked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge per-document gram positions (each covering ``[pos, pos+n)``)
+    into maximal spans — gaps-and-islands: new island when
+    ``pos > prev_pos + n`` (spans of a sorted fixed-width cover are
+    monotone, so the single lag test is exact). Both windows share one
+    ``id_col`` exchange; bounded by the longest document."""
     w = Window.partitionBy(id_col).orderBy("pos")
-    flagged = dup.select(
+    flagged = marked.select(
         id_col,
         "pos",
         F.when(
@@ -1236,6 +1245,38 @@ def duplicate_spans(
         (F.max("pos") + n).alias("tok_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("_island")
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    split: str = " ",
+    hash_fn: str = "xxhash64",
+    gram_keys: str = "tokens",
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every document that
+    shares an ``n``-gram with the benchmark (:func:`decontaminate`),
+    locate the maximal token spans actually covered by benchmark grams —
+    one row per (document, contaminated span): ``(id_col, tok_start,
+    tok_end, n_grams)``, the :func:`duplicate_spans` schema, so
+    :func:`trim_duplicate_spans` cuts the contaminated passages out
+    while keeping the rest of the document (the high-value choice when
+    long documents quote an eval item in passing).
+
+    Scale shape is decontaminate's: the benchmark gram fingerprint set
+    is distinct-hashed and BROADCAST, corpus gram occurrences meet it
+    map-side (corpus text never in a shuffle key), and only the hit
+    positions — ∝ contamination, not corpus — reach the per-document
+    gaps-and-islands windows."""
+    bench = benchmark_ngram_set(benchmark, text_col, n, split, hash_fn, gram_keys)
+    occ = _positioned_gram_keys(
+        corpus, id_col, text_col, n, split, hash_fn, gram_keys
+    )
+    hits = occ.join(F.broadcast(bench), ["g1", "g2"])
+    return _positions_to_spans(hits, id_col, n)
 
 
 def trim_duplicate_spans(

@@ -929,3 +929,92 @@ def test_dsir_expr_plan_is_pure_project(dsir_docs):
     assert "Exchange" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "SortMergeJoin", "BroadcastHashJoin"):
         assert node not in plan
+
+
+# ---------------------------------------------------------------------------
+# Surgical decontamination — contamination_spans + trim
+# ---------------------------------------------------------------------------
+
+def _py_contam_spans(rows, bench_texts, n):
+    bench = set()
+    for t in bench_texts:
+        ts = t.split(" ")
+        for i in range(len(ts) - n + 1):
+            bench.add(tuple(ts[i : i + n]))
+    spans = []
+    for did, text in rows:
+        ts = text.split(" ")
+        ps = [
+            p for p in range(len(ts) - n + 1) if tuple(ts[p : p + n]) in bench
+        ]
+        s = last = None
+        cnt = 0
+        for p in ps:
+            if s is None:
+                s, last, cnt = p, p, 1
+            elif p <= last + n:
+                last, cnt = p, cnt + 1
+            else:
+                spans.append((did, s, last + n, cnt))
+                s, last, cnt = p, p, 1
+        if s is not None:
+            spans.append((did, s, last + n, cnt))
+    return sorted(spans)
+
+
+def test_contamination_spans_matches_python_oracle(spark):
+    import random
+
+    from mrmr_spark.operators.curation import (
+        contamination_spans,
+        trim_duplicate_spans,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"c{i}" for i in range(50)]
+    eval_q = " ".join(rng.choice(vocab) for _ in range(9))
+    bench_texts = [f"intro {eval_q} outro", "another eval item entirely here okay"]
+    rows = []
+    for i in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        txt = " ".join(words)
+        if i % 6 == 0:  # quote the eval item mid-document
+            txt = f"{txt} {eval_q} {txt}".strip()
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(j, t) for j, t in enumerate(bench_texts)],
+                                  "doc_id long, text string")
+    n = 5
+    want = _py_contam_spans(rows, bench_texts, n)
+    sp = contamination_spans(docs, bench, n=n)
+    got = sorted((r.doc_id, r.tok_start, r.tok_end, r.n_grams) for r in sp.collect())
+    assert want and got == want
+
+    # trimming removes the contaminated passage, keeps the rest
+    out = {r.doc_id: r for r in trim_duplicate_spans(docs, sp).collect()}
+    by_doc = {}
+    for did, s, e, _ in want:
+        by_doc.setdefault(did, []).append((s, e))
+    for did, text in rows:
+        r = out[did]
+        if did not in by_doc:
+            assert r.n_removed_tokens == 0 and r.text == text
+        else:
+            ts = text.split(" ")
+            kept = [t for i, t in enumerate(ts)
+                    if not any(s <= i < e for s, e in by_doc[did])]
+            assert r.text == " ".join(kept)
+            assert r.n_removed_tokens == len(ts) - len(kept)
+            assert eval_q not in r.text
+
+
+def test_contamination_spans_backends_identical(spark):
+    from mrmr_spark.operators.curation import contamination_spans
+
+    rows = [(i, f"w{i % 3} shared eval gram here w{i % 5} tail") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "the shared eval gram here marker")],
+                                  "doc_id long, text string")
+    a = sorted(map(tuple, contamination_spans(docs, bench, n=4).collect()))
+    b = sorted(map(tuple, contamination_spans(docs, bench, n=4, gram_keys="string").collect()))
+    assert a == b and a, "planted overlap must produce spans"

@@ -154,6 +154,11 @@ def main():
           "doc_id-keyed left join back to the corpus, then a pure-Column "
           "higher-order-function trim — corpus text never in a shuffle key "
           "beyond the one join")
+    audit("contamination_trim (surgical span decontamination)",
+          gate.QUERIES["contamination_trim"](spark, SF),
+          "benchmark gram set broadcast, corpus hit POSITIONS meet it "
+          "map-side (∝ contamination, not corpus) -> per-doc "
+          "gaps-and-islands -> collapsed-span join + pure-Column trim")
     audit("semdedup (cluster-scoped semantic dedup)",
           gate.QUERIES["semdedup"](spark, SF),
           "one MapInArrow GEMM assignment, centroid frame broadcast for "
