@@ -107,3 +107,61 @@ def streaming_decontaminate(
     if mode == "drop":
         return flagged.where(~F.col("contaminated")).drop("contaminated", "n_hit_grams")
     return flagged
+
+
+def streaming_contamination_trim(
+    stream: DataFrame,
+    bench_grams: set,
+    text_col: str = "text",
+    n: int = 13,
+    split: str = " ",
+) -> DataFrame:
+    """Surgical decontamination on a live feed: cut the benchmark-covered
+    token spans out of each arriving document instead of dropping it —
+    the streaming twin of batch ``contamination_spans`` +
+    ``trim_duplicate_spans`` (replay equality pytest-verified). Adds
+    ``n_removed_tokens``. Stateless like :func:`streaming_decontaminate`
+    (the benchmark set is broadcast once); a document's spans depend on
+    nothing but its own text and the static set, so no state store, no
+    watermark, no shuffle.
+
+    Span semantics match batch exactly: gram positions whose n-gram is
+    in the benchmark set, merged while ``pos <= prev + n``; tokens in
+    any merged ``[start, end)`` dropped; survivors re-joined on
+    ``split``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sc = stream.sparkSession.sparkContext
+    bc = sc.broadcast(frozenset(bench_grams))
+    in_cols = [f.name for f in stream.schema.fields]
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField("n_removed_tokens", LongType())]
+    )
+
+    def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grams = bc.value
+        for pdf in batches:
+            texts, removed = [], []
+            for t in pdf[text_col]:
+                toks = t.split(split)
+                ps = [
+                    i
+                    for i in range(len(toks) - n + 1)
+                    if " ".join(toks[i : i + n]) in grams
+                ]
+                if not ps:
+                    texts.append(t)
+                    removed.append(0)
+                    continue
+                drop = set()
+                for p in ps:
+                    drop.update(range(p, p + n))
+                kept = [tok for i, tok in enumerate(toks) if i not in drop]
+                texts.append(split.join(kept))
+                removed.append(len(toks) - len(kept))
+            pdf = pdf.copy()
+            pdf[text_col] = texts
+            pdf["n_removed_tokens"] = pd.array(removed, dtype="int64")
+            yield pdf[in_cols + ["n_removed_tokens"]]
+
+    return stream.mapInPandas(_trim, out_schema)

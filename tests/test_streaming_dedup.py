@@ -7,6 +7,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mrmr_spark.operators.dedup import exact_dedup
 from mrmr_spark.streaming.dedup import (
@@ -324,3 +325,40 @@ def test_dsir_logweight_expr_runs_on_streams(spark, tmp_path_factory):
         n, w = exp[int(r.doc_id)]
         assert r.n_features == n and r.log_weight == w
     assert any(v[1] > 0 for v in exp.values()) and any(v[1] < 0 for v in exp.values())
+
+
+def test_streaming_contamination_trim_replays_batch(spark, contam_stream_dir):
+    """Surgical decontamination on a stream: replay equality vs batch
+    contamination_spans + trim_duplicate_spans on the same corpus."""
+    from mrmr_spark.operators.curation import (
+        contamination_spans,
+        trim_duplicate_spans,
+    )
+    from mrmr_spark.streaming.curation import (
+        collect_benchmark_grams,
+        streaming_contamination_trim,
+    )
+
+    d, schema, batch_df = contam_stream_dir
+    bench = batch_df.where(F.col("doc_id") % 10 == 0)
+    corpus = batch_df.where(F.col("doc_id") % 10 != 0)
+    n = 3
+    grams = collect_benchmark_grams(bench, n=n)
+    assert grams
+
+    want = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in trim_duplicate_spans(
+            corpus, contamination_spans(corpus, bench, n=n)
+        ).collect()
+    }
+    stream = _read_stream(spark, d, schema).where(F.col("doc_id") % 10 != 0)
+    out = _run_stream(
+        spark, streaming_contamination_trim(stream, grams, n=n), "strim"
+    )
+    got = {
+        int(r.doc_id): (r.text, int(r.n_removed_tokens)) for r in out.itertuples()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "fixture must trim something"
+    assert any(v[1] == 0 for v in want.values())
