@@ -3193,6 +3193,164 @@ FROM ranked r LEFT JOIN drops d USING (vec_id)
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Corpus TF-IDF with per-document top-5 terms — every (doc, term)
+    row's tf/df/score/rank value-checked against an independent SQL
+    restatement (ties broken lexically on both sides, so ranks are
+    fully deterministic)."""
+    from mrmr_spark.operators.curation import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, k=5)
+    return out.select(
+        "doc_id", "term", "tf", "df", r6(F.col("score")).alias("score"), "rank"
+    )
+
+
+SQL_TFIDF_TERMS = """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE length(term) > 0
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+         tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dft USING (term), n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_mix_budget(spark, sf_dir):
+    """Deterministic per-source token-budget mixing under the affine
+    uniform — one mapped budget, one zero budget (source dropped), the
+    rest on the default; the kept set and both token columns are
+    value-checked row-for-row."""
+    from mrmr_spark.operators.curation import mix_to_token_budget
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = mix_to_token_budget(
+        d, {"src0": 400, "src1": 700, "src2": 0}, hash_fn="affine", default_budget=200
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+SQL_MIX_BUDGET = """
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ((doc_id * 2654435761) % 4294967296) AS u,
+         CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700
+                     WHEN 'src2' THEN 0 ELSE 200 END AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens, budget,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY u ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM k
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < budget
+"""
+
+# The line-layer fixtures synthesize newlines deterministically inside the
+# query itself — ` the ` becomes a line break via plain (non-regex) replace,
+# the character-identical transformation on both engines — because the
+# driver corpus is single-line text. Short lines over the small vocabulary
+# collide across documents, so the boilerplate (max_df) path is actually
+# exercised, not vacuously green.
+
+
+def q_common_lines(spark, sf_dir):
+    """RefinedWeb-style boilerplate-line removal: every line occurring in
+    >= 3 documents is dropped and the document rebuilt; rewritten text and
+    removal counts value-checked. Runs the `string` key backend (what ANSI
+    SQL computes bit-exactly); pytest proves hash128 ≡ string."""
+    from mrmr_spark.operators.lines import remove_common_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return remove_common_lines(d, max_df=3, key_backend="string")
+
+
+SQL_COMMON_LINES = """
+WITH l AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents),
+p AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+         lower(trim(unnest(string_split(t, chr(10))))) AS norm
+  FROM l
+),
+f AS (SELECT doc_id, pos, norm FROM p WHERE length(norm) >= 1),
+freq AS (
+  SELECT norm FROM (SELECT norm, count(DISTINCT doc_id) AS df FROM f GROUP BY norm)
+  WHERE df >= 3
+),
+d AS (
+  SELECT doc_id, list_sort(list(pos)) AS dp, CAST(count(*) AS BIGINT) AS nrem
+  FROM f JOIN freq USING (norm) GROUP BY doc_id
+),
+o AS (
+  SELECT l.doc_id,
+         CASE WHEN d.dp IS NULL THEN l.t
+              ELSE coalesce(array_to_string(
+                     list_filter(string_split(l.t, chr(10)),
+                                 (x, i) -> NOT list_contains(d.dp, i - 1)),
+                     chr(10)), '')
+         END AS text,
+         coalesce(d.nrem, 0) AS n_removed_lines
+  FROM l LEFT JOIN d USING (doc_id)
+)
+SELECT doc_id, text, n_removed_lines FROM o
+"""
+
+
+def q_c4_lines(spark, sf_dir):
+    """C4-style per-line filtering (min words + blocklist; the terminal-
+    punctuation clause is off because the synthetic corpus has no
+    punctuation — pytest covers it on a punctuated fixture). Rebuilt text
+    and kept/dropped counts value-checked."""
+    from mrmr_spark.operators.lines import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return c4_line_filter(
+        d, min_words=4, require_terminal_punct=False, blocklist=("spark",)
+    )
+
+
+SQL_C4_LINES = """
+WITH l AS (SELECT doc_id, string_split(replace(text, ' the ', chr(10)), chr(10)) AS lines
+           FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+                     x -> len(string_split(trim(x), ' ')) >= 4
+                          AND NOT contains(lower(x), 'spark')) AS kept
+  FROM l
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped_lines
+FROM k
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3260,6 +3418,10 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "semdedup": q_semdedup,
     "contamination_trim": q_contamination_trim,
+    "tfidf_terms": q_tfidf_terms,
+    "mix_budget": q_mix_budget,
+    "common_lines": q_common_lines,
+    "c4_lines": q_c4_lines,
 }
 
 ORACLE_SQL = {
@@ -3329,4 +3491,8 @@ ORACLE_SQL = {
     "dsir_sample": SQL_DSIR_SAMPLE,
     "semdedup": SQL_SEMDEDUP,
     "contamination_trim": SQL_CONTAMINATION_TRIM,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "mix_budget": SQL_MIX_BUDGET,
+    "common_lines": SQL_COMMON_LINES,
+    "c4_lines": SQL_C4_LINES,
 }

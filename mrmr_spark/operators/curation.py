@@ -21,6 +21,8 @@ the reference repo is selection-only); the design rules are the same:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1558,3 +1560,128 @@ def dsir_logweight_expr(
         merge = lambda acc, g: acc + term(g)
     logw = _bind(grams, lambda gs: F.aggregate(gs, zero, merge)).cast("double")
     return F.size(grams).alias("n_features"), logw.alias("log_weight")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split: str = " ",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus TF-IDF with the top-``k`` scoring terms per document —
+    the classic keyword/topic signal a curation pipeline uses for
+    domain tagging and per-document routing.
+
+    score(d, t) = tf(d, t) * idf(t),  idf(t) = ln((N + 1)/(df(t) + 1)) + 1
+
+    (the smoothed sklearn-style idf; N = total documents, df = documents
+    containing the term). Output: one row per kept (document, term) with
+    ``term, tf, df, score, rank`` — rank 1..k per document ordered by
+    (score desc, term asc), ties broken lexically so the result is fully
+    deterministic.
+
+    Scale design: tf is one key-partitioned groupBy on (doc, term) with
+    map-side partial aggregation; df reuses the tf frame (its rows are
+    already distinct (doc, term) pairs) — no second pass over text; the
+    tf⋈df join shuffles on the term key (stop-word-ish terms skew →
+    AQE skew-join splits them; the df side is term-distinct so its
+    partitions are bounded); the top-k window is per-document. The only
+    driver value is N (a count over the id column — a metadata-cheap
+    scan). Corpus text is read once and never shuffled.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    n_docs = docs.select(id_col).count()
+
+    tf = (
+        docs.select(id_col, F.explode(F.split(txt, re.escape(split))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.select("*", F.row_number().over(win).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def mix_to_token_budget(
+    docs: DataFrame,
+    budgets: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split: str = " ",
+    hash_fn: str = "xxhash64",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling to a per-source TOKEN budget — the
+    "data mixing" step that turns per-domain weights (DoReMi / DSIR
+    mixtures, SlimPajama-style recipes) into an actual training corpus:
+    within each source, documents are admitted in seed-free hash order
+    until the source's token budget is filled.
+
+    Admission rule: a document is kept iff the running token total of
+    the documents BEFORE it (in ``(sample_key(id), id)`` order) is still
+    strictly below the budget — so the budget may overshoot by at most
+    one document, never undershoot while eligible documents remain.
+    Sources absent from ``budgets`` get ``default_budget`` (0 = drop).
+    Deterministic and seed-free: the admission ORDER is a pure function
+    of the ids, so re-runs are bit-identical. Unlike :func:`hash_split`,
+    membership is NOT per-row independent — on a grown corpus a new
+    document that hashes early consumes budget and can displace the old
+    tail — which is inherent to any fixed-budget selection; what the
+    hash order buys is that WHICH documents move is deterministic and
+    engine-independent, never a reshuffle of the whole sample.
+
+    Output: the kept rows plus ``n_tokens`` (whitespace tokens, same
+    tokenizer as :func:`pack_documents`) and ``cum_tokens`` (the running
+    total INCLUDING the row).
+
+    Scale design: token counts are a pure projection; the only shuffle
+    is the per-source cumulative-sum window (hash-partitioned by
+    source). A single source is processed by one task — for corpora
+    where one source alone exceeds a task's comfortable range, pre-split
+    that source on a salt and give each shard ``budget/n_shards``
+    (exactness then holds per shard), or cut at the budget order
+    statistic with the ranged machinery in `select/binning.py`.
+    """
+    if default_budget < 0 or any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    n_tok = F.size(F.split(F.col(text_col), re.escape(split))).cast("bigint")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    budget = F.coalesce(
+        mapping[F.col(source_col)], F.lit(int(default_budget))
+    ).cast("bigint")
+
+    win = Window.partitionBy(source_col).orderBy(
+        sample_key(id_col, hash_fn).asc(), F.col(id_col).asc()
+    )
+    keyed = docs.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        budget.alias("_budget"),
+    ).select(
+        "*",
+        F.sum("n_tokens").over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )
+    return keyed.where(
+        (F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget")
+    ).drop("_budget")
