@@ -253,6 +253,12 @@ def main():
         "semdedup",
         "knn_cosine",
         "winnow_pairs",
+        "common_lines",
+        "c4_lines",
+        "tfidf_terms",
+        "mix_budget",
+        "url_parts",
+        "domain_stats",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

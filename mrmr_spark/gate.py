@@ -3351,6 +3351,111 @@ FROM k
 """
 
 
+def _inject_urls(d):
+    """Deterministic synthetic URLs keyed off doc_id (same convention as
+    the pii_redact row's injected PII): five authority shapes — plain
+    host, two-label public suffix, explicit port, dotless host, and
+    userinfo — two schemes, and a query string on the %3 slice."""
+    doc = F.col("doc_id")
+    host = F.element_at(
+        F.array(
+            F.lit("news.example.com"),
+            F.lit("blog.sample.co.uk"),
+            F.lit("shop.example.org:8080"),
+            F.lit("localhost"),
+            F.lit("user@sub.data.example.net"),
+        ),
+        (doc % 5 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+            F.lit("://"),
+            host,
+            F.lit("/p/"),
+            doc.cast("string"),
+            F.when(doc % 3 == 0, F.lit("?q=x")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+# The oracle's CASE tables state the EXPECTED parse results by
+# construction (ground truth), not by re-running the regexes — so the
+# whole regex pipeline is checked against an independent derivation.
+_SQL_URL_TRUTH = """
+  SELECT doc_id,
+         CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'http' END AS scheme,
+         CASE doc_id % 5 WHEN 0 THEN 'news.example.com'
+                         WHEN 1 THEN 'blog.sample.co.uk'
+                         WHEN 2 THEN 'shop.example.org'
+                         WHEN 3 THEN 'localhost'
+                         ELSE 'sub.data.example.net' END AS host,
+         '/p/' || doc_id AS path,
+         CASE doc_id % 5 WHEN 0 THEN 'example.com'
+                         WHEN 1 THEN 'sample.co.uk'
+                         WHEN 2 THEN 'example.org'
+                         WHEN 3 THEN 'localhost'
+                         ELSE 'example.net' END AS registered_domain,
+         CASE doc_id % 5 WHEN 0 THEN 'com'
+                         WHEN 1 THEN 'uk'
+                         WHEN 2 THEN 'org'
+                         WHEN 3 THEN 'localhost'
+                         ELSE 'net' END AS tld
+  FROM documents
+"""
+
+
+def q_url_parts(spark, sf_dir):
+    """URL parsing over synthetic per-doc URLs: scheme/host/path/
+    registered-domain/tld all value-checked against the oracle's
+    by-construction ground truth (port stripped, userinfo stripped,
+    two-label public suffix honored, dotless host is its own domain)."""
+    from mrmr_spark.operators.web import url_parts
+
+    d = _inject_urls(_t(spark, sf_dir, "documents"))
+    return url_parts(d).select(
+        "doc_id", "scheme", "host", "path", "registered_domain", "tld"
+    )
+
+
+SQL_URL_PARTS = f"""
+SELECT doc_id, scheme, host, path, registered_domain, tld
+FROM ({_SQL_URL_TRUTH})
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain blocklist + per-domain rollup: parse -> block one
+    registered domain -> aggregate docs/tokens/chars per domain."""
+    from mrmr_spark.operators.web import domain_stats, filter_by_domains, url_parts
+
+    d = _inject_urls(_t(spark, sf_dir, "documents"))
+    kept = filter_by_domains(url_parts(d), ["sample.co.uk"], mode="block")
+    out = domain_stats(kept)
+    return out.select(
+        "registered_domain", "n_docs", "n_tokens", "n_chars",
+        r6(F.col("mean_tokens")).alias("mean_tokens"),
+    )
+
+
+SQL_DOMAIN_STATS = f"""
+WITH truth AS ({_SQL_URL_TRUTH}),
+j AS (
+  SELECT t.registered_domain, d.text
+  FROM truth t JOIN documents d USING (doc_id)
+  WHERE t.registered_domain <> 'sample.co.uk'
+)
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 6) AS mean_tokens
+FROM j GROUP BY registered_domain
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3422,6 +3527,8 @@ QUERIES = {
     "mix_budget": q_mix_budget,
     "common_lines": q_common_lines,
     "c4_lines": q_c4_lines,
+    "url_parts": q_url_parts,
+    "domain_stats": q_domain_stats,
 }
 
 ORACLE_SQL = {
@@ -3495,4 +3602,6 @@ ORACLE_SQL = {
     "mix_budget": SQL_MIX_BUDGET,
     "common_lines": SQL_COMMON_LINES,
     "c4_lines": SQL_C4_LINES,
+    "url_parts": SQL_URL_PARTS,
+    "domain_stats": SQL_DOMAIN_STATS,
 }

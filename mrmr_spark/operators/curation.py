@@ -1604,7 +1604,17 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # The `tf >= 1` predicate is always true (counts are >= 1) but it keeps
+    # the tf column referenced in this branch: otherwise column pruning
+    # rewrites the inner aggregate to a bare distinct, the two (doc, term)
+    # exchange subtrees stop being canonically equal, and exchange reuse
+    # can't fire — Spark then scans the corpus TWICE. With it, AQE's final
+    # plan shows ONE FileScan and a ReusedExchange feeding this branch.
+    df_t = (
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
     scored = tf.join(df_t, "term").withColumn(
         "score",
         F.col("tf")

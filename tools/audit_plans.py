@@ -188,6 +188,46 @@ def main():
           "hashed model frames -> one per-doc hash aggregate; the only "
           "non-broadcast exchanges are the model count aggs (vocab-bounded) "
           "and the per-doc agg")
+    audit("common_lines (boilerplate-line removal, hash128 production backend)",
+          __import__("mrmr_spark.operators.lines", fromlist=["remove_common_lines"])
+          .remove_common_lines(
+              spark.read.parquet(f"{SF}/documents.parquet").select(
+                  "doc_id",
+                  F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+              ),
+              max_df=3,
+          ),
+          "corpus text read once, NEVER shuffled: the exploded frame carries "
+          "(doc_id, pos, 128-bit line fingerprint) only; line-DF = distinct + "
+          "count, both key-partitioned with map-side combine; the frequent set "
+          "and the per-doc drop-position arrays are the broadcast sides of "
+          "both joins; rebuild is a pure Column filter over the original scan")
+    audit("c4_lines (C4 per-line heuristic filter)",
+          gate.QUERIES["c4_lines"](spark, SF),
+          "pure projection: ZERO exchanges, ZERO Python — split, higher-order "
+          "filter and rebuild fuse into the scan; runs at read speed at any "
+          "corpus size (and unchanged on streaming frames)")
+    audit("tfidf_terms (corpus TF-IDF, per-doc top-k)",
+          gate.QUERIES["tfidf_terms"](spark, SF),
+          "tf = ONE (doc,term)-keyed agg; the df branch re-reads that "
+          "exchange (AQE ReusedExchange — final plan has ONE FileScan; the "
+          "static plan printed here shows the pre-reuse diamond), df side is "
+          "term-distinct and broadcast into the join (AQE degrades it to a "
+          "skew-split shuffle join if vocab outgrows the threshold); top-k "
+          "is a per-doc window")
+    audit("mix_budget (per-source token-budget mixing)",
+          gate.QUERIES["mix_budget"](spark, SF),
+          "token counts and the budget map are pure projection; the ONLY "
+          "exchange is the per-source cumulative-sum window; admission is a "
+          "filter on the running total")
+    audit("url_parts (URL parsing over injected URLs)",
+          gate.QUERIES["url_parts"](spark, SF),
+          "pure projection: ZERO exchanges, ZERO Python — regex extraction "
+          "and the registered-domain label logic fuse into the scan")
+    audit("domain_stats (blocklist filter + per-domain rollup)",
+          gate.QUERIES["domain_stats"](spark, SF),
+          "IN-list blocklist evaluates in the scan; ONE map-side-combined "
+          "aggregate keyed on registered_domain (output ∝ distinct domains)")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
