@@ -259,6 +259,7 @@ def main():
         "mix_budget",
         "url_parts",
         "domain_stats",
+        "pareto_sample",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -3456,6 +3456,52 @@ FROM j GROUP BY registered_domain
 """
 
 
+def q_pareto_sample(spark, sf_dir):
+    """GPT-3's Pareto quality admission (Brown et al. 2020 App. A) made
+    deterministic: score = type-token ratio, draw = Pareto(9) from the
+    affine hash uniform; the draw, the score, and every keep decision
+    value-checked. (The trained-LR classifier feeding this in production
+    is pytest-only — LBFGS isn't SQL — but the admission rule, the novel
+    part, is fully oracled.)"""
+    from mrmr_spark.operators.quality_model import pareto_quality_sample
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "quality_score"
+        ),
+    )
+    out = pareto_quality_sample(scored, hash_fn="affine", mode="flag")
+    return out.select(
+        "doc_id",
+        r6(F.col("quality_score")).alias("quality_score"),
+        r6(F.col("pareto_x")).alias("pareto_x"),
+        "kept",
+    )
+
+
+SQL_PARETO_SAMPLE = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+),
+u AS (
+  SELECT doc_id, score,
+         greatest(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                  0.5 / 4294967296.0) AS u
+  FROM t
+),
+x AS (SELECT doc_id, score, pow(1.0 - u, -1.0 / 9.0) - 1.0 AS px FROM u)
+SELECT doc_id, round(score, 6) AS quality_score, round(px, 6) AS pareto_x,
+       score > 1.0 - px AS kept
+FROM x
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3529,6 +3575,7 @@ QUERIES = {
     "c4_lines": q_c4_lines,
     "url_parts": q_url_parts,
     "domain_stats": q_domain_stats,
+    "pareto_sample": q_pareto_sample,
 }
 
 ORACLE_SQL = {
@@ -3604,4 +3651,5 @@ ORACLE_SQL = {
     "c4_lines": SQL_C4_LINES,
     "url_parts": SQL_URL_PARTS,
     "domain_stats": SQL_DOMAIN_STATS,
+    "pareto_sample": SQL_PARETO_SAMPLE,
 }

@@ -228,6 +228,11 @@ def main():
           gate.QUERIES["domain_stats"](spark, SF),
           "IN-list blocklist evaluates in the scan; ONE map-side-combined "
           "aggregate keyed on registered_domain (output ∝ distinct domains)")
+    audit("pareto_sample (GPT-3 Pareto quality admission)",
+          gate.QUERIES["pareto_sample"](spark, SF),
+          "pure filter: ZERO exchanges, ZERO Python — the hash uniform, the "
+          "Pareto inverse CDF and the keep predicate all fuse into the scan; "
+          "streaming-safe by construction")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
