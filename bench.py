@@ -260,6 +260,7 @@ def main():
         "url_parts",
         "domain_stats",
         "pareto_sample",
+        "epoch_shuffle",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -3502,6 +3502,31 @@ FROM x
 """
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order permutation: the epoch keys
+    for epochs 0 and 1 value-checked per document under the affine
+    family (the order IS the key, so checking keys checks the
+    permutation; the distributed range-sort is exercised by running
+    through the operator)."""
+    from mrmr_spark.operators.curation import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = [
+        epoch_shuffle(d, e, hash_fn="affine").select(
+            "doc_id", F.lit(e).alias("epoch"), "epoch_key"
+        )
+        for e in (0, 1)
+    ]
+    return frames[0].unionByName(frames[1])
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, e AS epoch,
+       (doc_id * 2654435761 + e * 2246822519) % 4294967296 AS epoch_key
+FROM documents, LATERAL unnest([0, 1]) AS t(e)
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3576,6 +3601,7 @@ QUERIES = {
     "url_parts": q_url_parts,
     "domain_stats": q_domain_stats,
     "pareto_sample": q_pareto_sample,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLE_SQL = {
@@ -3652,4 +3678,5 @@ ORACLE_SQL = {
     "url_parts": SQL_URL_PARTS,
     "domain_stats": SQL_DOMAIN_STATS,
     "pareto_sample": SQL_PARETO_SAMPLE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }

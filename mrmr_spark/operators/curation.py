@@ -1695,3 +1695,60 @@ def mix_to_token_budget(
     return keyed.where(
         (F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget")
     ).drop("_budget")
+
+
+# Second multiplier for the epoch salt (xxhash's 32-bit prime 2), coprime
+# to 2^32 like KNUTH_MULT — the (id, epoch) -> key map stays a bijection
+# in id for every fixed epoch, so each epoch's order is a true permutation.
+_EPOCH_MULT = 2246822519
+
+
+def epoch_shuffle_key(
+    epoch: int, id_col: str | Column = "doc_id", hash_fn: str = "xxhash64"
+) -> Column:
+    """Deterministic per-epoch ordering key: a different seed-free
+    permutation of the corpus for every training epoch.
+
+    - ``xxhash64`` (default): key = xxhash64(id, epoch) — production.
+    - ``affine``: key = (id*KNUTH_MULT + epoch*_EPOCH_MULT) mod 2^32 —
+      ANSI-SQL-reproducible (gate row `epoch_shuffle`); id < 2^31.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(int(epoch)))
+    if hash_fn == "affine":
+        return F.pmod(
+            col.cast("long") * F.lit(KNUTH_MULT)
+            + F.lit(int(epoch)) * F.lit(_EPOCH_MULT),
+            F.lit(_HASH_SPACE),
+        )
+    raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    num_partitions: int | None = None,
+    key_col: str = "epoch_key",
+) -> DataFrame:
+    """Globally shuffle the corpus into epoch ``epoch``'s training order:
+    append the epoch key and return the frame range-partitioned and
+    sorted by ``(key, id)`` — reading the partitions in order yields the
+    epoch's permutation. Seed-free: re-running any epoch reproduces its
+    order bit-for-bit on any cluster size.
+
+    Scale design: a distributed sort (range exchange + in-partition
+    sort), the same physical shape as any 100 TB ORDER BY write — there
+    is no global window or single-task stage; ``num_partitions`` sizes
+    the output files (defaults to Spark's shuffle-partition setting).
+    """
+    key = epoch_shuffle_key(epoch, id_col, hash_fn).alias(key_col)
+    keyed = df.select("*", key)
+    parts = [F.col(key_col).asc(), F.col(id_col).asc()]
+    if num_partitions is not None:
+        keyed = keyed.repartitionByRange(num_partitions, *parts)
+    else:
+        keyed = keyed.repartitionByRange(*parts)
+    return keyed.sortWithinPartitions(*parts)

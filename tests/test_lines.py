@@ -343,3 +343,43 @@ def test_mix_budget_default_hash_runs_and_validates(mix_docs):
     assert set(out.toPandas()["source"]) == {"s0"}
     with pytest.raises(ValueError, match="non-negative"):
         mix_to_token_budget(df, {"s0": -1})
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_is_deterministic_permutation(mix_docs):
+    from mrmr_spark.operators.curation import epoch_shuffle
+
+    df, rows = mix_docs
+    e0 = epoch_shuffle(df, 0, num_partitions=4)
+    order0 = [r["doc_id"] for r in e0.select("doc_id", "epoch_key").collect()]
+    # permutation: same multiset of ids
+    assert sorted(order0) == [i for i, _, _ in rows]
+    # collect order follows the range partitioning + in-partition sort
+    keys = [r["epoch_key"] for r in e0.select("epoch_key").collect()]
+    assert keys == sorted(keys)
+    # re-run bit-identical; a different epoch is a different permutation
+    assert order0 == [r["doc_id"] for r in epoch_shuffle(df, 0, num_partitions=4).select("doc_id").collect()]
+    order1 = [r["doc_id"] for r in epoch_shuffle(df, 1, num_partitions=4).select("doc_id").collect()]
+    assert order0 != order1 and sorted(order1) == sorted(order0)
+
+
+def test_epoch_shuffle_affine_matches_python(mix_docs):
+    from mrmr_spark.operators.curation import epoch_shuffle
+
+    df, rows = mix_docs
+    got = {
+        r["doc_id"]: r["epoch_key"]
+        for r in epoch_shuffle(df, 3, hash_fn="affine").select("doc_id", "epoch_key").collect()
+    }
+    for i, _, _ in rows:
+        assert got[i] == (i * 2654435761 + 3 * 2246822519) % (2**32)
+
+
+def test_epoch_shuffle_rejects_bad_hash(mix_docs):
+    from mrmr_spark.operators.curation import epoch_shuffle
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        epoch_shuffle(mix_docs[0], 0, hash_fn="nope")

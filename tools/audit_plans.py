@@ -233,6 +233,14 @@ def main():
           "pure filter: ZERO exchanges, ZERO Python — the hash uniform, the "
           "Pareto inverse CDF and the keep predicate all fuse into the scan; "
           "streaming-safe by construction")
+    audit("epoch_shuffle (per-epoch training-order permutation)",
+          __import__("mrmr_spark.operators.curation", fromlist=["epoch_shuffle"])
+          .epoch_shuffle(
+              spark.read.parquet(f"{SF}/documents.parquet"), epoch=1
+          ),
+          "a distributed sort and nothing else: ONE range exchange on the "
+          "epoch key + in-partition sort — the same physical shape as a "
+          "100 TB ORDER BY write; no global window, no single-task stage")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
