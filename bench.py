@@ -261,6 +261,7 @@ def main():
         "domain_stats",
         "pareto_sample",
         "epoch_shuffle",
+        "normalize_url",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

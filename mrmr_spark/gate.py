@@ -3527,6 +3527,49 @@ FROM documents, LATERAL unnest([0, 1]) AS t(e)
 """
 
 
+def q_normalize_url(spark, sf_dir):
+    """URL canonicalization over injected messy URLs (mixed-case
+    authority, default and explicit ports, tracking params, fragments,
+    an unparseable pass-through) — the normalized form value-checked
+    against the oracle's by-construction expected strings."""
+    from mrmr_spark.operators.web import normalize_url
+
+    doc = F.col("doc_id").cast("string")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://News.Example.COM:443/p/"), doc,
+                     F.lit("?utm_source=x&id="), doc, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://a.example.com:80/p/"), doc,
+                     F.lit("?gclid=1&keep=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://shop.example.org:8080/p/"), doc,
+                     F.lit("?a=1")),
+        )
+        .otherwise(F.concat(F.lit("/relative/"), doc))
+        .alias("url"),
+    )
+    return normalize_url(d).select("doc_id", "url_norm")
+
+
+SQL_NORMALIZE_URL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://news.example.com/p/' || doc_id || '?id=' || doc_id
+         WHEN 1 THEN 'http://a.example.com/p/' || doc_id || '?keep=2'
+         WHEN 2 THEN 'https://shop.example.org:8080/p/' || doc_id || '?a=1'
+         ELSE '/relative/' || doc_id
+       END AS url_norm
+FROM documents
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3602,6 +3645,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "pareto_sample": q_pareto_sample,
     "epoch_shuffle": q_epoch_shuffle,
+    "normalize_url": q_normalize_url,
 }
 
 ORACLE_SQL = {
@@ -3679,4 +3723,5 @@ ORACLE_SQL = {
     "domain_stats": SQL_DOMAIN_STATS,
     "pareto_sample": SQL_PARETO_SAMPLE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "normalize_url": SQL_NORMALIZE_URL,
 }

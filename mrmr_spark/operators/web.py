@@ -136,7 +136,13 @@ def domain_stats(
     totals, mean tokens per document — the frame a mixture recipe or a
     per-domain cap (RefinedWeb caps any single domain's share) is
     computed from. One map-side-combined aggregate; output is ∝ distinct
-    domains, not corpus."""
+    domains, not corpus.
+
+    To ENFORCE a per-domain cap, compose with the existing exact
+    sampler — ``stratified_sample_exact(df, domain_col, cap)`` keeps
+    min(cap, size) documents per domain in seed-free hash order — or
+    with ``mix_to_token_budget`` for token-denominated caps.
+    """
     import re as _re
 
     n_tok = F.size(F.split(F.col(text_col), _re.escape(split))).cast("bigint")
@@ -148,4 +154,93 @@ def domain_stats(
             F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
             (F.sum(n_tok) / F.count(F.lit(1))).alias("mean_tokens"),
         )
+    )
+
+
+# Tracking parameters stripped by normalize_url's defaults: the common
+# click/campaign identifiers (any utm_* plus these names).
+DEFAULT_DROP_PARAMS = ("gclid", "fbclid", "msclkid", "mc_eid", "ref")
+DEFAULT_DROP_PARAM_PREFIXES = ("utm_",)
+
+
+def normalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+    drop_params: tuple[str, ...] = DEFAULT_DROP_PARAMS,
+    drop_param_prefixes: tuple[str, ...] = DEFAULT_DROP_PARAM_PREFIXES,
+    strip_fragment: bool = True,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Append ``out_col`` = the canonical form of ``url_col`` — the
+    standard pass BEFORE URL-level exact dedup (the same page arrives
+    from a crawl under dozens of tracking-param/fragment variants):
+
+    - fragment stripped (``#...``; off via ``strip_fragment=False``),
+    - scheme+authority lowercased (path and query keep their case),
+    - the scheme's default port dropped (``:80`` for http, ``:443``
+      for https),
+    - tracking query parameters removed — any name in ``drop_params``
+      or starting with a ``drop_param_prefixes`` entry — with ``?``
+      itself dropped when nothing survives; parameter ORDER among the
+      survivors is preserved (full param sorting is deliberately not
+      done: it changes semantics on duplicate keys),
+    - optional ``strip_www``: a leading ``www.`` label dropped from the
+      host (off by default; documented no-op when userinfo precedes the
+      host).
+
+    URLs that don't parse (no scheme) pass through unchanged. Pure
+    Column expression — zero shuffles, zero Python, streaming-safe;
+    compose as ``dedup_documents`` / ``exact_dedup`` keyed on
+    ``url_norm`` for crawl-level URL dedup.
+    """
+    url = F.col(url_col)
+    # Always normalize the pre-fragment part; with strip_fragment=False the
+    # fragment is held aside (original case) and re-appended at the end —
+    # folding it into the prefix/path arithmetic would lowercase it.
+    base = F.split(url, "#").getItem(0)
+    frag = (
+        F.lit("")
+        if strip_fragment
+        else F.when(
+            url.contains("#"),
+            F.concat(F.lit("#"), F.substring(url, F.length(base) + 2, F.length(url))),
+        ).otherwise(F.lit(""))
+    )
+    pre_q = F.split(base, "\\?").getItem(0)
+    has_q = base.contains("?")
+    q = F.when(
+        has_q, F.substring(base, F.length(pre_q) + 2, F.length(base))
+    ).otherwise(F.lit(""))
+
+    scheme = F.lower(F.regexp_extract(base, SCHEME_RE, 1))
+    path = F.regexp_extract(base, PATH_RE, 1)
+    prefix = F.substring(pre_q, 1, (F.length(pre_q) - F.length(path)).cast("int"))
+    prefix = F.lower(prefix)
+    prefix = (
+        F.when(scheme == "http", F.regexp_replace(prefix, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(prefix, ":443$", ""))
+        .otherwise(prefix)
+    )
+    if strip_www:
+        prefix = F.regexp_replace(prefix, "://www\\.", "://")
+
+    def _keep_param(p: Column) -> Column:
+        name = F.split(p, "=").getItem(0)
+        cond = ~name.isin(*drop_params) if drop_params else F.lit(True)
+        for pref in drop_param_prefixes:
+            cond = cond & ~name.startswith(pref)
+        return cond
+
+    kept_q = F.array_join(F.filter(F.split(q, "&"), _keep_param), "&")
+    norm = F.concat(
+        prefix,
+        path,
+        F.when(has_q & (kept_q != ""), F.concat(F.lit("?"), kept_q)).otherwise(
+            F.lit("")
+        ),
+        frag,
+    )
+    return df.select(
+        "*", F.when(scheme == "", url).otherwise(norm).alias(out_col)
     )

@@ -141,3 +141,89 @@ def test_domain_stats_matches_python(parsed):
         exp[reg] = (d + 1, tok + len(t.split(" ")), ch + len(t))
     assert got == exp
     assert got["example.com"][0] == 4  # docs 0, 5, 6, 9
+
+
+# ---------------------------------------------------------------------------
+# normalize_url
+# ---------------------------------------------------------------------------
+
+NORM_CASES = [
+    # (input, expected with defaults)
+    ("HTTPS://News.Example.COM:443/Path/Page?utm_source=x&id=9&utm_medium=y#f",
+     "https://news.example.com/Path/Page?id=9"),
+    ("http://a.example.com:80/x?gclid=1", "http://a.example.com/x"),
+    ("http://a.example.com:8080/x?a=1&b=2", "http://a.example.com:8080/x?a=1&b=2"),
+    ("https://example.com/x?", "https://example.com/x"),
+    ("https://example.com/x?ref=abc&refid=keep", "https://example.com/x?refid=keep"),
+    ("https://user@Host.Example.com/P?utm_a=1", "https://user@host.example.com/P"),
+    ("https://example.com", "https://example.com"),
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def test_normalize_url_cases(spark):
+    from mrmr_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(NORM_CASES)], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r["url_norm"] for r in normalize_url(df).collect()}
+    for i, (u, want) in enumerate(NORM_CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_normalize_url_options(spark):
+    from mrmr_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame(
+        [(0, "https://www.example.com/a#frag")], "doc_id long, url string"
+    )
+    keep_frag = normalize_url(df, strip_fragment=False).first()["url_norm"]
+    assert keep_frag == "https://www.example.com/a#frag"
+    no_www = normalize_url(df, strip_www=True).first()["url_norm"]
+    assert no_www == "https://example.com/a"
+
+
+def test_normalize_url_enables_url_dedup(spark):
+    """The composition the operator exists for: crawl variants of one
+    page collapse to a single canonical key."""
+    from mrmr_spark.operators.web import normalize_url
+
+    variants = [
+        (0, "https://example.com/story?utm_source=feed"),
+        (1, "HTTPS://EXAMPLE.COM:443/story"),
+        (2, "https://example.com/story#comments"),
+        (3, "https://example.com/other"),
+    ]
+    df = normalize_url(spark.createDataFrame(variants, "doc_id long, url string"))
+    keys = df.groupBy("url_norm").count().collect()
+    assert {r["url_norm"]: r["count"] for r in keys} == {
+        "https://example.com/story": 3,
+        "https://example.com/other": 1,
+    }
+
+
+def test_normalize_url_pure_projection_and_streams(spark, tmp_path):
+    from mrmr_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(NORM_CASES)], "doc_id long, url string"
+    )
+    plan = normalize_url(df)._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys and "BatchEvalPython" not in phys
+    d = str(tmp_path / "normin")
+    df.coalesce(1).write.parquet(d)
+    q = (
+        normalize_url(spark.readStream.schema(df.schema).parquet(d))
+        .writeStream.format("memory").queryName("normstream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("normstream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    batch = normalize_url(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, batch)

@@ -241,6 +241,11 @@ def main():
           "a distributed sort and nothing else: ONE range exchange on the "
           "epoch key + in-partition sort — the same physical shape as a "
           "100 TB ORDER BY write; no global window, no single-task stage")
+    audit("normalize_url (URL canonicalization for crawl dedup)",
+          gate.QUERIES["normalize_url"](spark, SF),
+          "pure projection: ZERO exchanges, ZERO Python — fragment/param "
+          "stripping and case folding fuse into the scan; feeds exact_dedup "
+          "keyed on url_norm")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
