@@ -262,6 +262,7 @@ def main():
         "pareto_sample",
         "epoch_shuffle",
         "normalize_url",
+        "sliding_chunks",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -3570,6 +3570,44 @@ FROM documents
 """
 
 
+def q_sliding_chunks(spark, sf_dir):
+    """Per-document overlapping window chunking (size 40, stride 25):
+    every chunk's index/start/span/text value-checked — including the
+    no-redundant-tail stop rule and the short final chunk."""
+    from mrmr_spark.operators.curation import sliding_chunks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sliding_chunks(d, size=40, stride=25).select(
+        "doc_id", "chunk_idx", "tok_start", "n_tokens", "chunk_text"
+    )
+
+
+SQL_SLIDING_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, n,
+         greatest(CAST(ceil((n - 40) * 1.0 / 25) AS BIGINT) * 25, 0) AS last
+  FROM t
+),
+x AS (
+  SELECT doc_id, toks, n, g AS tok_start, g // 25 AS chunk_idx
+  FROM s, LATERAL unnest(generate_series(0, last, 25)) AS u(g)
+  WHERE g < n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(least(40, n - tok_start) AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, tok_start + 1, tok_start + least(40, n - tok_start)),
+         ' ') AS chunk_text
+FROM x
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3646,6 +3684,7 @@ QUERIES = {
     "pareto_sample": q_pareto_sample,
     "epoch_shuffle": q_epoch_shuffle,
     "normalize_url": q_normalize_url,
+    "sliding_chunks": q_sliding_chunks,
 }
 
 ORACLE_SQL = {
@@ -3724,4 +3763,5 @@ ORACLE_SQL = {
     "pareto_sample": SQL_PARETO_SAMPLE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "normalize_url": SQL_NORMALIZE_URL,
+    "sliding_chunks": SQL_SLIDING_CHUNKS,
 }

@@ -1752,3 +1752,68 @@ def epoch_shuffle(
     else:
         keyed = keyed.repartitionByRange(*parts)
     return keyed.sortWithinPartitions(*parts)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split: str = " ",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Per-document OVERLAPPING window chunking — the long-document prep
+    for training/eval context windows (stride < size gives the classic
+    overlapping windows; contrast :func:`pack_documents`, which packs
+    MULTIPLE documents into disjoint fixed-budget chunks).
+
+    Chunk c of a document starts at token c*stride and spans up to
+    ``size`` tokens; generation stops with the first chunk that reaches
+    the document's end (no fully-redundant tail windows), and a final
+    partial chunk shorter than ``min_tokens`` is dropped. Output: one
+    row per (document, chunk) with ``chunk_idx, tok_start, n_tokens,
+    chunk_text`` plus every input column.
+
+    Scale design: a pure per-document projection + explode — ZERO
+    shuffles, zero Python, streaming-safe; output rows ∝ input tokens ×
+    (size/stride) overlap factor, and the chunk starts are computed
+    arithmetically (no per-token iteration).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    stride = size if stride is None else stride
+    if stride < 1 or stride > size:
+        raise ValueError(f"stride must be in [1, size], got {stride}")
+    if min_tokens < 1 or min_tokens > size:
+        raise ValueError(f"min_tokens must be in [1, size], got {min_tokens}")
+
+    toks = F.split(F.col(text_col), re.escape(split))
+    n = F.size(toks)
+    # last start = the smallest multiple of stride with start + size >= n
+    # (ceil((n - size) / stride) * stride, floored at 0)
+    last = F.greatest(
+        F.ceil((n - F.lit(size)).cast("double") / F.lit(stride)).cast("long")
+        * F.lit(stride),
+        F.lit(0),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last, F.lit(stride))
+    chunked = df.select(
+        "*", n.cast("bigint").alias("_n"), F.posexplode(starts).alias("chunk_idx", "tok_start")
+    ).where(F.col("tok_start") < F.col("_n"))
+    span = F.least(F.lit(size).cast("long"), F.col("_n") - F.col("tok_start"))
+    toks2 = F.split(F.col(text_col), re.escape(split))
+    return (
+        chunked.select(
+            "*",
+            span.cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.slice(toks2, (F.col("tok_start") + 1).cast("int"), span.cast("int")),
+                split,
+            ).alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+        .drop("_n")
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+        .withColumn("tok_start", F.col("tok_start").cast("bigint"))
+    )

@@ -383,3 +383,73 @@ def test_epoch_shuffle_rejects_bad_hash(mix_docs):
 
     with pytest.raises(ValueError, match="hash_fn"):
         epoch_shuffle(mix_docs[0], 0, hash_fn="nope")
+
+
+# ---------------------------------------------------------------------------
+# sliding_chunks
+# ---------------------------------------------------------------------------
+
+def _py_sliding(text, size, stride, min_tokens=1):
+    toks = text.split(" ")
+    n = len(toks)
+    last = max(-(-(n - size) // stride) * stride, 0)
+    out = []
+    for idx, start in enumerate(range(0, last + 1, stride)):
+        if start >= n:
+            continue
+        span = min(size, n - start)
+        if span >= min_tokens:
+            out.append((idx, start, span, " ".join(toks[start : start + span])))
+    return out
+
+
+def test_sliding_chunks_matches_python_oracle(mix_docs):
+    from mrmr_spark.operators.curation import sliding_chunks
+
+    df, rows = mix_docs
+    got = {}
+    for r in sliding_chunks(df, size=12, stride=7).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["n_tokens"], r["chunk_text"])
+        )
+    for i, _, t in rows:
+        assert sorted(got[i]) == _py_sliding(t, 12, 7), (i, t)
+    # reconstruction: stride == size tiles the document exactly
+    tiled = sliding_chunks(df, size=12).collect()
+    rebuilt = {}
+    for r in sorted(tiled, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        rebuilt.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, _, t in rows:
+        assert " ".join(rebuilt[i]) == t
+
+
+def test_sliding_chunks_overlap_and_tail_rules(spark):
+    from mrmr_spark.operators.curation import sliding_chunks
+
+    df = spark.createDataFrame([(0, "a b c d e f g h i j")], "doc_id long, text string")
+    got = [
+        (r["chunk_idx"], r["tok_start"], r["n_tokens"], r["chunk_text"])
+        for r in sliding_chunks(df, size=8, stride=4).collect()
+    ]
+    # n=10: windows [0,8) and [4,10) — generation stops at the first
+    # end-reaching window, no redundant third tail
+    assert sorted(got) == [(0, 0, 8, "a b c d e f g h"), (1, 4, 6, "e f g h i j")]
+    # min_tokens drops the short tail
+    got2 = sliding_chunks(df, size=8, stride=4, min_tokens=7).collect()
+    assert len(got2) == 1 and got2[0]["chunk_idx"] == 0
+    # doc shorter than size -> one full-doc chunk
+    got3 = sliding_chunks(df, size=100, stride=100).collect()
+    assert len(got3) == 1 and got3[0]["n_tokens"] == 10
+
+
+def test_sliding_chunks_validation_and_plan(spark):
+    from mrmr_spark.operators.curation import sliding_chunks
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    for kwargs in ({"size": 0}, {"size": 4, "stride": 0}, {"size": 4, "stride": 5},
+                   {"size": 4, "min_tokens": 0}, {"size": 4, "min_tokens": 5}):
+        with pytest.raises(ValueError):
+            sliding_chunks(df, **kwargs)
+    plan = sliding_chunks(df, size=4)._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys and "BatchEvalPython" not in phys

@@ -246,6 +246,11 @@ def main():
           "pure projection: ZERO exchanges, ZERO Python — fragment/param "
           "stripping and case folding fuse into the scan; feeds exact_dedup "
           "keyed on url_norm")
+    audit("sliding_chunks (overlapping context windows)",
+          gate.QUERIES["sliding_chunks"](spark, SF),
+          "pure per-document projection + explode: ZERO exchanges, ZERO "
+          "Python — chunk starts computed arithmetically, token slices by "
+          "higher-order slice; output ∝ tokens × overlap factor")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
