@@ -453,3 +453,86 @@ def test_sliding_chunks_validation_and_plan(spark):
     plan = sliding_chunks(df, size=4)._jdf.queryExecution().toString()
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in phys and "BatchEvalPython" not in phys
+
+
+# ---------------------------------------------------------------------------
+# two-phase boilerplate removal (common_line_keys + remove_lines_by_keys)
+# ---------------------------------------------------------------------------
+
+def test_two_phase_equals_one_shot(lined_docs):
+    from mrmr_spark.operators.lines import common_line_keys, remove_lines_by_keys
+
+    df, _ = lined_docs
+    keys = common_line_keys(df, max_df=10)
+    two = remove_lines_by_keys(df, keys).toPandas().sort_values("doc_id").reset_index(drop=True)
+    one = remove_common_lines(df, max_df=10).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(two, one)
+
+
+@pytest.mark.parametrize("key_backend", ["hash128", "string"])
+def test_broadcast_set_backend_equals_join(lined_docs, key_backend):
+    from mrmr_spark.operators.lines import common_line_keys, remove_lines_by_keys
+
+    df, _ = lined_docs
+    keys = common_line_keys(df, max_df=10, key_backend=key_backend)
+    a = remove_lines_by_keys(df, keys, key_backend=key_backend).toPandas()
+    b = remove_lines_by_keys(
+        df, keys, key_backend=key_backend, apply_backend="broadcast_set"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_sample_trained_keys_apply_to_full_corpus(lined_docs):
+    """The production flow: train the boilerplate set on a corpus slice,
+    apply to everything — boilerplate frequent in the slice is removed
+    corpus-wide."""
+    from mrmr_spark.operators.lines import common_line_keys, remove_lines_by_keys
+
+    df, texts = lined_docs
+    sample = df.where(F.col("doc_id") % 2 == 0)  # boiler[0] is in every even doc
+    keys = common_line_keys(sample, max_df=30)
+    out = remove_lines_by_keys(df, keys)
+    got = {r["doc_id"]: r["n_removed_lines"] for r in out.collect()}
+    # "cookie notice accept all" occurs in all 60 even docs of the sample
+    # -> removed from every even doc corpus-wide; odd docs untouched by it
+    for i in texts:
+        assert got[i] == (1 if i % 2 == 0 else 0)
+
+
+def test_broadcast_set_size_guard(lined_docs, monkeypatch):
+    import mrmr_spark.operators.lines as L
+
+    df, _ = lined_docs
+    keys = L.common_line_keys(df, max_df=10)
+    monkeypatch.setattr(L, "_MAX_BROADCAST_KEYS", 1)
+    with pytest.raises(ValueError, match="broadcast_set holds"):
+        L.remove_lines_by_keys(df, keys, apply_backend="broadcast_set")
+    with pytest.raises(ValueError, match="apply_backend"):
+        L.remove_lines_by_keys(df, keys, apply_backend="nope")
+
+
+def test_remove_lines_by_keys_runs_on_streams(spark, tmp_path, lined_docs):
+    """The streaming boilerplate pass: keys trained in batch, applied to a
+    file stream via the stateless broadcast_set backend."""
+    from mrmr_spark.operators.lines import common_line_keys, remove_lines_by_keys
+
+    df, _ = lined_docs
+    keys = common_line_keys(df, max_df=10)
+    d = str(tmp_path / "linestream")
+    df.coalesce(2).write.parquet(d)
+    src = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        remove_lines_by_keys(src, keys, apply_backend="broadcast_set")
+        .writeStream.format("memory").queryName("boilstream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("boilstream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    batch = remove_common_lines(df, max_df=10).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, batch)
