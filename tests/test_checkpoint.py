@@ -97,3 +97,29 @@ def test_run_curation_pipeline_resumes(spark, tmp_path):
     assert [p["manifest_id"] for p in second["phases"]] == [
         p["manifest_id"] for p in first["phases"]
     ]
+
+
+def test_run_curation_optin_phases(spark, tmp_path):
+    """--pii and --line-max-df insert their resumable phases; off by
+    default they are omitted entirely (no pass-through checkpoints)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation
+
+    ckpt = str(tmp_path / "cur_opt")
+    argv = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--checkpoint-dir", ckpt,
+        "--budget", "512",
+        "--min-words", "10",
+        "--min-stopword-hits", "0",
+        "--pii",
+        "--line-max-df", "400",
+    ]
+    out = run_curation.main(argv)
+    assert [p["phase"] for p in out["phases"]] == [
+        "ingest", "decontaminate", "pii", "lines", "quality", "dedup",
+        "split", "pack",
+    ]
+    assert out["n_docs"] > 0 and out["n_chunks"] > 0

@@ -16,9 +16,11 @@ Local smoke:
         --checkpoint-dir /tmp/curation_run --budget 1024
 
 Phases (each resumable): ingest -> decontaminate (skipped without
---eval-set) -> quality (Gopher rules) -> dedup (winnow candidates ->
-exact verify -> transitive clusters -> canonical corpus) -> split ->
-pack. The chunk-span table and per-phase row counts are the output.
+--eval-set) -> pii (opt-in ``--pii``) -> lines (boilerplate-line
+removal, opt-in ``--line-max-df N``) -> quality (Gopher rules) ->
+dedup (winnow candidates -> exact verify -> transitive clusters ->
+canonical corpus) -> split -> pack. The chunk-span table and per-phase
+row counts are the output.
 """
 
 from __future__ import annotations
@@ -41,6 +43,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--min-words", type=int, default=50)
     ap.add_argument("--min-stopword-hits", type=int, default=2)
     ap.add_argument("--train-frac", type=float, default=0.99)
+    ap.add_argument("--pii", action="store_true",
+                    help="redact PII (emails/IPs/phones/...) before quality")
+    ap.add_argument("--line-max-df", type=int, default=0,
+                    help=">0: drop lines occurring in >= N docs (boilerplate)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -71,6 +77,18 @@ def main(argv: list[str] | None = None) -> dict:
         bench = spark.read.parquet(args.eval_set)
         return decontaminate(prev, bench, n=args.contam_n, mode="drop")
 
+    def pii(prev):
+        from mrmr_spark.operators.pii import redact_pii
+
+        return redact_pii(prev)
+
+    def lines(prev):
+        from mrmr_spark.operators.lines import remove_common_lines
+
+        return remove_common_lines(prev, max_df=args.line_max_df).drop(
+            "n_removed_lines"
+        )
+
     def quality(prev):
         return gopher_quality_filter(
             prev,
@@ -96,6 +114,10 @@ def main(argv: list[str] | None = None) -> dict:
         [
             ("ingest", ingest),
             ("decontaminate", decontam),
+            # opt-in phases are omitted entirely when off (a pass-through
+            # phase would still checkpoint a full corpus copy)
+            *([("pii", pii)] if args.pii else []),
+            *([("lines", lines)] if args.line_max_df > 0 else []),
             ("quality", quality),
             ("dedup", dedup),
             ("split", split),
