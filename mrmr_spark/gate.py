@@ -3608,6 +3608,69 @@ FROM x
 """
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing, exact rank mode: per-language
+    percent_rank over a deterministic score (char length as the ppl
+    proxy) with the doc_id tiebreak, thirds cut at 1/3 and 2/3 — every
+    document's bucket value-checked."""
+    from mrmr_spark.operators.curation import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("ppl")
+    )
+    return perplexity_buckets(d, group_col="lang").select(
+        "doc_id", "lang", "ppl_bucket"
+    )
+
+
+SQL_PPL_BUCKETS = """
+WITH s AS (
+  SELECT doc_id, lang,
+         percent_rank() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(length(text) AS DOUBLE), doc_id) AS pr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN pr < 1.0 / 3 THEN 'head'
+            WHEN pr < 2.0 / 3 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s
+"""
+
+
+def q_ppl_buckets_cut(spark, sf_dir):
+    """The production CCNet split end to end: per-language cut values
+    from the exact interpolating percentile (fractions 0.25/0.5 —
+    exact-double idx, so Spark percentile and DuckDB quantile_cont are
+    bit-identical), broadcast-joined back and applied as a pure
+    projection — the zero-shuffle 100 TB bucketing path."""
+    from mrmr_spark.operators.curation import perplexity_buckets, perplexity_cuts
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("ppl")
+    )
+    cuts = perplexity_cuts(d, fractions=(0.25, 0.5), group_col="lang")
+    return perplexity_buckets(d, cuts=cuts, group_col="lang").select(
+        "doc_id", "lang", "ppl_bucket"
+    )
+
+
+SQL_PPL_BUCKETS_CUT = """
+WITH s AS (
+  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS ppl FROM documents
+),
+c AS (
+  SELECT lang, quantile_cont(ppl, [0.25, 0.5]) AS cuts FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang,
+       CASE WHEN s.ppl <= cuts[1] THEN 'head'
+            WHEN s.ppl <= cuts[2] THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s JOIN c USING (lang)
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3685,6 +3748,8 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "normalize_url": q_normalize_url,
     "sliding_chunks": q_sliding_chunks,
+    "ppl_buckets": q_ppl_buckets,
+    "ppl_buckets_cut": q_ppl_buckets_cut,
 }
 
 ORACLE_SQL = {
@@ -3764,4 +3829,6 @@ ORACLE_SQL = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "normalize_url": SQL_NORMALIZE_URL,
     "sliding_chunks": SQL_SLIDING_CHUNKS,
+    "ppl_buckets": SQL_PPL_BUCKETS,
+    "ppl_buckets_cut": SQL_PPL_BUCKETS_CUT,
 }

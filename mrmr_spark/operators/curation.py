@@ -1817,3 +1817,116 @@ def sliding_chunks(
         .withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
         .withColumn("tok_start", F.col("tok_start").cast("bigint"))
     )
+
+
+def perplexity_cuts(
+    scores: DataFrame,
+    fractions: tuple = (1 / 3, 2 / 3),
+    ppl_col: str = "ppl",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group perplexity cut values at the given quantile fractions —
+    the calibration half of the CCNet head/middle/tail split (Wenzek et
+    al. 2020 compute exactly these cuts once per language, then bucket
+    the whole crawl against them). Returns one row per group (or a
+    single global row) with ``cuts: array<double>``, ready to feed
+    :func:`perplexity_buckets` — collect it (G×|fractions| doubles) or
+    let the bucket pass broadcast-join it.
+
+    Uses Spark's exact linear-interpolation ``percentile`` — a
+    value-buffering aggregate, so run it on a BOUNDED frame: at 100 TB
+    the production pattern is cuts from a per-group sample (CCNet's own
+    recipe), then :func:`perplexity_buckets` as a pure projection over
+    the full corpus. The gate oracles this against DuckDB's
+    ``quantile_cont`` (the same interpolation).
+    """
+    fr = [float(f) for f in fractions]
+    if any(not 0.0 < f < 1.0 for f in fr) or sorted(fr) != fr:
+        raise ValueError(f"fractions must be increasing in (0, 1), got {fractions}")
+    agg = F.percentile(F.col(ppl_col), F.array(*[F.lit(f) for f in fr])).alias("cuts")
+    if group_col is None:
+        return scores.agg(agg)
+    return scores.groupBy(group_col).agg(agg)
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    cuts=None,
+    fractions: tuple = (1 / 3, 2 / 3),
+    ppl_col: str = "ppl",
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: label each document ``head`` /
+    ``middle`` / ``tail`` (lowest perplexity = head) by where its score
+    falls in the per-group (per-language) distribution — the split CCNet
+    and the LLaMA data pipeline use to keep/downsample/drop crawl text.
+    Generic over any numeric score column; pairs with
+    :func:`ngram_lm_score` for the canonical ppl signal.
+
+    Two modes, same output (input columns + ``bucket_col``):
+
+    - ``cuts`` given — PRODUCTION, pure projection, ZERO shuffle.
+      ``cuts`` is a list of |labels|−1 increasing thresholds (global) or
+      a DataFrame from :func:`perplexity_cuts` (per-group; broadcast-
+      joined on ``group_col``). Bucket = first label whose cut is ≥ the
+      score (``ppl <= cuts[i]``), else the last label. This is the 100 TB
+      path: calibrate cuts on a sample, bucket the corpus statelessly —
+      streaming-safe, and stable as the corpus grows.
+    - ``cuts=None`` — EXACT rank mode: bucket i iff
+      ``percent_rank() < fractions[i]`` over ``(group ORDER BY ppl,
+      id)``. Deterministic under ties via the id tiebreak, and
+      SQL-oracle-able; but a window partitioned only by group puts each
+      whole group in one task — fine for bounded calibration frames,
+      NOT for a 100 TB corpus with a dominant language. At scale,
+      calibrate with :func:`perplexity_cuts` on a sample instead.
+
+    NULL scores: with explicit ``cuts`` a NULL score gets a NULL bucket;
+    in rank mode rows must have non-NULL scores (Spark sorts NULLs
+    first, which would silently skew the ranks — drop or impute first).
+    """
+    if len(labels) < 2:
+        raise ValueError("need at least 2 labels")
+    if cuts is None:
+        fr = [float(f) for f in fractions]
+        if len(fr) != len(labels) - 1:
+            raise ValueError(
+                f"len(fractions)={len(fr)} must be len(labels)-1={len(labels) - 1}"
+            )
+        if any(not 0.0 < f < 1.0 for f in fr) or sorted(fr) != fr:
+            raise ValueError(f"fractions must be increasing in (0, 1), got {fractions}")
+        part = [group_col] if group_col is not None else []
+        win = Window.partitionBy(*part).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc()
+        )
+        pr = F.percent_rank().over(win)
+        bucket = F
+        for f, lab in zip(fr, labels):
+            bucket = bucket.when(pr < F.lit(f), F.lit(lab))
+        return scores.select("*", bucket.otherwise(F.lit(labels[-1])).alias(bucket_col))
+
+    if isinstance(cuts, DataFrame):
+        if group_col is None:
+            raise ValueError("a cuts DataFrame needs group_col to join on")
+        joined = scores.join(F.broadcast(cuts), group_col, "left")
+        cut_at = lambda i: F.element_at(F.col("cuts"), i + 1)  # noqa: E731
+    else:
+        cs = [float(c) for c in cuts]
+        if len(cs) != len(labels) - 1:
+            raise ValueError(
+                f"len(cuts)={len(cs)} must be len(labels)-1={len(labels) - 1}"
+            )
+        if sorted(cs) != cs:
+            raise ValueError(f"cuts must be non-decreasing, got {cuts}")
+        joined = scores
+        cut_at = lambda i: F.lit(cs[i])  # noqa: E731
+
+    bucket = F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+    for i, lab in enumerate(labels[:-1]):
+        bucket = bucket.when(F.col(ppl_col) <= cut_at(i), F.lit(lab))
+    out = joined.select(
+        *scores.columns, bucket.otherwise(F.lit(labels[-1])).alias(bucket_col)
+    )
+    return out

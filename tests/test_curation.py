@@ -1018,3 +1018,105 @@ def test_contamination_spans_backends_identical(spark):
     a = sorted(map(tuple, contamination_spans(docs, bench, n=4).collect()))
     b = sorted(map(tuple, contamination_spans(docs, bench, n=4, gram_keys="string").collect()))
     assert a == b and a, "planted overlap must produce spans"
+
+
+# ---------------------------------------------------------------- ppl buckets
+
+
+def _bucket_rows(n_per_group=30, groups=("en", "fr")):
+    """Tie-free scores: doc i in group g scores i*10 + hash-ish jitter."""
+    rows = []
+    i = 0
+    for g in groups:
+        for k in range(n_per_group):
+            rows.append((i, g, float(k * 10 + (i * 7) % 9)))
+            i += 1
+    return rows
+
+
+def test_ppl_buckets_rank_mode_thirds(spark):
+    from mrmr_spark.operators.curation import perplexity_buckets
+
+    rows = _bucket_rows()
+    d = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = perplexity_buckets(d, group_col="lang").collect()
+    # per group: lowest-ppl third is head, highest is tail, sizes 10/10/10
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append((r.ppl, r.ppl_bucket))
+    for g, xs in by.items():
+        xs.sort()
+        labs = [b for _, b in xs]
+        assert labs == ["head"] * 10 + ["middle"] * 10 + ["tail"] * 10
+
+
+def test_ppl_buckets_cut_modes_match_rank_mode(spark):
+    from mrmr_spark.operators.curation import perplexity_buckets, perplexity_cuts
+
+    rows = _bucket_rows(n_per_group=40)
+    d = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    rank = {r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(d, group_col="lang").collect()}
+
+    # cuts-DataFrame mode: exact per-group quantiles at the same fractions
+    # (tie-free scores, so the quantile cut reproduces the rank split
+    # except at the interpolated boundary — verify bucket SIZES match and
+    # ordering is consistent)
+    cuts = perplexity_cuts(d, fractions=(1 / 3, 2 / 3), group_col="lang")
+    cut_mode = {r.doc_id: r.ppl_bucket
+                for r in perplexity_buckets(d, cuts=cuts, group_col="lang").collect()}
+    assert set(cut_mode) == set(rank)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ppl = {i: p for i, _, p in rows}
+    # both modes must be monotone in ppl within a group
+    for mode in (rank, cut_mode):
+        for g in ("en", "fr"):
+            xs = sorted((ppl[i], mode[i]) for i, gg, _ in rows if gg == g)
+            ranks = [order[b] for _, b in xs]
+            assert ranks == sorted(ranks)
+    # and agree on all but possibly the two boundary docs per group
+    diff = [i for i in rank if rank[i] != cut_mode[i]]
+    assert len(diff) <= 4
+
+    # literal global cuts: pure projection, exact thresholds honored
+    lit = perplexity_buckets(d, cuts=[95.0, 250.0])
+    got = {r.doc_id: r.ppl_bucket for r in lit.collect()}
+    for i, _, p in rows:
+        want = "head" if p <= 95.0 else ("middle" if p <= 250.0 else "tail")
+        assert got[i] == want
+
+
+def test_ppl_buckets_null_and_validation(spark):
+    from mrmr_spark.operators.curation import perplexity_buckets, perplexity_cuts
+
+    d = spark.createDataFrame(
+        [(0, "en", 1.0), (1, "en", None), (2, "en", 9.0)],
+        "doc_id long, lang string, ppl double",
+    )
+    out = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(d, cuts=[5.0], labels=("keep", "drop")).collect()}
+    assert out == {0: "keep", 1: None, 2: "drop"}
+
+    with pytest.raises(ValueError, match="len\\(cuts\\)"):
+        perplexity_buckets(d, cuts=[1.0, 2.0], labels=("a", "b"))
+    with pytest.raises(ValueError, match="non-decreasing"):
+        perplexity_buckets(d, cuts=[2.0, 1.0], labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="increasing"):
+        perplexity_buckets(d, fractions=(0.9, 0.1))
+    with pytest.raises(ValueError, match="increasing"):
+        perplexity_cuts(d, fractions=(0.0, 0.5))
+    with pytest.raises(ValueError, match="group_col"):
+        perplexity_buckets(d, cuts=perplexity_cuts(d, group_col="lang"))
+
+
+def test_ppl_cuts_values(spark):
+    from mrmr_spark.operators.curation import perplexity_cuts
+
+    import numpy as np
+
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)]
+    d = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                              "doc_id long, ppl double")
+    (row,) = perplexity_cuts(d, fractions=(0.25, 0.5)).collect()
+    want = np.percentile(vals, [25, 50], method="linear")
+    assert row.cuts == pytest.approx(list(want), abs=0)
