@@ -3671,6 +3671,78 @@ FROM s JOIN c USING (lang)
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-10 retrieval end to end: queries are the first
+    four tokens of documents 0-2, scored with Lucene's BM25 over the
+    whole corpus (df/N/avgdl recomputed from the same parquet), per-term
+    contributions summed as DECIMAL(28,12) so the value hash is
+    partition-order-independent; rank ties break on doc_id."""
+    from mrmr_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
+    )
+    return bm25_topk(docs, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+qt AS (
+  SELECT q_id, unnest(qts) AS term
+  FROM (
+    SELECT doc_id AS q_id,
+           list_distinct(list_filter(string_split(text, ' ')[1:4],
+                                     t -> t <> '')) AS qts
+    FROM documents WHERE doc_id < 3
+  )
+),
+terms AS (SELECT DISTINCT term FROM qt),
+posts AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+matched AS (
+  SELECT p.doc_id, p.dl, p.term, count(*) AS tf
+  FROM posts p JOIN terms USING (term)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+contrib AS (
+  SELECT qt.q_id, m.doc_id,
+         CAST(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * ((CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(m.tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)))
+              AS DECIMAL(28,12)) AS c
+  FROM matched m
+  JOIN dfs d USING (term)
+  JOIN qt USING (term)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT q_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         score
+  FROM scored
+)
+SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3750,6 +3822,7 @@ QUERIES = {
     "sliding_chunks": q_sliding_chunks,
     "ppl_buckets": q_ppl_buckets,
     "ppl_buckets_cut": q_ppl_buckets_cut,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -3831,4 +3904,5 @@ ORACLE_SQL = {
     "sliding_chunks": SQL_SLIDING_CHUNKS,
     "ppl_buckets": SQL_PPL_BUCKETS,
     "ppl_buckets_cut": SQL_PPL_BUCKETS_CUT,
+    "bm25_topk": SQL_BM25_TOPK,
 }

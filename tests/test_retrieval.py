@@ -1,0 +1,112 @@
+"""BM25 lexical retrieval: exact parity with a pure-Python reference
+implementation, edge cases, and determinism contracts."""
+
+import math
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from mrmr_spark.operators.retrieval import bm25_scores, bm25_topk
+
+DOCS = [
+    (0, "fast scan over the table"),
+    (1, "hash join beats sort merge join"),
+    (2, "the table scan is slow but the scan is wide"),
+    (3, "merge sort"),
+    (4, "unrelated words entirely"),
+]
+QUERIES = [(100, "table scan"), (101, "join"), (102, "nowhere term"), (103, "")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Independent oracle: textbook Lucene BM25, dict-and-loop."""
+    toks = {d: t.split() if t else [] for d, t in docs}
+    toks = {d: [w for w in t if w] for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        qterms = sorted(set(w for w in qtext.split() if w))
+        for d, t in toks.items():
+            s = 0.0
+            matched = False
+            for w in qterms:
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                matched = True
+                df = sum(1 for tt in toks.values() if w in tt)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if matched:
+                out[(qid, d)] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(QUERIES, "q_id long, query string")
+    return d, q
+
+
+def test_bm25_scores_match_python_oracle(spark, frames):
+    d, q = frames
+    got = {(r.q_id, r.doc_id): r.score for r in bm25_scores(d, q).collect()}
+    want = _py_bm25(DOCS, QUERIES)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=2e-6), key
+
+
+def test_bm25_topk_ranking_and_ties(spark, frames):
+    d, q = frames
+    rows = bm25_topk(d, q, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.doc_id, r.score))
+    # every query with matches returns <= k rows, ranks 1..m contiguous,
+    # scores non-increasing, doc_id ascending within equal scores
+    want = _py_bm25(DOCS, QUERIES)
+    for qid, xs in by_q.items():
+        xs.sort()
+        assert [r for r, _, _ in xs] == list(range(1, len(xs) + 1))
+        scores = [s for _, _, s in xs]
+        assert scores == sorted(scores, reverse=True)
+        exp = sorted(
+            ((v, k[1]) for k, v in want.items() if k[0] == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[: len(xs)]
+        assert [(s, d_) for _, d_, s in xs] == [
+            (pytest.approx(v, abs=2e-6), d_) for v, d_ in exp
+        ]
+    # unseen-term and empty queries return nothing
+    assert 102 not in by_q and 103 not in by_q
+
+
+def test_bm25_query_term_dedup(spark, frames):
+    d, _ = frames
+    q1 = spark.createDataFrame([(0, "join join join")], "q_id long, query string")
+    q2 = spark.createDataFrame([(0, "join")], "q_id long, query string")
+    a = sorted(map(tuple, bm25_scores(d, q1).collect()))
+    b = sorted(map(tuple, bm25_scores(d, q2).collect()))
+    assert a == b and a
+
+
+def test_bm25_partitioning_invariance(spark, frames):
+    d, q = frames
+    base = sorted(map(tuple, bm25_topk(d, q, k=3).collect()))
+    re1 = sorted(map(tuple, bm25_topk(d.repartition(7), q, k=3).collect()))
+    re2 = sorted(map(tuple, bm25_topk(d.coalesce(1), q, k=3).collect()))
+    assert base == re1 == re2
+
+
+def test_bm25_validation_and_plan(spark, frames):
+    d, q = frames
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(d, q, k=0)
+    plan = bm25_topk(d, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "corpus must never sort-merge"
+    assert "WindowGroupLimit" in plan, "top-k must push the group limit"
+    assert "Python" not in plan, "BM25 must stay JVM-side"
