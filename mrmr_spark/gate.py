@@ -3743,6 +3743,62 @@ SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10
 """
 
 
+def q_strip_html(spark, sf_dir):
+    """WET-style HTML -> text extraction against a BY-CONSTRUCTION
+    truth: wrap each document's (tag-free, single-spaced, verified)
+    text in a full HTML shell — style + script blocks (one uppercase,
+    one containing '<' and an entity), a comment, heading and paragraph
+    tags, an '&amp;' entity injected via literal replace — and assert
+    the extractor returns exactly 'Title ' + the entity-decoded text.
+    The oracle never runs the extraction regexes: it states the
+    expected string directly."""
+    from mrmr_spark.operators.html import strip_html
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><STYLE type="text/css">p {color:red}</STYLE>'
+                '<script>if (1<2) { alert("&amp;"); }</script></head>'
+                "<body><!-- hidden\n comment --><h1>Title</h1><p>"
+            ),
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+            F.lit(
+                '</p><br/><SCRIPT src="x.js">var a = "<p>";</SCRIPT></body></html>'
+            ),
+        ).alias("text"),
+    )
+    return strip_html(d).select("doc_id", F.col("text").alias("clean"))
+
+
+SQL_STRIP_HTML = """
+SELECT doc_id, 'Title ' || replace(text, ' the ', ' & ') AS clean
+FROM documents
+"""
+
+
+def q_term_blocklist(spark, sf_dir):
+    """C4 bad-words blocklist as a flag pass: per-document count of
+    blocked token occurrences + keep boolean, literal-predicate mode
+    (the pure-projection production shape), case-insensitive."""
+    from mrmr_spark.operators.curation import filter_by_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return filter_by_terms(d, ["slow", "MERGE"], mode="flag").select(
+        "doc_id", "n_blocked_terms", "keep"
+    )
+
+
+SQL_TERM_BLOCKLIST = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('slow', 'merge'))) AS n_blocked_terms,
+       len(list_filter(string_split(text, ' '),
+                       t -> lower(t) IN ('slow', 'merge'))) = 0 AS keep
+FROM documents
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3823,6 +3879,8 @@ QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "ppl_buckets_cut": q_ppl_buckets_cut,
     "bm25_topk": q_bm25_topk,
+    "strip_html": q_strip_html,
+    "term_blocklist": q_term_blocklist,
 }
 
 ORACLE_SQL = {
@@ -3905,4 +3963,6 @@ ORACLE_SQL = {
     "ppl_buckets": SQL_PPL_BUCKETS,
     "ppl_buckets_cut": SQL_PPL_BUCKETS_CUT,
     "bm25_topk": SQL_BM25_TOPK,
+    "strip_html": SQL_STRIP_HTML,
+    "term_blocklist": SQL_TERM_BLOCKLIST,
 }

@@ -1930,3 +1930,53 @@ def perplexity_buckets(
         *scores.columns, bucket.otherwise(F.lit(labels[-1])).alias(bucket_col)
     )
     return out
+
+
+def filter_by_terms(
+    df: DataFrame,
+    terms,
+    mode: str = "drop",
+    text_col: str = "text",
+    split: str = " ",
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Term-blocklist document filter — the C4 "bad words" pass (Raffel
+    et al. 2020 §2.2 drop any page containing a word from the LDNOOBW
+    list; the same mechanism serves policy/compliance word lists).
+    Token-level membership, not substring: 'class' never matches a
+    3-letter blocklist entry.
+
+    ``terms`` is a Python list (the production shape — published
+    blocklists are a few hundred entries) compiled into ONE literal
+    ``exists(tokens, t -> t IN (...))`` predicate: a pure zero-shuffle
+    zero-Python projection, streaming-safe. A single-column DataFrame is
+    also accepted and collected (bounded: ValueError above 100k terms —
+    past that a broadcast semi-join on exploded tokens is the right
+    shape instead, see `lines.remove_lines_by_keys` for the pattern).
+
+    mode="drop": rows with no blocked token, original columns.
+    mode="flag": all rows plus ``n_blocked_terms`` (count of blocked
+    TOKEN OCCURRENCES) and the boolean ``keep``.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if isinstance(terms, DataFrame):
+        tc = terms.columns[0]
+        rows = terms.select(tc).limit(100_001).collect()
+        if len(rows) > 100_000:
+            raise ValueError(
+                "terms DataFrame has >100k rows; use an explode + "
+                "broadcast semi-join instead of the literal predicate"
+            )
+        terms = [r[0] for r in rows]
+    tl = [str(t) for t in terms]
+    if case_insensitive:
+        tl = [t.lower() for t in tl]
+    if not tl:
+        hits = F.lit(0)
+    else:
+        tok = lambda t: (F.lower(t) if case_insensitive else t)  # noqa: E731
+        hits = F.size(F.filter(F.split(F.col(text_col), split), lambda t: tok(t).isin(tl)))
+    if mode == "drop":
+        return df.where(hits == 0)
+    return df.select("*", hits.alias("n_blocked_terms"), (hits == 0).alias("keep"))
