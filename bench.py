@@ -263,6 +263,10 @@ def main():
         "epoch_shuffle",
         "normalize_url",
         "sliding_chunks",
+        "ppl_buckets_cut",
+        "bm25_topk",
+        "strip_html",
+        "term_blocklist",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -3799,6 +3799,85 @@ FROM documents
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-corpus EXACT dedup against a BY-CONSTRUCTION
+    reference snapshot: re-id'd, UPPER-CASED copies of every doc_id % 5
+    == 2 document (so the 128-bit fingerprint's lower(trim()) must do
+    real work, and drops are guaranteed at every SF). The survivor set
+    is every new doc whose normalized text is not a % 5 == 2 text; the
+    oracle is a NOT EXISTS on lower(trim(text)) — no fingerprints."""
+    from mrmr_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    return dedup_against(d, ref, mode="exact").select("doc_id", "lang", "source")
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT n.doc_id, n.lang, n.source
+FROM documents n
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents r
+    WHERE r.doc_id % 5 = 2
+      AND lower(trim(r.text)) = lower(trim(n.text))
+  )
+"""
+
+
+def q_cross_candidates(spark, sf_dir):
+    """Cross-corpus MinHash-LSH candidates under hash_fn='md5_60': even
+    doc_ids are the new snapshot, odd the reference; the oracle
+    recomputes shingles, 64 seeded min-hashes, 16x4 banding, the
+    new-x-ref band join and the Jaccard estimate entirely in SQL."""
+    from mrmr_spark.operators.dedup import cross_corpus_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 0)
+    ref = d.where(F.col("doc_id") % 2 == 1)
+    out = cross_corpus_candidates(new, ref, min_jaccard=0.35, hash_fn="md5_60")
+    return out.select("new_id", "ref_id", r6("est_jaccard").alias("est_jaccard"))
+
+
+SQL_CROSS_CANDIDATES = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - 4),
+                                     i -> substr(text, i, 5))) AS sh
+        FROM documents WHERE length(text) >= 5)
+), seeds AS (
+  SELECT unnest(generate_series(0, 63)) AS seed
+), sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15))::BIGINT) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), bandkeys AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
+  FROM sig GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM bandkeys a
+  JOIN bandkeys b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+), est AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) / 64.0 AS est_jaccard
+  FROM sig a
+  JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.ref_id, round(e.est_jaccard, 6) AS est_jaccard
+FROM cand c
+JOIN est e ON c.new_id = e.new_id AND c.ref_id = e.ref_id
+WHERE e.est_jaccard >= 0.35
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3881,6 +3960,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "strip_html": q_strip_html,
     "term_blocklist": q_term_blocklist,
+    "dedup_incremental": q_dedup_incremental,
+    "cross_candidates": q_cross_candidates,
 }
 
 ORACLE_SQL = {
@@ -3965,4 +4046,6 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "strip_html": SQL_STRIP_HTML,
     "term_blocklist": SQL_TERM_BLOCKLIST,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "cross_candidates": SQL_CROSS_CANDIDATES,
 }

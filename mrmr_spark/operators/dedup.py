@@ -90,6 +90,33 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def _lsh_band_rows(
+    sigs: DataFrame, id_col: str, bands: int, r: int, hash_fn: str
+) -> DataFrame:
+    """Explode a signature frame into (id, band, band-key) rows. With
+    xxhash64 the band key re-hashes the r components (compact); in md5
+    mode it keeps the exact component tuple so a SQL oracle's band
+    equality is bit-identical (no re-hash collisions)."""
+
+    def band_key(b: int):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        return F.concat_ws(",", *[c.cast("string") for c in cols])
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -117,25 +144,7 @@ def minhash_lsh_candidates(
     if pin is not None:
         pin.append(sigs)
 
-    def band_key(b: int):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(*cols).cast("string")
-        # md5 mode: keep the exact component tuple as the key so the SQL
-        # oracle's band equality is bit-identical (no re-hash collisions)
-        return F.concat_ws(",", *[c.cast("string") for c in cols])
-
-    band_rows = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("sig"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    band_rows = _lsh_band_rows(sigs, id_col, bands, r, hash_fn)
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     pairs = (
@@ -665,3 +674,119 @@ def dedup_documents(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def cross_corpus_candidates(
+    new: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    pin: list | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates BETWEEN two corpora:
+    ``(new_id, ref_id, est_jaccard)`` for every new document sharing at
+    least one LSH band with a reference document, filtered by the
+    signature Jaccard estimate. The incremental-crawl shape: each new
+    CommonCrawl-style snapshot is deduplicated against everything
+    already curated without ever re-pairing the reference with itself
+    (the self-join variant is :func:`minhash_lsh_candidates`).
+
+    Scale: both corpora reduce to signature frames (num_hashes longs
+    per doc, one scan each, map-side min-combine); the band join keys
+    on (band, band-key) — text never shuffles, and at a steady state
+    the reference side's signatures are precomputed once and reused
+    per snapshot (pass them through ``pin`` to keep them persisted).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig_new = minhash_signatures(
+        char_shingles(new, text_col, id_col, n), num_hashes, id_col, hash_fn
+    ).persist()
+    sig_ref = minhash_signatures(
+        char_shingles(reference, text_col, id_col, n), num_hashes, id_col, hash_fn
+    ).persist()
+    if pin is not None:
+        pin.extend([sig_new, sig_ref])
+
+    bn = _lsh_band_rows(sig_new, id_col, bands, r, hash_fn).alias("a")
+    br = _lsh_band_rows(sig_ref, id_col, bands, r, hash_fn).alias("b")
+    pairs = (
+        bn.join(
+            br,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+
+    sa, sb = sig_new.alias("sa"), sig_ref.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, F.col("new_id") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("ref_id") == F.col(f"sb.{id_col}"))
+        .select("new_id", "ref_id", (eq / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    reference: DataFrame,
+    mode: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+    hash_fn: str = "xxhash64",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Incremental cross-corpus dedup: drop every ``new`` document that
+    already exists in ``reference`` (exactly, or as a near-duplicate),
+    returning the surviving ``new`` rows unchanged. Within-snapshot
+    duplicates are a separate concern — compose with
+    :func:`exact_dedup` / :func:`dedup_documents` for those.
+
+    - ``mode='exact'``: normalized-text equality via the same 128-bit
+      double-xxhash64 fingerprint as :func:`exact_dedup` — the
+      fingerprints (16 bytes/doc, never the text) are the only thing
+      shuffled; the reference side is a distinct fingerprint frame,
+      broadcastable when a bounded snapshot is checked against it.
+    - ``mode='minhash'``: near-duplicate removal via
+      :func:`cross_corpus_candidates`; a new doc is dropped when ANY
+      reference doc estimates Jaccard >= ``min_jaccard``.
+    """
+    if mode == "exact":
+        norm = F.lower(F.trim(F.col(text_col)))
+        f1, f2 = F.xxhash64(norm), F.xxhash64(norm, F.lit(0x9E3779B9))
+        ref_fps = reference.select(
+            f1.alias("_f1"), f2.alias("_f2")
+        ).distinct()
+        return (
+            new.withColumn("_f1", f1)
+            .withColumn("_f2", f2)
+            .join(ref_fps, ["_f1", "_f2"], "left_anti")
+            .drop("_f1", "_f2")
+        )
+    if mode == "minhash":
+        pin: list = []
+        cands = cross_corpus_candidates(
+            new, reference, text_col=text_col, id_col=id_col,
+            min_jaccard=min_jaccard, hash_fn=hash_fn, pin=pin, **lsh_kwargs,
+        )
+        drop = cands.select(F.col("new_id").alias(id_col)).distinct()
+        out = new.join(drop, id_col, "left_anti")
+        for s in pin:
+            s.unpersist()
+        return out
+    raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")

@@ -639,3 +639,64 @@ def test_semdedup_validation(sem_vectors):
         semdedup(df, dim=16, keep="bogus")
     with pytest.raises(ValueError, match="eps"):
         semdedup(df, dim=16, eps=1.5)
+
+
+# --------------------------------------------------- cross-corpus (incremental)
+
+
+def test_dedup_against_exact_normalization_and_scope(spark):
+    from mrmr_spark.operators.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [
+            (0, "Hello World"),
+            (1, "  hello world  "),   # dup of ref 100 after normalize
+            (2, "novel text one"),
+            (3, "novel text one"),    # internal dup: must SURVIVE (not our job)
+            (4, "another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "HELLO WORLD"), (101, "unrelated ref")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_against(new, ref, mode="exact").collect())
+    assert kept == [2, 3, 4]
+    # schema passthrough: surviving rows keep all original columns
+    assert dedup_against(new, ref).columns == ["doc_id", "text"]
+    with pytest.raises(ValueError, match="mode"):
+        dedup_against(new, ref, mode="fuzzy")
+
+
+def test_cross_corpus_candidates_match_self_join_restriction(spark, docs):
+    """Cross-table LSH must find exactly the self-join pairs that cross
+    the corpus boundary (same shingles, hashes, banding)."""
+    from mrmr_spark.operators.dedup import (
+        cross_corpus_candidates,
+        dedup_against,
+    )
+
+    d, pdf = docs
+    new = d.where(F.col("doc_id") % 2 == 0)
+    ref = d.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.new_id, r.ref_id, round(r.est_jaccard, 9))
+        for r in cross_corpus_candidates(new, ref, min_jaccard=0.5).collect()
+    }
+    self_pairs = minhash_lsh_candidates(d, min_jaccard=0.5).collect()
+    want = set()
+    for r in self_pairs:
+        a, b = r.doc_a, r.doc_b
+        if a % 2 == 0 and b % 2 == 1:
+            want.add((a, b, round(r.est_jaccard, 9)))
+        elif a % 2 == 1 and b % 2 == 0:
+            want.add((b, a, round(r.est_jaccard, 9)))
+    assert got == want and got, "boundary-crossing pairs must agree and exist"
+
+    # end to end: every new doc with a candidate >= threshold is dropped
+    dropped = {n for n, _, _ in got}
+    kept = {r.doc_id for r in dedup_against(new, ref, mode="minhash",
+                                            min_jaccard=0.5).collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert kept == new_ids - dropped
