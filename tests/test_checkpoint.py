@@ -116,10 +116,15 @@ def test_run_curation_optin_phases(spark, tmp_path):
         "--min-stopword-hits", "0",
         "--pii",
         "--line-max-df", "400",
+        "--strip-html",
+        "--blocklist", "zzznope,alsonothing",
+        "--ref-corpus", "/root/testdata/sf0.001/documents.parquet",
     ]
     out = run_curation.main(argv)
     assert [p["phase"] for p in out["phases"]] == [
-        "ingest", "decontaminate", "pii", "lines", "quality", "dedup",
-        "split", "pack",
+        "ingest", "html", "decontaminate", "pii", "lines", "quality",
+        "blocklist", "dedup", "refdedup", "split", "pack",
     ]
-    assert out["n_docs"] > 0 and out["n_chunks"] > 0
+    # refdedup against the corpus itself drops EVERY doc: the pipeline
+    # must still finish cleanly with an empty pack
+    assert out["n_docs"] == 0

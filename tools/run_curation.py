@@ -15,12 +15,15 @@ Local smoke:
     python tools/run_curation.py --input /root/testdata/sf0.01/documents.parquet \\
         --checkpoint-dir /tmp/curation_run --budget 1024
 
-Phases (each resumable): ingest -> decontaminate (skipped without
---eval-set) -> pii (opt-in ``--pii``) -> lines (boilerplate-line
-removal, opt-in ``--line-max-df N``) -> quality (Gopher rules) ->
-dedup (winnow candidates -> exact verify -> transitive clusters ->
-canonical corpus) -> split -> pack. The chunk-span table and per-phase
-row counts are the output.
+Phases (each resumable): ingest -> html (WET-style extraction, opt-in
+``--strip-html``) -> decontaminate (skipped without --eval-set) ->
+pii (opt-in ``--pii``) -> lines (boilerplate-line removal, opt-in
+``--line-max-df N``) -> quality (Gopher rules) -> blocklist (opt-in
+``--blocklist w1,w2``) -> dedup (winnow candidates -> exact verify ->
+transitive clusters -> canonical corpus) -> refdedup (incremental
+exact dedup against a prior curated snapshot, opt-in ``--ref-corpus``)
+-> split -> pack. The chunk-span table and per-phase row counts are
+the output.
 """
 
 from __future__ import annotations
@@ -47,6 +50,12 @@ def main(argv: list[str] | None = None) -> dict:
                     help="redact PII (emails/IPs/phones/...) before quality")
     ap.add_argument("--line-max-df", type=int, default=0,
                     help=">0: drop lines occurring in >= N docs (boilerplate)")
+    ap.add_argument("--strip-html", action="store_true",
+                    help="run WET-style HTML->text extraction first")
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated bad-word list; docs containing any are dropped")
+    ap.add_argument("--ref-corpus", default=None,
+                    help="prior curated snapshot (parquet); exact cross-corpus dedup against it")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,10 +86,25 @@ def main(argv: list[str] | None = None) -> dict:
         bench = spark.read.parquet(args.eval_set)
         return decontaminate(prev, bench, n=args.contam_n, mode="drop")
 
+    def html(prev):
+        from mrmr_spark.operators.html import strip_html
+
+        return strip_html(prev)
+
     def pii(prev):
         from mrmr_spark.operators.pii import redact_pii
 
         return redact_pii(prev)
+
+    def blocklist(prev):
+        from mrmr_spark.operators.curation import filter_by_terms
+
+        return filter_by_terms(prev, args.blocklist.split(","), mode="drop")
+
+    def refdedup(prev):
+        from mrmr_spark.operators.dedup import dedup_against
+
+        return dedup_against(prev, spark.read.parquet(args.ref_corpus), mode="exact")
 
     def lines(prev):
         from mrmr_spark.operators.lines import remove_common_lines
@@ -113,19 +137,23 @@ def main(argv: list[str] | None = None) -> dict:
     packed = runner.run(
         [
             ("ingest", ingest),
-            ("decontaminate", decontam),
             # opt-in phases are omitted entirely when off (a pass-through
             # phase would still checkpoint a full corpus copy)
+            *([("html", html)] if args.strip_html else []),
+            ("decontaminate", decontam),
             *([("pii", pii)] if args.pii else []),
             *([("lines", lines)] if args.line_max_df > 0 else []),
             ("quality", quality),
+            *([("blocklist", blocklist)] if args.blocklist else []),
             ("dedup", dedup),
+            *([("refdedup", refdedup)] if args.ref_corpus else []),
             ("split", split),
             ("pack", pack),
         ],
         key_cols=["doc_id"],
     )
-    n_chunks = packed.agg({"chunk_last": "max"}).first()[0] + 1
+    max_chunk = packed.agg({"chunk_last": "max"}).first()[0]
+    n_chunks = 0 if max_chunk is None else max_chunk + 1  # empty corpus is legal
     out = {
         "n_docs": packed.count(),
         "n_chunks": int(n_chunks),
