@@ -3878,6 +3878,47 @@ WHERE e.est_jaccard >= 0.35
 """
 
 
+def q_shard_sized(spark, sf_dir):
+    """Exact-size training-shard assignment: global rank under the total
+    order (n_chars, doc_id) via the two-phase range/offset pattern (no
+    single-task window), shard = rank // 64 — every row's rank AND shard
+    value-checked against a plain SQL row_number."""
+    from mrmr_spark.sources.shards import sized_shards
+
+    d = _t(spark, sf_dir, "documents")
+    pin = []
+    out = sized_shards(
+        d, 64, order_by=["n_chars"], rank_col="rank", pin=pin
+    ).select("doc_id", F.col("shard").cast("bigint"), F.col("rank").cast("bigint"))
+    return out
+
+
+SQL_SHARD_SIZED = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64 AS shard,
+       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+FROM documents
+"""
+
+
+def q_shard_hash(spark, sf_dir):
+    """Hash-sharding under the md5_60 family: shard = pmod(h(doc_id), 8),
+    the zero-shuffle streaming-safe assignment, recomputed in DuckDB."""
+    from mrmr_spark.sources.shards import hash_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_shards(d, 8, hash_fn="md5_60").select(
+        "doc_id", F.col("shard").cast("bigint")
+    )
+
+
+SQL_SHARD_HASH = """
+SELECT doc_id,
+       ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+FROM documents
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -3962,6 +4003,8 @@ QUERIES = {
     "term_blocklist": q_term_blocklist,
     "dedup_incremental": q_dedup_incremental,
     "cross_candidates": q_cross_candidates,
+    "shard_sized": q_shard_sized,
+    "shard_hash": q_shard_hash,
 }
 
 ORACLE_SQL = {
@@ -4048,4 +4091,6 @@ ORACLE_SQL = {
     "term_blocklist": SQL_TERM_BLOCKLIST,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "cross_candidates": SQL_CROSS_CANDIDATES,
+    "shard_sized": SQL_SHARD_SIZED,
+    "shard_hash": SQL_SHARD_HASH,
 }
