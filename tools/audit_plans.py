@@ -251,6 +251,54 @@ def main():
           "pure per-document projection + explode: ZERO exchanges, ZERO "
           "Python — chunk starts computed arithmetically, token slices by "
           "higher-order slice; output ∝ tokens × overlap factor")
+    audit("ppl_buckets_cut (CCNet head/middle/tail, cuts mode e2e)",
+          gate.QUERIES["ppl_buckets_cut"](spark, SF),
+          "the per-group percentile cuts are one bounded aggregate; the "
+          "bucketing itself is a broadcast join + pure CASE projection — "
+          "zero corpus-side sort or hash exchange; the 100 TB path buckets "
+          "at scan speed against sample-calibrated cuts")
+    audit("bm25_topk (lexical BM25 retrieval)",
+          gate.QUERIES["bm25_topk"](spark, SF),
+          "corpus tokenized once, never shuffled on text: exploded terms "
+          "broadcast-filtered to the query-term set BEFORE any aggregate, "
+          "so every exchange ∝ query-term postings; N/avgdl ride as a "
+          "broadcast 1-row frame; top-k is WindowGroupLimit (partial "
+          "groups truncate to k pre-exchange)")
+    audit("strip_html (WET-style HTML -> text extraction)",
+          gate.QUERIES["strip_html"](spark, SF),
+          "pure projection: ZERO exchanges, ZERO Python — block removal, "
+          "tag strip, entity decode and whitespace collapse fuse into the "
+          "scan; streaming-safe")
+    audit("term_blocklist (C4 bad-words filter, flag mode)",
+          gate.QUERIES["term_blocklist"](spark, SF),
+          "pure projection: the literal exists() predicate evaluates in "
+          "the scan; ZERO exchanges, ZERO Python")
+    audit("dedup_incremental (exact cross-corpus dedup)",
+          gate.QUERIES["dedup_incremental"](spark, SF),
+          "LEFT ANTI join on the 128-bit normalized fingerprint — 16 "
+          "bytes/doc is the only shuffled payload; the reference "
+          "fingerprint side broadcasts when bounded")
+    audit("cross_candidates (cross-corpus MinHash-LSH)",
+          gate.QUERIES["cross_candidates"](spark, SF),
+          "both corpora reduce to signature frames (one scan each, "
+          "map-side min-combine); the new x ref band join keys on "
+          "(band, band-key) — text never shuffles; estimate join reads "
+          "the pinned signature frames")
+    audit("shard_sized (exact-size training shards)",
+          __import__("mrmr_spark.sources.shards", fromlist=["sized_shards"])
+          .sized_shards(
+              spark.read.parquet(f"{SF}/documents.parquet"),
+              64, order_by=["n_chars"],
+          ),
+          "ONE range exchange + local sort for the corpus; the global "
+          "rank comes from per-partition counts prefix-summed on a "
+          "#partitions-row frame and broadcast back — the only "
+          "single-task window runs over that tiny frame, never the data")
+    audit("shard_hash (hash-sharded training shards)",
+          __import__("mrmr_spark.sources.shards", fromlist=["hash_shards"])
+          .hash_shards(spark.read.parquet(f"{SF}/documents.parquet"), 8),
+          "pure projection: pmod(hash) fuses into the scan — ZERO "
+          "exchanges, ZERO Python; streaming-safe")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
