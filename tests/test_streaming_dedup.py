@@ -362,3 +362,33 @@ def test_streaming_contamination_trim_replays_batch(spark, contam_stream_dir):
     assert got == want
     assert any(v[1] > 0 for v in want.values()), "fixture must trim something"
     assert any(v[1] == 0 for v in want.values())
+
+
+def test_round5_stateless_ops_run_on_streams(spark, doc_stream_dir):
+    """strip_html, filter_by_terms (flag mode), hash_shards and
+    cuts-mode perplexity_buckets are stateless projections — they run
+    on a streaming frame unchanged and replay-match the batch result."""
+    from mrmr_spark.operators.curation import filter_by_terms, perplexity_buckets
+    from mrmr_spark.operators.html import strip_html
+    from mrmr_spark.sources.shards import hash_shards
+
+    d, schema, pdf = doc_stream_dir
+
+    def chain(df):
+        wrapped = df.withColumn(
+            "text", F.concat(F.lit("<p>"), "text", F.lit("</p><script>x</script>"))
+        )
+        out = strip_html(wrapped)
+        out = filter_by_terms(out, ["zzznope"], mode="flag")
+        out = hash_shards(out, 4)
+        return perplexity_buckets(
+            out.withColumn("ppl", F.length("text").cast("double")),
+            cuts=[10.0, 40.0],
+        )
+
+    got = _run_stream(spark, chain(_read_stream(spark, d, schema)), "s_r5ops")
+    batch = chain(spark.createDataFrame(pdf.drop(columns=["slice"]))).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert len(a) == len(pdf)
