@@ -267,6 +267,8 @@ def main():
         "bm25_topk",
         "strip_html",
         "term_blocklist",
+        "dedup_incremental",
+        "shard_sized",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())
