@@ -140,7 +140,7 @@ def write_training_shards(
         )
     else:
         mode = "hash"
-        assigned = hash_shards(df, n_shards)
+        assigned = hash_shards(df, n_shards, id_col=id_col)
     order = [F.col(c) for c in (order_by or [])] + [F.col(id_col)]
     (
         assigned.repartition("shard")

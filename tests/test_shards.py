@@ -81,6 +81,18 @@ def test_write_training_shards_roundtrip(spark, corpus, tmp_path):
     man2 = write_training_shards(corpus, str(tmp_path / "h"), n_shards=4)
     assert man2["mode"] == "hash" and man2["n_rows"] == 101 and man2["n_shards"] == 4
 
+    # custom id_col must reach BOTH assignment modes
+    renamed = corpus.withColumnRenamed("doc_id", "uid")
+    man3 = write_training_shards(
+        renamed, str(tmp_path / "h2"), n_shards=4, id_col="uid"
+    )
+    assert man3["n_rows"] == 101
+    man4 = write_training_shards(
+        renamed, str(tmp_path / "s2"), rows_per_shard=50, order_by=["score"],
+        id_col="uid",
+    )
+    assert man4["n_rows"] == 101 and man4["n_shards"] == 3
+
     with pytest.raises(ValueError, match="exactly one"):
         write_training_shards(corpus, path)
     with pytest.raises(ValueError, match="exactly one"):
