@@ -1235,11 +1235,19 @@ def q_mrmr_event_features(spark, sf_dir):
     quotient loop (argmax rel, then argmax rel/max(mean|corr| vs selected,
     1e-6), ties by candidate order) as k CTE stages — the loop is driver-
     side algebra over scalar statistics, so for fixed small k it IS
-    SQL-expressible. quantize_f32=False aligns both engines on f64."""
+    SQL-expressible. quantize_f32=False aligns both engines on f64, and
+    subsample=None pins full-data statistics at ANY sf (the engine's
+    production default is the reference's bounded 50k subsample, which
+    the full-data SQL oracle cannot replicate — caught when the event
+    matrix first crossed 50k rows at sf0.1; the JMI twin row already
+    pinned it)."""
     from mrmr_spark.select import select_mrmr
 
     fdf, feats = _event_feature_df(spark, sf_dir)
-    res = select_mrmr(fdf, feats, "value", 4, task="regression", quantize_f32=False)
+    res = select_mrmr(
+        fdf, feats, "value", 4, task="regression",
+        subsample=None, quantize_f32=False,
+    )
     return res.ranking_df(spark).withColumn("relevance", F.round("relevance", 6))
 
 
