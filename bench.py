@@ -269,6 +269,7 @@ def main():
         "term_blocklist",
         "dedup_incremental",
         "shard_sized",
+        "corpus_report",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -3927,6 +3927,32 @@ FROM documents
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card rollup per (source, lang): doc/token/char totals,
+    mean tokens per doc, and each group's share of corpus tokens —
+    every cell value-checked against a plain SQL GROUP BY."""
+    from mrmr_spark.operators.curation import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"), by=["source", "lang"])
+
+
+SQL_CORPUS_REPORT = """
+WITH g AS (
+  -- sum(BIGINT) is HUGEINT in DuckDB -> float64 in pandas; cast back to
+  -- BIGINT so the value hash sees the same integer type Spark emits
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       round(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+FROM g
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4013,6 +4039,7 @@ QUERIES = {
     "cross_candidates": q_cross_candidates,
     "shard_sized": q_shard_sized,
     "shard_hash": q_shard_hash,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLE_SQL = {
@@ -4101,4 +4128,5 @@ ORACLE_SQL = {
     "cross_candidates": SQL_CROSS_CANDIDATES,
     "shard_sized": SQL_SHARD_SIZED,
     "shard_hash": SQL_SHARD_HASH,
+    "corpus_report": SQL_CORPUS_REPORT,
 }

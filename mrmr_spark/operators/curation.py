@@ -1980,3 +1980,45 @@ def filter_by_terms(
     if mode == "drop":
         return df.where(hits == 0)
     return df.select("*", hits.alias("n_blocked_terms"), (hits == 0).alias("keep"))
+
+
+def corpus_report(
+    df: DataFrame,
+    by: list[str] | None = None,
+    text_col: str = "text",
+    split: str = " ",
+) -> DataFrame:
+    """Dataset-card rollup: per-group (default per ``source``) corpus
+    composition — document count, token and character totals, mean
+    document length in tokens, and each group's share of corpus tokens.
+    The summary every released dataset ships (and the input the mixture
+    operators — :func:`temperature_sample`, :func:`mix_to_token_budget`
+    — are calibrated from).
+
+    ONE map-side-combined aggregate keyed on the group columns (output
+    ∝ distinct groups) plus a window over that tiny grouped frame for
+    the shares — the corpus is scanned once and shuffled only as
+    per-task partial aggregates. Token counts use the same
+    empty-dropping split as the rest of the curation family; NULL text
+    counts as zero tokens/chars.
+    """
+    keys = by or ["source"]
+    toks = F.filter(F.split(F.col(text_col), split), lambda t: t != F.lit(""))
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_chr = F.coalesce(F.length(text_col), F.lit(0))
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("n_tokens"),
+        F.sum(n_chr.cast("long")).alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        *keys,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+    )

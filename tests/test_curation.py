@@ -1120,3 +1120,29 @@ def test_ppl_cuts_values(spark):
     (row,) = perplexity_cuts(d, fractions=(0.25, 0.5)).collect()
     want = np.percentile(vals, [25, 50], method="linear")
     assert row.cuts == pytest.approx(list(want), abs=0)
+
+
+# ---------------------------------------------------------------- corpus report
+
+
+def test_corpus_report_values_and_nulls(spark):
+    from mrmr_spark.operators.curation import corpus_report
+
+    d = spark.createDataFrame(
+        [
+            (0, "web", "a b c"),
+            (1, "web", ""),
+            (2, "web", None),
+            (3, "code", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in corpus_report(d).collect()}
+    assert rows["web"].n_docs == 3 and rows["web"].n_tokens == 3
+    assert rows["web"].n_chars == 5 and rows["web"].mean_doc_tokens == 1.0
+    assert rows["code"].n_docs == 1 and rows["code"].n_tokens == 2
+    assert rows["web"].token_share == 0.6 and rows["code"].token_share == 0.4
+    # multi-key grouping preserves key columns
+    d2 = d.withColumn("lang", F.lit("en"))
+    out = corpus_report(d2, by=["source", "lang"]).columns
+    assert out[:2] == ["source", "lang"]
