@@ -299,6 +299,11 @@ def main():
           .hash_shards(spark.read.parquet(f"{SF}/documents.parquet"), 8),
           "pure projection: pmod(hash) fuses into the scan — ZERO "
           "exchanges, ZERO Python; streaming-safe")
+    audit("corpus_report (dataset-card rollup)",
+          gate.QUERIES["corpus_report"](spark, SF),
+          "ONE map-side-combined aggregate keyed on the group columns "
+          "(output ∝ distinct groups); the token-share window runs over "
+          "that tiny grouped frame only")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
