@@ -3751,6 +3751,25 @@ SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10
 """
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """The indexed BM25 path against the SAME oracle as bm25_topk:
+    build the (postings, stats) inverted index once, search with the
+    literal term-IN predicate — results must be bit-identical to the
+    direct path (same formula, decimal summation, tiebreak), proving
+    index build + indexed search end to end."""
+    from mrmr_spark.operators.retrieval import bm25_build_index, bm25_topk_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
+    )
+    postings, stats = bm25_build_index(docs)
+    return bm25_topk_indexed(postings, stats, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def q_strip_html(spark, sf_dir):
     """WET-style HTML -> text extraction against a BY-CONSTRUCTION
     truth: wrap each document's (tag-free, single-spaced, verified)
@@ -4033,6 +4052,7 @@ QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "ppl_buckets_cut": q_ppl_buckets_cut,
     "bm25_topk": q_bm25_topk,
+    "bm25_indexed": q_bm25_indexed,
     "strip_html": q_strip_html,
     "term_blocklist": q_term_blocklist,
     "dedup_incremental": q_dedup_incremental,
@@ -4122,6 +4142,7 @@ ORACLE_SQL = {
     "ppl_buckets": SQL_PPL_BUCKETS,
     "ppl_buckets_cut": SQL_PPL_BUCKETS_CUT,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_indexed": SQL_BM25_TOPK,
     "strip_html": SQL_STRIP_HTML,
     "term_blocklist": SQL_TERM_BLOCKLIST,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

@@ -168,3 +168,106 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "rank", "score")
     )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = " ",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the inverted-index shape ONCE for reuse across many
+    query batches — the production retrieval pattern (building postings
+    per query batch, as :func:`bm25_scores` does, is right for one-off
+    searches; an index amortizes the corpus scan). Returns
+    ``(postings, stats)``:
+
+    - ``postings``: one row per (doc, term) — ``(term, <id>, _dl, _tf,
+      _df)``, document length and the term's corpus document frequency
+      denormalized in so query time needs NO corpus-side aggregation at
+      all;
+    - ``stats``: one row — ``(_n_docs, _avgdl)``.
+
+    Persist with ``postings.sortWithinPartitions("term").write.parquet``
+    (or bucketBy("term") into a table on a real cluster): a term-sorted
+    layout gives every row group tight term min/max stats, so the
+    query-time literal ``term IN (...)`` predicate prunes row groups —
+    the scan reads ~postings-of-the-query-terms, which is exactly the
+    inverted-index access pattern.
+    """
+    toks = docs.select(F.col(id_col), _tokens(text_col, split).alias("_ts"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (
+            F.sum(F.size("_ts")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_avgdl"),
+    )
+    tf = (
+        toks.select(
+            F.col(id_col), F.size("_ts").alias("_dl"), F.explode("_ts").alias("term")
+        )
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    postings = tf.join(dfs, "term").select("term", id_col, "_dl", "_tf", "_df")
+    return postings, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    qid_col: str = "q_id",
+    split: str = " ",
+) -> DataFrame:
+    """Top-k BM25 over a prebuilt index — bit-identical results to
+    :func:`bm25_topk` (same formula, same DECIMAL(28,12) summation,
+    same tiebreak), but the only corpus-sized work is ONE scan of the
+    postings frame filtered by a LITERAL ``term IN (...)`` predicate:
+    the distinct query terms are collected (bounded by the query batch,
+    the one intentional driver action) and compiled into the filter, so
+    Catalyst pushes it into the parquet scan and a term-sorted index
+    skips every non-matching row group. No aggregation over the corpus
+    happens at query time — tf, df, dl are all read off the index.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(_tokens(query_col, split))).alias("term"),
+    )
+    terms = [r.term for r in qt.select("term").distinct().collect()]
+    if not terms:
+        empty = f"{qid_col} long, {id_col} long, rank int, score double"
+        return postings.sparkSession.createDataFrame([], empty)
+
+    k1_l, b_l = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tf = F.col("_tf").cast("double")
+    tfn = (tf * (k1_l + F.lit(1.0))) / (
+        tf + k1_l * (F.lit(1.0) - b_l + b_l * F.col("_dl").cast("double") / F.col("_avgdl"))
+    )
+    contrib = (idf * tfn).cast("decimal(28,12)")
+
+    scored = (
+        postings.where(F.col("term").isin(terms))
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qt), "term")
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "score")
+    )

@@ -110,3 +110,36 @@ def test_bm25_validation_and_plan(spark, frames):
     assert "SortMergeJoin" not in plan, "corpus must never sort-merge"
     assert "WindowGroupLimit" in plan, "top-k must push the group limit"
     assert "Python" not in plan, "BM25 must stay JVM-side"
+
+
+def test_bm25_indexed_equals_direct_and_roundtrips(spark, frames, tmp_path):
+    from mrmr_spark.operators.retrieval import bm25_build_index, bm25_topk_indexed
+
+    d, q = frames
+    direct = sorted(map(tuple, bm25_topk(d, q, k=4).collect()))
+    postings, stats = bm25_build_index(d)
+    viaidx = sorted(map(tuple, bm25_topk_indexed(postings, stats, q, k=4).collect()))
+    assert viaidx == direct and direct
+
+    # persisted index: term-sorted parquet round trip, identical results,
+    # and the query-time term predicate is PUSHED into the parquet scan
+    pdir, sdir = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings.sortWithinPartitions("term").write.parquet(pdir)
+    stats.write.parquet(sdir)
+    p2, s2 = spark.read.parquet(pdir), spark.read.parquet(sdir)
+    out = bm25_topk_indexed(p2, s2, q, k=4)
+    assert sorted(map(tuple, out.collect())) == direct
+    formatted = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [In(term" in formatted.replace(", ", ",").replace(
+        "In(term,", "In(term"
+    ) or "term IN" in formatted, formatted[:800]
+
+    # empty / unseen queries return an empty, correctly-typed frame
+    qe = spark.createDataFrame([(9, "")], "q_id long, query string")
+    empty = bm25_topk_indexed(p2, s2, qe, k=4)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["q_id", "doc_id", "rank", "score"]
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk_indexed(p2, s2, q, k=0)
