@@ -270,6 +270,8 @@ def main():
         "dedup_incremental",
         "shard_sized",
         "corpus_report",
+        "bpe_encode",
+        "hashed_embedding",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

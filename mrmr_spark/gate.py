@@ -3972,6 +3972,188 @@ FROM g
 """
 
 
+def q_word_counts(spark, sf_dir):
+    """Corpus word-frequency table — the one corpus-bounded scan of BPE
+    tokenizer training (operators/tokenizer.py)."""
+    from mrmr_spark.operators.tokenizer import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_WORD_COUNTS = """
+SELECT tok AS word, count(*) AS "count"
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+"""
+
+
+#: fixed literal merge list for the BPE gate rows: encode/pair-count
+#: correctness is a property of the merge-application machinery, not of any
+#: particular trained list, and a literal keeps the oracle a static SQL
+#: string (the driver-trained list for THIS corpus is pytest-oracled
+#: against the recount-from-scratch trainer in test_tokenizer_embedding).
+GATE_BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("a", "n"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("e", "r"),
+    ("er", "</w>"),
+]
+
+_SEPC = "chr(31)"
+_SEP2 = "chr(31)||chr(31)"
+
+
+def _bpe_wrap_sql(word_expr: str) -> str:
+    """word → the \\x1f-wrapped symbol string (chars + '</w>'), mirroring
+    tokenizer._wrapped_symbols."""
+    return (
+        f"{_SEPC} || array_to_string(list_append(list_transform("
+        f"generate_series(1, length({word_expr})), i -> substring({word_expr}, i, 1)),"
+        f" '</w>'), {_SEP2}) || {_SEPC}"
+    )
+
+
+def _bpe_chain_sql(expr: str, merges) -> str:
+    """Nested replace() chain applying the merges in rank order — replace()
+    is left-to-right non-overlapping in both engines (the BPE merge rule)."""
+    for a, b in merges:
+        pat = f"{_SEPC}||'{a}'||{_SEP2}||'{b}'||{_SEPC}"
+        rep = f"{_SEPC}||'{a}{b}'||{_SEPC}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Corpus-weighted adjacent symbol-pair counts after a fixed merge list
+    — the distributed form of the statistic BPE training maximizes."""
+    from mrmr_spark.operators.tokenizer import bpe_pair_counts, word_counts
+
+    wc = word_counts(_t(spark, sf_dir, "documents"))
+    return bpe_pair_counts(wc, GATE_BPE_MERGES)
+
+
+def _bpe_pair_counts_sql(merges) -> str:
+    chain = _bpe_chain_sql(_bpe_wrap_sql("word"), merges)
+    return f"""
+WITH wc AS (
+  SELECT tok AS word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+merged AS (SELECT cnt, {chain} AS s FROM wc),
+syms AS (SELECT cnt, string_split(trim(s, {_SEPC}), {_SEP2}) AS sy FROM merged),
+pairs AS (
+  SELECT cnt, sy[i] AS sym_a, sy[i + 1] AS sym_b
+  FROM syms, LATERAL unnest(generate_series(1, len(sy) - 1)) AS t(i)
+)
+SELECT sym_a, sym_b, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+"""
+
+
+SQL_BPE_PAIR_COUNTS = _bpe_pair_counts_sql(GATE_BPE_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE-encode the corpus under the fixed merge list — engine runs the
+    DEFAULT Arrow backend (memoized per-partition word cache); the oracle
+    re-derives the encoding through the pure replace-chain SQL, so the row
+    doubles as backend-equivalence evidence (column twin pytest-equal)."""
+    from mrmr_spark.operators.tokenizer import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    out = bpe_encode(d, GATE_BPE_MERGES)
+    n = F.size("bpe_tokens")
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        n.cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_encode_sql(merges) -> str:
+    # per word: wrapped symbols -> merge chain -> tokens joined by ' '
+    # (trim the outer \x1f, turn the \x1f\x1f boundaries into spaces; word
+    # symbols can't contain spaces because words come from a space split)
+    chain = _bpe_chain_sql(_bpe_wrap_sql("w"), merges)
+    per_word = f"replace(trim({chain}, {_SEPC}), {_SEP2}, ' ')"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS words
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         array_to_string(list_transform(words, w -> {per_word}), ' ') AS bpe_text
+  FROM w
+)
+SELECT doc_id, bpe_text,
+       CASE WHEN bpe_text = '' THEN 0
+            ELSE len(string_split(bpe_text, ' ')) END::BIGINT AS n_bpe_tokens
+FROM enc
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_sql(GATE_BPE_MERGES)
+
+
+def q_hashed_embedding(spark, sf_dir):
+    """Feature-hashing text embedding (dim 16, poly hash family — the
+    ANSI-SQL-reproducible twin of the xxhash64 default; families and the
+    group/project backends are pytest-equal). Exploded to one row per
+    (doc, bucket) so EVERY coordinate is value-checked."""
+    from mrmr_spark.operators.embedding import hashed_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    out = hashed_embedding(d, dim=16, hash_fn="poly", out_col="emb")
+    return out.select(
+        "doc_id", F.posexplode("emb").alias("bucket", "value")
+    ).select("doc_id", F.col("bucket").cast("int").alias("bucket"), r6("value").alias("value"))
+
+
+SQL_HASHED_EMBEDDING = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_transform(generate_series(1, length(tok)),
+                i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+              (acc, c) -> (acc * 257 + c) % 2147483647) % 16 AS INT) AS bucket,
+         CASE WHEN list_reduce(list_transform(generate_series(1, length(tok)),
+                i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+              (acc, c) -> (acc * 263 + c) % 2147483647) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+),
+sums AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS s FROM hashed GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, b.bucket
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket) b
+),
+dense AS (
+  SELECT g.doc_id, g.bucket, coalesce(s.s, 0) AS s
+  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+),
+normed AS (
+  SELECT doc_id, bucket, s,
+         sqrt(sum(CAST(s AS DOUBLE) * s) OVER (PARTITION BY doc_id)) AS nrm
+  FROM dense
+)
+SELECT doc_id, bucket,
+       round(CASE WHEN nrm > 0 THEN s / nrm ELSE CAST(s AS DOUBLE) END, 6) AS value
+FROM normed
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4060,6 +4242,10 @@ QUERIES = {
     "shard_sized": q_shard_sized,
     "shard_hash": q_shard_hash,
     "corpus_report": q_corpus_report,
+    "word_counts": q_word_counts,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_encode": q_bpe_encode,
+    "hashed_embedding": q_hashed_embedding,
 }
 
 ORACLE_SQL = {
@@ -4150,4 +4336,8 @@ ORACLE_SQL = {
     "shard_sized": SQL_SHARD_SIZED,
     "shard_hash": SQL_SHARD_HASH,
     "corpus_report": SQL_CORPUS_REPORT,
+    "word_counts": SQL_WORD_COUNTS,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "bpe_encode": SQL_BPE_ENCODE,
+    "hashed_embedding": SQL_HASHED_EMBEDDING,
 }

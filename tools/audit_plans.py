@@ -304,6 +304,22 @@ def main():
           "ONE map-side-combined aggregate keyed on the group columns "
           "(output ∝ distinct groups); the token-share window runs over "
           "that tiny grouped frame only")
+    audit("word_counts (BPE training corpus scan)",
+          gate.QUERIES["word_counts"](spark, SF),
+          "explode -> partial+final hash aggregate (map-side combine): the "
+          "shuffle carries distinct-word x partition rows, never token "
+          "occurrences; output is vocab-bounded")
+    audit("bpe_encode (trained-merge subword encoding, Arrow default)",
+          gate.QUERIES["bpe_encode"](spark, SF),
+          "ONE mapInPandas stage with per-partition distinct-word "
+          "memoization; zero exchanges — embarrassingly parallel; the "
+          "column twin is a zero-Python replace-chain projection")
+    audit("hashed_embedding (feature-hashing text embedding)",
+          gate.QUERIES["hashed_embedding"](spark, SF),
+          "explode -> integer map-side-combined sum keyed (doc, bucket) "
+          "(<= min(tokens, dim) rows per doc) -> per-doc map collect -> "
+          "dense projection; zero Python; the project backend is a "
+          "zero-shuffle streaming-safe twin")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
