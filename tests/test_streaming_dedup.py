@@ -392,3 +392,29 @@ def test_round5_stateless_ops_run_on_streams(spark, doc_stream_dir):
     b = batch.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
     assert len(a) == len(pdf)
+
+
+def test_tokenizer_embedding_stateless_on_streams(spark, doc_stream_dir):
+    """bpe_encode (arrow mapInPandas, no state) and the hashed embedding's
+    project backend (zero-shuffle projection) run on a streaming frame
+    unchanged and replay-match the batch result — the live-admission form
+    for token budgeting / vectorization of an incoming corpus feed."""
+    from mrmr_spark.operators.embedding import hashed_embedding
+    from mrmr_spark.operators.tokenizer import bpe_encode, bpe_token_count
+
+    d, schema, pdf = doc_stream_dir
+    merges = [("T", "h"), ("Th", "e"), ("o", "x"), ("e", "t"), ("et", "a")]
+
+    def chain(df):
+        out = bpe_encode(df, merges)
+        out = bpe_token_count(out, merges, out_col="n_bpe")
+        return hashed_embedding(out, dim=8, backend="project", out_col="emb")
+
+    got = _run_stream(spark, chain(_read_stream(spark, d, schema)), "s_tok_emb")
+    batch = chain(spark.createDataFrame(pdf.drop(columns=["slice"]))).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(pdf)
+    for col in ("bpe_tokens", "emb"):
+        assert [list(x) for x in a[col]] == [list(x) for x in b[col]]
+    assert list(a["n_bpe"]) == list(b["n_bpe"])
