@@ -128,3 +128,57 @@ def test_run_curation_optin_phases(spark, tmp_path):
     # refdedup against the corpus itself drops EVERY doc: the pipeline
     # must still finish cleanly with an empty pack
     assert out["n_docs"] == 0
+
+
+def test_run_curation_bpe_tokenize_phase(spark, tmp_path):
+    """--bpe-merges inserts the tokenize phase: packing runs on exact BPE
+    subword counts, the trained merge list persists beside the manifests,
+    and a resume run reuses it (identical merges file, identical manifest
+    ids — no retraining)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation
+
+    ckpt = str(tmp_path / "cur_bpe")
+    argv = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--checkpoint-dir", ckpt,
+        "--budget", "512",
+        "--min-words", "10",
+        "--min-stopword-hits", "0",
+        "--bpe-merges", "20",
+    ]
+    first = run_curation.main(argv)
+    assert [p["phase"] for p in first["phases"]] == [
+        "ingest", "decontaminate", "quality", "dedup", "split",
+        "tokenize", "pack",
+    ]
+    mpath = os.path.join(ckpt, "bpe_merges.json")
+    with open(mpath) as f:
+        saved = json.load(f)
+    assert len(saved["merges"]) == 20
+
+    # packing consumed the BPE counts: n_tokens in the packed output must
+    # equal the tokenize phase's n_bpe_tokens, which exceeds the
+    # whitespace count (every word is >= 1 subword, most are several)
+    packed = spark.read.parquet(os.path.join(ckpt, "pack", "data"))
+    tok = spark.read.parquet(os.path.join(ckpt, "tokenize", "data"))
+    a = {r.doc_id: r.n_tokens for r in packed.select("doc_id", "n_tokens").collect()}
+    b = {r.doc_id: r.n_bpe_tokens for r in tok.select("doc_id", "n_bpe_tokens").collect()}
+    assert a == b
+    ws = {
+        r.doc_id: r.n_ws
+        for r in tok.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_ws")
+        ).collect()
+    }
+    assert sum(a.values()) > sum(ws.values())
+
+    before = os.path.getmtime(mpath)
+    second = run_curation.main(argv)
+    assert os.path.getmtime(mpath) == before  # merges not retrained
+    assert [p["manifest_id"] for p in second["phases"]] == [
+        p["manifest_id"] for p in first["phases"]
+    ]

@@ -22,8 +22,12 @@ pii (opt-in ``--pii``) -> lines (boilerplate-line removal, opt-in
 ``--blocklist w1,w2``) -> dedup (winnow candidates -> exact verify ->
 transitive clusters -> canonical corpus) -> refdedup (incremental
 exact dedup against a prior curated snapshot, opt-in ``--ref-corpus``)
--> split -> pack. The chunk-span table and per-phase row counts are
-the output.
+-> split -> tokenize (BPE train + exact subword token counts, opt-in
+``--bpe-merges N``; the trained merge list persists beside the phase
+manifests so a resumed driver re-encodes with the same vocabulary)
+-> pack (by exact BPE counts when tokenize ran, else the whitespace
+estimate). The chunk-span table and per-phase row counts are the
+output.
 """
 
 from __future__ import annotations
@@ -56,6 +60,10 @@ def main(argv: list[str] | None = None) -> dict:
                     help="comma-separated bad-word list; docs containing any are dropped")
     ap.add_argument("--ref-corpus", default=None,
                     help="prior curated snapshot (parquet); exact cross-corpus dedup against it")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help=">0: train a BPE vocabulary with N merges on the curated "
+                         "corpus, count exact subword tokens per doc, and pack by "
+                         "those counts instead of the whitespace estimate")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -130,8 +138,38 @@ def main(argv: list[str] | None = None) -> dict:
         fr = {"train": args.train_frac, "val": round(1.0 - args.train_frac, 12)}
         return hash_split(prev, fr)
 
+    def tokenize(prev):
+        # the trained merge list is itself a resume artifact: persisted next
+        # to the phase manifests so a restarted driver re-encodes with the
+        # SAME vocabulary instead of retraining on whatever the corpus looks
+        # like mid-resume (same local-fs convention as the manifests)
+        from mrmr_spark.operators.tokenizer import (
+            bpe_token_count,
+            bpe_train,
+            word_counts,
+        )
+
+        mpath = os.path.join(args.checkpoint_dir, "bpe_merges.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                merges = [tuple(m) for m in json.load(f)["merges"]]
+        else:
+            model = bpe_train(word_counts(prev), num_merges=args.bpe_merges)
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"merges": model["merges"], "n_words": model["n_words"],
+                     "truncated": model["truncated"]},
+                    f,
+                )
+            os.replace(tmp, mpath)
+            merges = model["merges"]
+        return bpe_token_count(prev, merges, out_col="n_bpe_tokens")
+
     def pack(prev):
-        return pack_documents(prev, budget=args.budget)
+        token_col = "n_bpe_tokens" if args.bpe_merges > 0 else None
+        return pack_documents(prev, budget=args.budget, token_col=token_col)
 
     runner = PhaseRunner(spark, args.checkpoint_dir)
     packed = runner.run(
@@ -148,6 +186,7 @@ def main(argv: list[str] | None = None) -> dict:
             ("dedup", dedup),
             *([("refdedup", refdedup)] if args.ref_corpus else []),
             ("split", split),
+            *([("tokenize", tokenize)] if args.bpe_merges > 0 else []),
             ("pack", pack),
         ],
         key_cols=["doc_id"],
