@@ -272,6 +272,8 @@ def main():
         "corpus_report",
         "bpe_encode",
         "hashed_embedding",
+        "chat_render",
+        "chat_spans",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -4154,6 +4154,87 @@ FROM normed
 """
 
 
+def _chat_events(spark, sf_dir):
+    """Events re-shaped as a transcript: conv = user, stable order =
+    (ts, event_id), role = event_type, text = props — both engines derive
+    the same frame, so the chat rows exercise rendering, not reshaping."""
+    return _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+
+
+def q_chat_render(spark, sf_dir):
+    """SFT chat-template rendering: one training string per conversation
+    under the stable turn order (north-rule per-turn text equality — the
+    oracle's ordered string_agg must byte-match every conversation)."""
+    from mrmr_spark.operators.chat import render_conversations
+
+    out = render_conversations(
+        _chat_events(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("ts", "event_id"),
+        out_col="chat_text",
+    )
+    return out.select("conv_id", "chat_text", "n_turns")
+
+
+SQL_CHAT_RENDER = """
+SELECT user_id AS conv_id,
+       string_agg('<|' || event_type || '|>' || chr(10) || coalesce(props, '')
+                  || chr(10) || '<|end|>' || chr(10),
+                  '' ORDER BY ts, event_id) AS chat_text,
+       count(*) AS n_turns
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_chat_spans(spark, sf_dir):
+    """Per-turn loss-mask spans in the rendered conversation, computed
+    WITHOUT rendering (template-constant lengths + one running-offset
+    window); the oracle re-derives every offset from a window cumsum, so
+    any drift between the renderer and the span math hash-mismatches."""
+    from mrmr_spark.operators.chat import turn_spans
+
+    out = turn_spans(
+        _chat_events(spark, sf_dir),
+        conv_col="conv_id",
+        order_cols=("ts", "event_id"),
+        assistant_role="click",
+    )
+    return out.select(
+        "conv_id", "event_id", "role", "text_start", "text_end", "loss_mask"
+    )
+
+
+# template-constant lengths mirror chat.DEFAULT_HEADER ("<|{role}|>\n" ->
+# pre "<|" len 2, post "|>\n" len 3) and DEFAULT_FOOTER ("\n<|end|>\n" len 9)
+SQL_CHAT_SPANS = """
+WITH t AS (
+  SELECT user_id AS conv_id, ts, event_id, event_type AS role,
+         2 + length(event_type) + 3 + length(coalesce(props, '')) + 9 AS turn_len,
+         length(coalesce(props, '')) AS text_len
+  FROM events
+),
+off AS (
+  SELECT conv_id, event_id, role, text_len,
+         coalesce(sum(turn_len) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS turn_start
+  FROM t
+)
+SELECT conv_id, event_id, role,
+       CAST(turn_start + 2 + length(role) + 3 AS BIGINT) AS text_start,
+       CAST(turn_start + 2 + length(role) + 3 + text_len AS BIGINT) AS text_end,
+       role = 'click' AS loss_mask
+FROM off
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4246,6 +4327,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
     "hashed_embedding": q_hashed_embedding,
+    "chat_render": q_chat_render,
+    "chat_spans": q_chat_spans,
 }
 
 ORACLE_SQL = {
@@ -4340,4 +4423,6 @@ ORACLE_SQL = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_encode": SQL_BPE_ENCODE,
     "hashed_embedding": SQL_HASHED_EMBEDDING,
+    "chat_render": SQL_CHAT_RENDER,
+    "chat_spans": SQL_CHAT_SPANS,
 }

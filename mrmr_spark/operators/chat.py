@@ -1,0 +1,143 @@
+"""Chat-template rendering for SFT/RLHF training data: stable-ordered
+multi-turn transcripts → one training string per conversation, plus the
+per-turn character spans a trainer needs for loss masking.
+
+This is the bridge from the engine's A-layer (transcripts with stable
+(conv_id, turn_idx) ordering — the per-row invariant the north rule
+mandates) to the curation/pack/shard layer: rendered conversations are
+ordinary documents, so decontamination, dedup, quality filters, BPE
+tokenization and chunk packing all compose downstream unchanged.
+
+Template model: every turn renders as
+
+    header_pre + role + header_post + text + footer
+
+and a conversation is ``bos`` followed by its turns in stable order.
+The default (``header="<|{role}|>\\n"``, ``footer="\\n<|end|>\\n"``) is the
+generic special-token shape; any literal template with at most one
+``{role}`` placeholder works, and both operators derive all offsets from
+the SAME template constants, so spans are correct by construction for
+any choice.
+
+Scale: :func:`render_conversations` is ONE map-side-combined aggregation
+keyed on the conversation (collect + array_sort + a higher-order render —
+shuffle carries each conversation's turns exactly once, the same single
+exchange the FE pipeline shares). :func:`turn_spans` never renders at
+all — per-turn lengths are pure column arithmetic and the running offset
+is one window over the conversation key (cost and partitioning identical
+to the lag/rolling operators). Both are zero-Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_HEADER = "<|{role}|>\n"
+DEFAULT_FOOTER = "\n<|end|>\n"
+ASSISTANT_ROLE = "assistant"
+
+
+def _split_template(header: str) -> tuple[str, str, bool]:
+    """(prefix, suffix, has_role): a header without the placeholder renders
+    the role NOWHERE (role-agnostic templates are legal; the span math
+    makes the matching choice)."""
+    if header.count("{role}") > 1:
+        raise ValueError("header template may contain at most one {role} placeholder")
+    if "{role}" in header:
+        pre, post = header.split("{role}")
+        return pre, post, True
+    return header, "", False
+
+
+def _turn_text(text_col: str) -> Column:
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
+def _turn_role(role_col: str) -> Column:
+    return F.coalesce(F.col(role_col), F.lit(""))
+
+
+def render_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] | list[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    header: str = DEFAULT_HEADER,
+    footer: str = DEFAULT_FOOTER,
+    bos: str = "",
+    out_col: str = "text",
+) -> DataFrame:
+    """One row per conversation: ``(conv_col, out_col, n_turns)`` with the
+    turns rendered in stable ``order_cols`` order (ties impossible when the
+    order key is unique per conversation — the engine's stable-ordering
+    contract; ``array_sort`` on the full struct breaks any residual tie by
+    the remaining fields deterministically).
+
+    NULL text/role render as empty strings (the span math in
+    :func:`turn_spans` makes the same choice, so the two stay aligned).
+    """
+    pre, post, has_role = _split_template(header)
+    turn = F.struct(
+        *[F.col(c) for c in order_cols],
+        _turn_role(role_col).alias("__role"),
+        _turn_text(text_col).alias("__text"),
+    )
+    turns = F.array_sort(F.collect_list(turn))
+
+    def _render(t):
+        parts = [F.lit(pre)]
+        if has_role:
+            parts += [t["__role"], F.lit(post)]
+        parts += [t["__text"], F.lit(footer)]
+        return F.concat(*parts)
+
+    rendered = F.concat(F.lit(bos), F.array_join(F.transform(turns, _render), ""))
+    return df.groupBy(conv_col).agg(
+        rendered.alias(out_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+
+
+def turn_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] | list[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    header: str = DEFAULT_HEADER,
+    footer: str = DEFAULT_FOOTER,
+    bos: str = "",
+    assistant_role: str = ASSISTANT_ROLE,
+) -> DataFrame:
+    """Per-turn character spans inside the :func:`render_conversations`
+    output, WITHOUT rendering anything: appends
+
+    - ``text_start`` / ``text_end`` — 0-based [start, end) span of the
+      turn's text payload in the conversation string,
+    - ``loss_mask`` — true iff ``role_col == assistant_role`` (the tokens a
+      supervised-finetuning loss keeps),
+
+    derived purely from template-constant lengths + one running-offset
+    window over the conversation key. The invariant
+    ``substring(rendered, text_start, len) == text`` holds for every turn
+    (tested row-by-row and enforced by the gate oracle)."""
+    pre, post, has_role = _split_template(header)
+    role_len = (
+        F.length(_turn_role(role_col)) + F.lit(len(post)) if has_role else F.lit(0)
+    )
+    text_len = F.length(_turn_text(text_col))
+    turn_len = F.lit(len(pre)) + role_len + text_len + F.lit(len(footer))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    turn_start = F.lit(len(bos)) + F.coalesce(F.sum(turn_len).over(w), F.lit(0))
+    text_start = turn_start + F.lit(len(pre)) + role_len
+    return (
+        df.withColumn("text_start", text_start.cast("bigint"))
+        .withColumn("text_end", (text_start + text_len).cast("bigint"))
+        .withColumn("loss_mask", F.coalesce(F.col(role_col) == assistant_role, F.lit(False)))
+    )

@@ -320,6 +320,16 @@ def main():
           "(<= min(tokens, dim) rows per doc) -> per-doc map collect -> "
           "dense projection; zero Python; the project backend is a "
           "zero-shuffle streaming-safe twin")
+    audit("chat_render (SFT chat-template rendering)",
+          gate.QUERIES["chat_render"](spark, SF),
+          "ONE exchange keyed on the conversation (partial collect_list "
+          "combines map-side); array_sort + higher-order render, zero "
+          "Python — each conversation's turns shuffle exactly once")
+    audit("chat_spans (loss-mask span offsets, render-free)",
+          gate.QUERIES["chat_spans"](spark, SF),
+          "template-constant lengths as pure column arithmetic + ONE "
+          "running-offset window over the conversation key — the lag/"
+          "rolling partitioning, no rendered text anywhere in the plan")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
