@@ -274,6 +274,7 @@ def main():
         "hashed_embedding",
         "chat_render",
         "chat_spans",
+        "token_loss_mask",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -4235,6 +4235,100 @@ FROM off
 """
 
 
+def q_token_loss_mask(spark, sf_dir):
+    """Per-TOKEN loss masks over the rendered conversations (the SFT
+    pipeline's last step): render -> turn spans -> BPE with offset mapping
+    -> span containment. Engine runs the DEFAULT Arrow offset backend; the
+    oracle re-derives the whole chain (render string_agg, word offsets via
+    a window cumsum, the replace-chain encode, within-word symbol offsets,
+    containment EXISTS) in DuckDB — so one row checks rendering, span math,
+    tokenization AND the mask rule against each other. Bounded to the
+    user_id % 29 = 3 conversation slice (token rows ~ corpus characters)."""
+    from mrmr_spark.operators.chat import token_loss_mask
+
+    ev = _chat_events(spark, sf_dir).where(F.col("conv_id") % 29 == 3)
+    return token_loss_mask(
+        ev, GATE_BPE_MERGES, order_cols=("ts", "event_id"), assistant_role="click"
+    )
+
+
+def _token_loss_mask_sql(merges) -> str:
+    chain = _bpe_chain_sql(_bpe_wrap_sql("word"), merges)
+    return f"""
+WITH r AS (
+  SELECT user_id AS conv_id,
+         string_agg('<|' || event_type || '|>' || chr(10) || coalesce(props, '')
+                    || chr(10) || '<|end|>' || chr(10),
+                    '' ORDER BY ts, event_id) AS chat_text
+  FROM events WHERE user_id % 29 = 3 GROUP BY user_id
+),
+w AS (
+  SELECT conv_id, i, ws[i] AS word
+  FROM (SELECT conv_id, string_split(chat_text, ' ') AS ws FROM r),
+       LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+),
+woff AS (
+  SELECT conv_id, i, word,
+         coalesce(sum(length(word) + 1) OVER (PARTITION BY conv_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+  FROM w
+),
+sy AS (
+  SELECT conv_id, i, wstart,
+         string_split(trim({chain} , {_SEPC}), {_SEP2}) AS syms
+  FROM woff WHERE word <> ''
+),
+tok AS (
+  SELECT conv_id, i, j, syms[j] AS token, wstart,
+         length(syms[j]) - CASE WHEN syms[j] LIKE '%</w>' THEN 4 ELSE 0 END AS clen
+  FROM sy, LATERAL unnest(generate_series(1, len(syms))) AS t(j)
+),
+toff AS (
+  SELECT conv_id, i, j, token, clen,
+         wstart + coalesce(sum(clen) OVER (PARTITION BY conv_id, i ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM tok
+),
+seq AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY i, j) - 1 AS tok_idx,
+         token, tok_start, tok_start + clen AS tok_end
+  FROM toff
+),
+sp0 AS (
+  SELECT user_id AS conv_id, ts, event_id, event_type AS role,
+         2 + length(event_type) + 3 + length(coalesce(props, '')) + 9 AS turn_len,
+         length(coalesce(props, '')) AS text_len
+  FROM events WHERE user_id % 29 = 3
+),
+sp1 AS (
+  -- offsets run over ALL turns (the cumsum must include non-click turn
+  -- lengths); the click filter happens only after the window
+  SELECT conv_id, role,
+         coalesce(sum(turn_len) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + 2 + length(role) + 3 AS s,
+         text_len
+  FROM sp0
+),
+spans AS (
+  SELECT conv_id, s, s + text_len AS e FROM sp1 WHERE role = 'click'
+)
+SELECT q.conv_id, CAST(q.tok_idx AS BIGINT) AS tok_idx, q.token,
+       CAST(q.tok_start AS BIGINT) AS tok_start,
+       CAST(q.tok_end AS BIGINT) AS tok_end,
+       EXISTS (SELECT 1 FROM spans sp WHERE sp.conv_id = q.conv_id
+               AND CASE WHEN q.tok_end > q.tok_start
+                        THEN q.tok_start >= sp.s AND q.tok_end <= sp.e
+                        ELSE q.tok_start >= sp.s AND q.tok_start < sp.e END
+              ) AS loss_mask
+FROM seq q
+"""
+
+
+SQL_TOKEN_LOSS_MASK = _token_loss_mask_sql(GATE_BPE_MERGES)
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4329,6 +4423,7 @@ QUERIES = {
     "hashed_embedding": q_hashed_embedding,
     "chat_render": q_chat_render,
     "chat_spans": q_chat_spans,
+    "token_loss_mask": q_token_loss_mask,
 }
 
 ORACLE_SQL = {
@@ -4425,4 +4520,5 @@ ORACLE_SQL = {
     "hashed_embedding": SQL_HASHED_EMBEDDING,
     "chat_render": SQL_CHAT_RENDER,
     "chat_spans": SQL_CHAT_SPANS,
+    "token_loss_mask": SQL_TOKEN_LOSS_MASK,
 }

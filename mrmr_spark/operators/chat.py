@@ -161,3 +161,93 @@ def turn_spans(
         .withColumn("text_end", (text_start + text_len).cast("bigint"))
         .withColumn("loss_mask", F.coalesce(F.col(role_col) == assistant_role, F.lit(False)))
     )
+
+
+def token_loss_mask(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] | list[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    header: str = DEFAULT_HEADER,
+    footer: str = DEFAULT_FOOTER,
+    bos: str = "",
+    assistant_role: str = ASSISTANT_ROLE,
+    split: str = " ",
+    end_of_word: str | None = None,
+    backend: str = "arrow",
+) -> DataFrame:
+    """The end of the SFT pipeline: per-TOKEN loss masks over the rendered
+    conversation — ``(conv_col, tok_idx, token, tok_start, tok_end,
+    loss_mask)``, one row per BPE token of each conversation's training
+    string, ``tok_idx`` the 0-based position in the sequence a trainer
+    consumes (so the mask vector is ``collect_list(loss_mask) over tok_idx``
+    and packs through ``pack_documents``/``explode_chunks`` like any other
+    per-token column).
+
+    Masking rule (deterministic, both engines + the SQL oracle share it):
+
+    - a SURFACE token (``tok_start < tok_end``) is loss iff its character
+      span lies ENTIRELY inside one assistant turn's text span — the
+      conservative standard: a subword straddling the text/template
+      boundary (the template glues headers/footers to text without a
+      separator, so boundary words merge) is never trained on;
+    - a ZERO-WIDTH token (a bare end-of-word marker) is loss iff the
+      position it sits at is inside an assistant span (``s <= p < e``) —
+      it ends a word strictly inside assistant text.
+
+    Cost shape: the render is one conversation-keyed exchange, the spans
+    window shares that key, tokenization is per-rendered-row (Arrow default
+    / zero-Python column twin via ``tokenizer.token_offsets``), and the
+    spans↔tokens join is conv-keyed on two frames already hashed on the
+    conversation. Nothing shuffles per token except the final explode's
+    consumers.
+    """
+    from mrmr_spark.operators.tokenizer import END_OF_WORD, token_offsets
+
+    eow = END_OF_WORD if end_of_word is None else end_of_word
+    rendered = render_conversations(
+        df, conv_col, order_cols, role_col, text_col, header, footer, bos,
+        out_col="__rendered",
+    )
+    toks = token_offsets(
+        rendered, merges, text_col="__rendered", out_col="__toks",
+        split=split, end_of_word=eow, backend=backend,
+    )
+    spans = (
+        turn_spans(
+            df, conv_col, order_cols, role_col, text_col, header, footer, bos,
+            assistant_role=assistant_role,
+        )
+        .where(F.col("loss_mask"))
+        .groupBy(conv_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("text_start").alias("s"), F.col("text_end").alias("e"))
+            ).alias("__spans")
+        )
+    )
+    j = toks.join(spans, conv_col, "left").select(
+        conv_col,
+        F.coalesce(
+            F.col("__spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("__spans"),
+        F.posexplode("__toks").alias("tok_idx", "t"),
+    )
+    t = F.col("t")
+    surface = t["tok_start"] < t["tok_end"]
+    contained = F.exists(
+        F.col("__spans"),
+        lambda sp: F.when(
+            surface, (t["tok_start"] >= sp["s"]) & (t["tok_end"] <= sp["e"])
+        ).otherwise((t["tok_start"] >= sp["s"]) & (t["tok_start"] < sp["e"])),
+    )
+    return j.select(
+        conv_col,
+        F.col("tok_idx").cast("bigint").alias("tok_idx"),
+        t["token"].alias("token"),
+        t["tok_start"].alias("tok_start"),
+        t["tok_end"].alias("tok_end"),
+        contained.alias("loss_mask"),
+    )

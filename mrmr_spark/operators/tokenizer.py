@@ -54,7 +54,7 @@ from collections import Counter
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 #: symbol separator for the column backend's wrapped-string representation.
 #: U+001F (unit separator) — must not occur inside any symbol; the Arrow
@@ -383,3 +383,169 @@ def bpe_token_count(
     tmp = f"__{out_col}_toks"
     enc = bpe_encode(df, merges, text_col, out_col=tmp, **kwargs)
     return enc.withColumn(out_col, F.size(F.col(tmp)).cast("bigint")).drop(tmp)
+
+
+# ---------------------------------------------------------------------------
+# offset-mapped encode (the HF-tokenizers offset_mapping shape)
+# ---------------------------------------------------------------------------
+
+
+def _surface_len_expr(sym: Column, end_of_word: str) -> Column:
+    """Surface character length of a subword symbol: the end-of-word marker
+    is a zero-width sentinel, so a symbol that absorbed it (``er</w>``)
+    counts only its real characters. Caveat (both backends AND the SQL
+    oracle share it, so they can never disagree): corpus text that itself
+    contains the literal marker string can end a merged symbol with marker
+    CHARACTERS and under-count — pick an ``end_of_word`` absent from the
+    corpus (it is a parameter everywhere) when that matters."""
+    return F.length(sym) - F.when(
+        F.endswith(sym, F.lit(end_of_word)), F.lit(len(end_of_word))
+    ).otherwise(F.lit(0))
+
+
+def _offsets_expr(
+    text: Column,
+    merges: list[tuple[str, str]],
+    split: str,
+    end_of_word: str,
+) -> Column:
+    """Pure-Column token offset mapping for one document — tokens in
+    document order, each with its [tok_start, tok_end) character span in
+    the ORIGINAL string. Two nested running-offset folds (words, then
+    symbols within each word), zero Python."""
+    step = F.lit(len(split))
+    words = F.split(F.coalesce(text, F.lit("")), re.escape(split), -1)
+    ws_t = "array<struct<word:string,start:bigint>>"
+    placed = F.aggregate(
+        words,
+        F.struct(
+            F.lit(0).cast("bigint").alias("off"),
+            F.array().cast(ws_t).alias("ws"),
+        ),
+        lambda acc, w: F.struct(
+            (acc["off"] + F.length(w) + step).cast("bigint").alias("off"),
+            F.concat(
+                acc["ws"],
+                F.array(F.struct(w.alias("word"), acc["off"].alias("start"))),
+            ).alias("ws"),
+        ),
+        lambda acc: acc["ws"],
+    )
+    tok_t = "array<struct<token:string,tok_start:bigint,tok_end:bigint>>"
+
+    def _word_tokens(ws):
+        syms = encode_word_expr(ws["word"], merges, end_of_word)
+        return F.aggregate(
+            syms,
+            F.struct(
+                ws["start"].cast("bigint").alias("off"),
+                F.array().cast(tok_t).alias("ts"),
+            ),
+            lambda a, s: F.struct(
+                (a["off"] + _surface_len_expr(s, end_of_word))
+                .cast("bigint")
+                .alias("off"),
+                F.concat(
+                    a["ts"],
+                    F.array(
+                        F.struct(
+                            s.alias("token"),
+                            a["off"].alias("tok_start"),
+                            (a["off"] + _surface_len_expr(s, end_of_word))
+                            .cast("bigint")
+                            .alias("tok_end"),
+                        )
+                    ),
+                ).alias("ts"),
+            ),
+            lambda a: a["ts"],
+        )
+
+    nonempty = F.filter(placed, lambda ws: ws["word"] != F.lit(""))
+    return F.flatten(F.transform(nonempty, _word_tokens))
+
+
+def token_offsets(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+    split: str = DEFAULT_SPLIT,
+    end_of_word: str = END_OF_WORD,
+    backend: str = "arrow",
+) -> DataFrame:
+    """BPE encode with a character offset mapping — appends ``out_col``
+    (``array<struct<token, tok_start, tok_end>>``): the document's subword
+    sequence in order, each token carrying its 0-based [tok_start, tok_end)
+    SURFACE character span in ``text_col``. The token stream is exactly
+    :func:`bpe_encode`'s (tested); the spans are what alignment consumers
+    need — loss masking rendered chat turns (`operators.chat.token_loss_mask`),
+    span-level surgery after `duplicate_spans`/`contamination_spans`, or
+    highlighting. The end-of-word marker is zero-width, so pure-marker
+    tokens sit at their word boundary with ``tok_start == tok_end``.
+
+    ``split`` is a LITERAL separator string here (escaped into the split
+    regex): offsets are reconstructed as ``len(word) + len(split)`` running
+    sums, which a general regex cannot support. NULL text maps to an empty
+    token array; empty words (repeated separators) advance the offset but
+    emit no tokens, matching :func:`bpe_encode`.
+
+    ``backend="arrow"`` (default): one mapInPandas stage, per-partition
+    distinct-word memoization (a word's relative offsets are position-free,
+    so the cache works exactly as in :func:`bpe_encode`).
+    ``backend="column"``: the zero-Python nested-fold projection —
+    bit-identical (tested) and ANSI-SQL-reproducible (gate row
+    ``token_loss_mask`` re-derives it in DuckDB); bounded merge lists only,
+    like the other column twins.
+    """
+    if backend == "column":
+        return df.withColumn(
+            out_col, _offsets_expr(F.col(text_col), list(merges), split, end_of_word)
+        )
+    if backend != "arrow":
+        raise ValueError(f"backend must be 'arrow' or 'column', got {backend!r}")
+
+    merges = list(merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    step = len(split)
+    eow_n = len(end_of_word)
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("token", StringType()),
+                StructField("tok_start", LongType()),
+                StructField("tok_end", LongType()),
+            ]
+        )
+    )
+    schema = StructType(df.schema.fields + [StructField(out_col, out_t)])
+
+    def _offsets(batches):
+        # word -> [(token, rel_start, rel_end)]: offsets inside a word are
+        # position-independent, so the memo is as effective as bpe_encode's
+        cache: dict[str, list[tuple[str, int, int]]] = {}
+        for pdf in batches:
+            col = []
+            for text in pdf[text_col]:
+                toks: list[tuple[str, int, int]] = []
+                if text is not None and text == text:
+                    off = 0
+                    for w in text.split(split):
+                        if w:
+                            rel = cache.get(w)
+                            if rel is None:
+                                rel = []
+                                pos = 0
+                                for s in _encode_word_py(w, merges, ranks, end_of_word):
+                                    n = len(s) - (eow_n if s.endswith(end_of_word) else 0)
+                                    rel.append((s, pos, pos + n))
+                                    pos += n
+                                cache[w] = rel
+                            toks.extend((s, off + a, off + b) for s, a, b in rel)
+                        off += len(w) + step
+                col.append(toks)
+            out = pdf.copy()
+            out[out_col] = pd.Series(col, index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(_offsets, schema=schema)

@@ -210,3 +210,96 @@ def test_streaming_render_matches_batch(spark, tmp_path):
     assert set(got) == {"c1", "c2"}  # c3 has no end marker
     for c in got:
         assert got[c] == batch[c], c
+
+
+# ---------------------------------------------------------------------------
+# token-level loss masks (chat.token_loss_mask)
+# ---------------------------------------------------------------------------
+
+MASK_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("h", "i"), ("e", "r")]
+
+
+def py_token_mask(rows, merges, header=DEFAULT_HEADER, footer=DEFAULT_FOOTER,
+                  bos="", assistant_role="assistant", split=" ", eow="</w>"):
+    """Independent Python re-derivation of token_loss_mask: render via the
+    string oracle, naive sequential BPE per word, running char offsets,
+    span containment — no engine code on the path except merge_word."""
+    from mrmr_spark.operators.tokenizer import merge_word
+
+    rend = py_render(rows, header=header, footer=footer, bos=bos)
+    pre, post = header.split("{role}")
+    spans, offs = {}, {}
+    for conv, _, role, text in sorted(rows, key=lambda r: (r[0], r[1])):
+        off = offs.setdefault(conv, len(bos))
+        ts = off + len(pre) + len(role or "") + len(post)
+        te = ts + len(text or "")
+        if role == assistant_role:
+            spans.setdefault(conv, []).append((ts, te))
+        offs[conv] = te + len(footer)
+    out = []
+    for conv, text in rend.items():
+        off, idx = 0, 0
+        for w in text.split(split):
+            if w:
+                syms = list(w) + [eow]
+                for m in merges:
+                    syms = merge_word(syms, m)
+                pos = off
+                for s in syms:
+                    n = len(s) - (len(eow) if s.endswith(eow) else 0)
+                    a, b = pos, pos + n
+                    if n > 0:
+                        m = any(a >= s0 and b <= e0 for s0, e0 in spans.get(conv, []))
+                    else:
+                        m = any(s0 <= a < e0 for s0, e0 in spans.get(conv, []))
+                    out.append((conv, idx, s, a, b, m))
+                    pos, idx = b, idx + 1
+            off += len(w) + len(split)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("backend", ["arrow", "column"])
+def test_token_loss_mask_matches_python_oracle(spark, convs, backend):
+    from mrmr_spark.operators.chat import token_loss_mask
+
+    got = sorted(
+        tuple(r) for r in token_loss_mask(convs, MASK_MERGES, backend=backend).collect()
+    )
+    assert got == py_token_mask(ROWS, MASK_MERGES)
+    assert any(m for *_, m in got) and not all(m for *_, m in got)
+
+
+def test_token_loss_mask_zero_width_marker_rule(spark):
+    """A bare end-of-word marker strictly inside assistant text (ending a
+    mid-text word) is loss; the marker ending the turn's LAST word sits
+    past the glued footer and is not."""
+    from mrmr_spark.operators.chat import token_loss_mask
+
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", "hi there")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = token_loss_mask(df, []).collect()
+    rendered = "<|assistant|>\nhi there\n<|end|>\n"  # text span = [14, 22)
+    # "hi" ends mid-text: its marker sits at the space inside the span
+    hi_end = next(r for r in rows if r.token == "</w>" and r.tok_start == 16)
+    assert hi_end.loss_mask
+    # every surface token inside the text span is loss; the word
+    # "there\n<|end|>\n" glues to the footer, so footer-side chars are not
+    surf = [r for r in rows if r.tok_start < r.tok_end]
+    inside = [r for r in surf if 14 <= r.tok_start and r.tok_end <= 22]
+    assert inside and all(r.loss_mask for r in inside)
+    assert {rendered[r.tok_start:r.tok_end] for r in inside} >= set("hithere")
+    outside = [r for r in surf if r.tok_end > 22]
+    assert outside and not any(r.loss_mask for r in outside)
+
+
+def test_token_loss_mask_no_assistant_turns(spark):
+    from mrmr_spark.operators.chat import token_loss_mask
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "the cat")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = token_loss_mask(df, MASK_MERGES).collect()
+    assert out and not any(r.loss_mask for r in out)

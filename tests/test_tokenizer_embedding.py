@@ -319,3 +319,83 @@ def test_hashed_embedding_project_is_pure_projection(spark, docs):
     plan = hashed_embedding(docs, dim=4, backend="project")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token_offsets (offset-mapped encode)
+# ---------------------------------------------------------------------------
+
+OFF_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("f", "a"), ("fa", "s"), ("e", "r"), ("er", "</w>")]
+
+
+def py_token_offsets(text, merges, split=" ", eow=END_OF_WORD):
+    toks, off = [], 0
+    for w in (text or "").split(split):
+        if w:
+            pos = off
+            for s in naive_encode_word(w, merges, eow):
+                n = len(s) - (len(eow) if s.endswith(eow) else 0)
+                toks.append((s, pos, pos + n))
+                pos += n
+        off += len(w) + len(split)
+    return toks
+
+
+@pytest.mark.parametrize("backend", ["arrow", "column"])
+def test_token_offsets_matches_python(spark, docs, backend):
+    from mrmr_spark.operators.tokenizer import token_offsets
+
+    got = {
+        r.doc_id: [tuple(t) for t in r.tokens]
+        for r in token_offsets(docs, OFF_MERGES, backend=backend).collect()
+    }
+    assert got == {i: py_token_offsets(t, OFF_MERGES) for i, t in DOCS}
+
+
+def test_token_offsets_stream_equals_bpe_encode(spark, docs):
+    """The token column of the offset mapping IS the bpe_encode stream."""
+    from mrmr_spark.operators.tokenizer import token_offsets
+
+    off = token_offsets(docs, OFF_MERGES)
+    both = off.join(bpe_encode(docs, OFF_MERGES), "doc_id")
+    bad = both.where(
+        F.transform("tokens", lambda t: t["token"]) != F.col("bpe_tokens")
+    ).count()
+    assert bad == 0
+
+
+def test_token_offsets_surface_invariant_distributed(spark):
+    """substring(text, tok_start, len) == token's surface chars for every
+    token of a generated corpus, counted on the cluster."""
+    from mrmr_spark.operators.tokenizer import token_offsets
+    from mrmr_spark.sources.transcripts import generate_transcripts_pandas
+
+    tr = spark.createDataFrame(
+        generate_transcripts_pandas(n_convs=30, mean_turns=8, seed=11)
+    ).select(F.col("text"))
+    t = F.col("t")
+    surf = F.when(
+        F.endswith(t["token"], F.lit(END_OF_WORD)),
+        F.substring(t["token"], 1, F.length(t["token"]) - len(END_OF_WORD)),
+    ).otherwise(t["token"])
+    bad = (
+        token_offsets(tr, OFF_MERGES, backend="arrow")
+        .select("text", F.explode("tokens").alias("t"))
+        .where(
+            F.substring(
+                F.col("text"),
+                (t["tok_start"] + 1).cast("int"),
+                (t["tok_end"] - t["tok_start"]).cast("int"),
+            )
+            != surf
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_token_offsets_validation(spark, docs):
+    from mrmr_spark.operators.tokenizer import token_offsets
+
+    with pytest.raises(ValueError, match="backend"):
+        token_offsets(docs, OFF_MERGES, backend="nope")

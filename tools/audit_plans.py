@@ -330,6 +330,12 @@ def main():
           "template-constant lengths as pure column arithmetic + ONE "
           "running-offset window over the conversation key — the lag/"
           "rolling partitioning, no rendered text anywhere in the plan")
+    audit("token_loss_mask (per-token SFT loss masks, Arrow default)",
+          gate.QUERIES["token_loss_mask"](spark, SF),
+          "render exchange (conv-keyed) -> ONE mapInPandas offset stage -> "
+          "conv-keyed join with the spans aggregate (same key, AQE-"
+          "broadcastable: one span row per conversation) -> posexplode; "
+          "nothing shuffles per token")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
