@@ -303,3 +303,49 @@ def test_token_loss_mask_no_assistant_turns(spark):
     )
     out = token_loss_mask(df, MASK_MERGES).collect()
     assert out and not any(r.loss_mask for r in out)
+
+
+def test_token_masks_pack_into_training_chunks(spark, convs):
+    """The trainer-facing flow: per-conversation mask vectors from
+    token_loss_mask pack through pack_documents/explode_chunks — the
+    reassembled per-chunk mask stream equals the global concatenation of
+    conversation masks in pack order, cut at the chunk budget."""
+    from mrmr_spark.operators.chat import token_loss_mask
+    from mrmr_spark.operators.curation import explode_chunks, pack_documents
+
+    budget = 16
+    tlm = token_loss_mask(convs, MASK_MERGES)
+    per_conv = (
+        tlm.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tok_idx", "loss_mask"))).alias("z"))
+        .select(
+            "conv_id",
+            F.transform("z", lambda x: x["loss_mask"]).alias("mask"),
+            F.size("z").cast("long").alias("n_tok"),
+        )
+    )
+    packed = pack_documents(per_conv, budget, id_col="conv_id", token_col="n_tok")
+    chunks = explode_chunks(packed, budget, id_col="conv_id")
+    sliced = chunks.join(per_conv.select("conv_id", "mask"), "conv_id").select(
+        "chunk_id",
+        "chunk_pos",
+        F.slice(F.col("mask"), (F.col("doc_start") + 1).cast("int"), F.col("span").cast("int")).alias("m"),
+    )
+    got = {}
+    for r in sliced.collect():
+        got.setdefault(r.chunk_id, []).append((r.chunk_pos, r.m))
+    stream_got = []
+    for cid in sorted(got):
+        parts = sorted(got[cid])
+        assert [p for p, _ in parts] == sorted(
+            {p for p, _ in parts}
+        )  # spans tile without overlap
+        stream_got.extend(b for _, m in parts for b in m)
+    # oracle: concatenate per-conv masks in pack order (order_col = id)
+    per = {r.conv_id: r.mask for r in per_conv.collect()}
+    stream_want = [b for c in sorted(per) for b in per[c]]
+    assert stream_got == stream_want
+    # every full chunk carries exactly `budget` tokens
+    sizes = {cid: sum(len(m) for _, m in parts) for cid, parts in got.items()}
+    full = {cid: n for cid, n in sizes.items() if cid < max(sizes)}
+    assert all(n == budget for n in full.values())

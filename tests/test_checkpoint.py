@@ -182,3 +182,43 @@ def test_run_curation_bpe_tokenize_phase(spark, tmp_path):
     assert [p["manifest_id"] for p in second["phases"]] == [
         p["manifest_id"] for p in first["phases"]
     ]
+
+
+def test_run_sft_pipeline_resumes(spark, tmp_path, transcripts_pdf):
+    """The SFT spark-submit entrypoint: transcripts -> render -> dedup ->
+    BPE-mask -> split -> pack, resumable. One full run, then a resume run
+    that reads every phase back (identical manifest ids) and reuses the
+    persisted merge list; the packed mask accounting is self-consistent."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_sft
+
+    src = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(transcripts_pdf).select(
+        "conv_id", "turn_idx", "role", "text"
+    ).write.parquet(src)
+    ckpt = str(tmp_path / "sft")
+    argv = ["--input", src, "--checkpoint-dir", ckpt,
+            "--budget", "256", "--merges", "15"]
+    first = run_sft.main(argv)
+    assert [p["phase"] for p in first["phases"]] == [
+        "ingest", "render", "dedup", "mask", "split", "pack"
+    ]
+    assert first["n_convs"] > 0 and first["n_chunks"] > 0
+    assert 0.0 < first["loss_token_frac"] < 1.0
+
+    with open(os.path.join(ckpt, "bpe_merges.json")) as f:
+        assert len(json.load(f)["merges"]) == 15
+
+    second = run_sft.main(argv)
+    assert second == first  # phases read back, merges reused, no recompute
+
+    # the mask vectors in the pack output account for every token
+    packed = spark.read.parquet(os.path.join(ckpt, "pack", "data"))
+    bad = packed.where(
+        (F.size("mask") != F.col("n_tok"))
+        | (F.aggregate("mask", F.lit(0).cast("long"),
+                       lambda a, x: a + x.cast("long")) != F.col("n_loss"))
+    ).count()
+    assert bad == 0
