@@ -4329,6 +4329,110 @@ FROM seq q
 SQL_TOKEN_LOSS_MASK = _token_loss_mask_sql(GATE_BPE_MERGES)
 
 
+# --- product quantization (Jégou 2011) ---------------------------------------
+# Gate variant skips k-means like the ann_ivf row: the m=4 sub-codebooks are
+# the dim/4-wide slices of the embeddings of vec_id < 8 (ksub=8) — a
+# deterministic, data-dependent codebook DuckDB reconstructs with list
+# slicing, so the oracle independently re-derives the per-subspace argmin
+# codes AND the ADC lookup-table sums. Production pq_train runs real
+# per-subspace Lloyd k-means; only the codebook source differs.
+
+_PQ_M, _PQ_KSUB, _PQ_DIM = 4, 8, 64
+
+
+def _pq_gate_books(spark, sf_dir):
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < _PQ_KSUB)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    dsub = _PQ_DIM // _PQ_M
+    return np.stack([V[:, j * dsub : (j + 1) * dsub] for j in range(_PQ_M)])
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ encode: per (vector, subspace) nearest-codebook-centroid code.
+    The oracle orders candidate centroids by DuckDB's exact
+    ``list_distance`` (sqrt of the same sum — monotone, so the argmin is
+    identical) with the same lowest-code tie-break."""
+    from mrmr_spark.operators.similarity import pq_encode
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(e, _pq_gate_books(spark, sf_dir))
+    return out.select(
+        "vec_id", F.posexplode("code").alias("j", "code")
+    ).select("vec_id", "j", F.col("code").cast("int").alias("code"))
+
+
+def q_pq_search(spark, sf_dir):
+    """ADC top-5 (squared-L2) of queries vec_id < 10 over the PQ-coded
+    corpus. The oracle rebuilds the codes, evaluates the 4 subspace
+    lookup terms as ``list_distance^2`` (double rounding ~2^-52, far
+    below the r6 comparison) and sums them in the kernel's
+    ascending-subspace order."""
+    from mrmr_spark.operators.similarity import pq_encode, pq_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    B = _pq_gate_books(spark, sf_dir)
+    codes = pq_encode(e, B)
+    q = e.where(F.col("vec_id") < 10)
+    out = pq_search(codes, q, B, k=5, metric="l2")
+    return out.select("q_id", "vec_id", "rank", r6("adist").alias("adist"))
+
+
+def _pq_sql_prefix() -> str:
+    dsub = _PQ_DIM // _PQ_M
+    vals = ",".join(f"({j})" for j in range(_PQ_M))
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), subs AS (
+  SELECT vec_id, m.j, e[m.j*{dsub}+1 : m.j*{dsub}+{dsub}] AS s
+  FROM base CROSS JOIN (VALUES {vals}) m(j)
+), cents AS (
+  SELECT j, vec_id AS code, s AS c FROM subs WHERE vec_id < {_PQ_KSUB}
+), codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_distance(s.s, c.c), c.code) AS rn
+    FROM subs s JOIN cents c USING (j)
+  ) WHERE rn = 1
+)"""
+
+
+SQL_PQ_CODES = _pq_sql_prefix() + """
+SELECT vec_id, CAST(j AS INT) AS j, CAST(code AS INT) AS code FROM codes
+"""
+
+SQL_PQ_SEARCH = _pq_sql_prefix() + f"""
+, terms AS (
+  SELECT q.vec_id AS q_id, v.vec_id, v.j, list_distance(q.s, c.c)^2 AS t
+  FROM codes v
+  JOIN cents c ON c.j = v.j AND c.code = v.code
+  JOIN subs q ON q.j = v.j AND q.vec_id < 10
+  WHERE v.vec_id <> q.vec_id
+), adist AS (
+  SELECT q_id, vec_id,
+         {" + ".join(f"sum(CASE WHEN j={j} THEN t END)" for j in range(_PQ_M))}
+           AS adist
+  FROM terms GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, rank, round(adist, 6) AS adist FROM (
+  SELECT q_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT)
+           AS rank
+  FROM adist
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4424,6 +4528,8 @@ QUERIES = {
     "chat_render": q_chat_render,
     "chat_spans": q_chat_spans,
     "token_loss_mask": q_token_loss_mask,
+    "pq_codes": q_pq_codes,
+    "pq_search": q_pq_search,
 }
 
 ORACLE_SQL = {
@@ -4521,4 +4627,6 @@ ORACLE_SQL = {
     "chat_render": SQL_CHAT_RENDER,
     "chat_spans": SQL_CHAT_SPANS,
     "token_loss_mask": SQL_TOKEN_LOSS_MASK,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_search": SQL_PQ_SEARCH,
 }

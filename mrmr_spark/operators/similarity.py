@@ -535,3 +535,425 @@ def semdedup(
         "centroid_sim",
         F.col("_dup").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011 — "Product Quantization
+# for Nearest Neighbor Search", IVFADC). The third ANN scale path next to
+# ann_lsh / ann_ivf: compress each vector to m sub-codes (dim float32 ->
+# m bytes, e.g. 256 B -> 8 B), then answer top-k with Asymmetric Distance
+# Computation (ADC): per query one (m x ksub) lookup table of exact
+# subspace distances, per corpus vector m table lookups — never a float
+# recompute against the raw vectors. At 10^12 vectors this is the only
+# family whose INDEX fits a cluster's memory.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 10,
+    sample_n: int = 100_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Train the ``m`` per-subspace PQ codebooks: plain (L2) Lloyd k-means
+    with ``ksub`` centroids over each dim/m-wide slice of a bounded
+    deterministic driver sample — the same determinism contract as
+    :func:`ivf_train` (xxhash64-ordered sample, seeded init, empty
+    clusters keep their previous centroid). Training sees ``sample_n``
+    rows at ANY corpus size; the distributed phase is :func:`pq_encode`.
+    Returns float64 codebooks of shape (m, ksub, dim//m).
+    """
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim={dim} is not divisible by m={m}")
+    samp = (
+        _as_double(corpus, emb_col, "_e")
+        .select(id_col, "_e")
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .toPandas()
+    )
+    if len(samp) == 0:
+        raise ValueError(
+            f"pq_train: corpus has no rows in column '{emb_col}' — "
+            "cannot train codebooks on an empty sample"
+        )
+    X = np.stack(samp["_e"].to_numpy()).astype(np.float64)
+    if X.shape[1] != dim:
+        raise ValueError(f"pq_train: embeddings have dim {X.shape[1]}, expected {dim}")
+    ksub = min(ksub, len(X))
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # squared L2 as a direct (n, ksub, dsub) diff — no x^2+c^2-2xc
+            # cancellation, so encode-side distances reproduce these exactly
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            asg = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                msk = asg == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _check_codebooks(codebooks: np.ndarray) -> np.ndarray:
+    B = np.asarray(codebooks, dtype=np.float64)
+    if B.ndim != 3:
+        raise ValueError(
+            f"codebooks must have shape (m, ksub, dsub); got ndim={B.ndim}"
+        )
+    return B
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Encode each vector to its ``m`` nearest-subspace-centroid codes:
+    ONE Arrow batch kernel (a (batch, ksub, dsub) squared-diff reduction
+    per subspace — the same vectorized shape as :func:`ivf_assign`), zero
+    shuffle. Output ``(id_col, code_col: array<smallint>)`` — the 4·dim ->
+    m byte index row. Ties break toward the lowest code (np.argmin is
+    first-occurrence). Distances are computed as direct squared
+    differences (sum((x-c)^2)), NEVER the x^2+c^2-2xc expansion, so the
+    codes match an ANSI-SQL re-derivation bit-for-bit (the gate oracles
+    this operator; cancellation in the expanded form flips argmin ties).
+    """
+    B = _check_codebooks(codebooks)
+    m, ksub, dsub = B.shape
+    dim = m * dsub
+    proj = df.select(
+        id_col, F.transform(emb_col, lambda x: x.cast("double")).alias("_e")
+    )
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
+            X = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, dim)
+                .astype(np.float64)
+            )
+            codes = np.empty((b.num_rows, m), dtype=np.int16)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np),
+                    pa.array(list(codes), type=pa.list_(pa.int16())),
+                ],
+                [id_col, code_col],
+            )
+
+    return proj.mapInArrow(mapper, f"`{id_col}` long, `{code_col}` array<smallint>")
+
+
+def _collect_query_mat(
+    queries: DataFrame, id_col: str, emb_col: str, max_queries: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded driver-side collect of the query table (ids, float64 matrix).
+    ADC builds one (m x ksub) lookup table per query, so the query side is
+    driver-bounded by design — the corpus side is the 10^12 half."""
+    qp = (
+        _as_double(queries, emb_col, "_qe")
+        .select(id_col, "_qe")
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(qp) > max_queries:
+        raise ValueError(
+            f"pq_search: more than max_queries={max_queries} query rows — "
+            "ADC broadcasts one (m x ksub) LUT per query; raise max_queries "
+            "only with the executor memory to carry the LUT tensor"
+        )
+    if len(qp) == 0:
+        raise ValueError("pq_search: queries has no rows")
+    qids = qp[id_col].to_numpy()
+    Q = np.stack(qp["_qe"].to_numpy()).astype(np.float64)
+    return qids, Q
+
+
+def pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    code_col: str = "code",
+    exclude_self: bool = True,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k over a PQ-coded corpus
+    (Jégou 2011 §4.1): per query, the exact subspace distances to every
+    codebook centroid form an (m x ksub) lookup table; the approximate
+    distance to a corpus vector is the sum of its m coded entries —
+    m table lookups per vector, the raw corpus is never read.
+
+    Distributed shape: queries are a bounded driver-side collect (the LUT
+    tensor, Q x m x ksub float64, rides the task closure); the corpus codes
+    stream through ONE Arrow kernel that emits only the per-batch top-k per
+    query under the total order (adist, id) — so the exchange that feeds
+    the final global top-k window carries <= Q*k rows per batch, never the
+    corpus. Top-k is decomposable, so batch-local pruning is exact.
+
+    ``metric="l2"`` ranks by ascending squared-L2 estimate (the paper's
+    ADC); ``metric="ip"`` by descending inner-product estimate. The LUT
+    entries and the m-term sum are evaluated in fixed ascending-subspace
+    order — reproducible in ANSI SQL (gate row ``pq_search``).
+    Returns ``(q_id, id_col, rank, adist)``.
+    """
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
+    B = _check_codebooks(codebooks)
+    m, ksub, dsub = B.shape
+    qids, Qm = _collect_query_mat(queries, id_col, emb_col, max_queries)
+    if Qm.shape[1] != m * dsub:
+        raise ValueError(
+            f"pq_search: query dim {Qm.shape[1]} != codebook dim {m * dsub}"
+        )
+    nq = len(qids)
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        Sq = Qm[:, j * dsub : (j + 1) * dsub]
+        if metric == "l2":
+            lut[:, j, :] = ((Sq[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=-1)
+        else:
+            lut[:, j, :] = Sq @ B[j].T
+    sign = 1.0 if metric == "l2" else -1.0
+    bad = np.inf if metric == "l2" else -np.inf
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
+            cd = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, m)
+                .astype(np.int64)
+            )
+            # ascending-j accumulation: the SQL oracle sums the same order
+            D = lut[:, 0, cd[:, 0]].copy()
+            for j in range(1, m):
+                D += lut[:, j, cd[:, j]]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(nq):
+                d = D[qi]
+                if exclude_self:
+                    d = np.where(ids_np == qids[qi], bad, d)
+                top = np.lexsort((ids_np, sign * d))[:k]
+                keep = np.isfinite(d[top])
+                top = top[keep]
+                out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                out_v.append(ids_np[top])
+                out_d.append(d[top])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_d)),
+                ],
+                ["q_id", id_col, "adist"],
+            )
+
+    part = codes.select(id_col, code_col).mapInArrow(
+        mapper, f"q_id long, `{id_col}` long, adist double"
+    )
+    order = (
+        [F.col("adist").asc(), F.col(id_col).asc()]
+        if metric == "l2"
+        else [F.col("adist").desc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, F.col("rank").cast("int").alias("rank"), "adist")
+    )
+
+
+def ann_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    refine: int = 0,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_queries: int = 1024,
+) -> DataFrame:
+    """IVFADC (Jégou 2011 §5): the IVF coarse quantizer prunes the corpus
+    to ``n_probe`` inverted lists per query, and within the probed lists
+    distances come from PQ codes of the RESIDUAL x/||x|| - centroid(list)
+    — the paper's memory layout (one byte-scale code per vector) with the
+    paper's accuracy trick (residuals are centered, so the codebooks spend
+    their ksub levels on a much tighter ball than raw vectors).
+
+    All vectors are unit-normalized first, so ascending squared-L2 ADC
+    ranking is exactly descending-cosine ranking — the same order the
+    rest of the similarity family returns. Per (query, probed list) the
+    LUT targets q - c_list; corpus-side work stays m lookups per
+    candidate inside ONE Arrow kernel emitting per-batch top-k only.
+
+    ``refine=r > 0`` re-ranks the ADC top-(r*k) with exact cosine against
+    the raw embeddings (Jégou's IVFADC-R) — the join touches r*k rows per
+    query, not the corpus. Returns ``(q_id, id_col, rank, score)`` where
+    score is -adist (refine=0) or the exact cosine (refine>0), both
+    descending-better.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, dim, n_lists=n_lists, seed=seed, id_col=id_col, emb_col=emb_col
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+    # residual frame: unit vector minus its single nearest centroid
+    asg = ivf_assign(corpus, C, 1, id_col, emb_col)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "list_id int, _c array<double>",
+    )
+    e = _as_double(corpus, emb_col, "_e").select(id_col, "_e")
+    norm = F.sqrt(F.aggregate("_e", F.lit(0.0), lambda a, x: a + x * x))
+    resid = (
+        asg.join(e, id_col)
+        .join(F.broadcast(cent), "list_id")
+        .withColumn("_n", F.greatest(norm, F.lit(1e-12)))
+        .select(
+            id_col,
+            "list_id",
+            F.zip_with(F.transform("_e", lambda x: x / F.col("_n")), "_c",
+                       lambda x, c: x - c).alias("_r"),
+        )
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            resid, dim, m=m, ksub=ksub, seed=seed, id_col=id_col, emb_col="_r"
+        )
+    B = _check_codebooks(codebooks)
+    m, ksub, dsub = B.shape
+    coded = pq_encode(resid.select(id_col, "list_id", "_r"), B, id_col, "_r", "code")
+    coded = coded.join(resid.select(id_col, "list_id"), id_col)
+
+    qids, Qm = _collect_query_mat(queries, id_col, emb_col, max_queries)
+    Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-12)
+    probed = np.argsort(-(Qm @ C.T), axis=1, kind="stable")[:, :n_probe]
+    nq = len(qids)
+    # LUT per (query, probed list): targets q - c_list
+    lut = np.empty((nq, n_probe, m, ksub), dtype=np.float64)
+    for qi in range(nq):
+        for pi, L in enumerate(probed[qi]):
+            t = Qm[qi] - C[L]
+            for j in range(m):
+                tj = t[j * dsub : (j + 1) * dsub]
+                lut[qi, pi, j, :] = ((tj[None, :] - B[j]) ** 2).sum(axis=-1)
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids_np = b.column(0).to_numpy(zero_copy_only=False)
+            cd = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, m)
+                .astype(np.int64)
+            )
+            lists_np = b.column(2).to_numpy(zero_copy_only=False)
+            out_q, out_v, out_d = [], [], []
+            for qi in range(nq):
+                dists, vids = [], []
+                for pi in range(n_probe):
+                    msk = lists_np == probed[qi, pi]
+                    if not msk.any():
+                        continue
+                    sub = cd[msk]
+                    d = lut[qi, pi, 0, sub[:, 0]].copy()
+                    for j in range(1, m):
+                        d += lut[qi, pi, j, sub[:, j]]
+                    sid = ids_np[msk]
+                    ok = sid != qids[qi]
+                    dists.append(d[ok])
+                    vids.append(sid[ok])
+                if not dists:
+                    continue
+                d = np.concatenate(dists)
+                v = np.concatenate(vids)
+                top = np.lexsort((v, d))[: max(k, k * refine)]
+                out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                out_v.append(v[top])
+                out_d.append(d[top])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_d)),
+                ],
+                ["q_id", id_col, "adist"],
+            )
+
+    part = coded.select(id_col, "code", "list_id").mapInArrow(
+        mapper, f"q_id long, `{id_col}` long, adist double"
+    )
+    kk = max(k, k * refine)
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    adc = (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+    )
+    if refine <= 0:
+        return adc.where(F.col("rank") <= k).select(
+            "q_id",
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            (-F.col("adist")).alias("score"),
+        )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, Qm)],
+        f"q_id long, _qe array<double>",
+    )
+    exact = (
+        adc.select("q_id", id_col)
+        .join(e, id_col)
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", id_col, _cosine("_qe", "_e").alias("score"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", id_col, F.col("rank").cast("int").alias("rank"), "score")
+    )
