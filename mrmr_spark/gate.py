@@ -4433,6 +4433,72 @@ SELECT q_id, vec_id, rank, round(adist, 6) AS adist FROM (
 """
 
 
+# --- Bloom-filter membership (Bloom 1970) ------------------------------------
+# Reference set = documents with doc_id % 3 == 0. The filter is built under
+# the md5_60 family so DuckDB reconstructs the IDENTICAL bit array (word-by-
+# word) and probes it — false positives must agree bit-for-bit, which makes
+# this row a bit-level proof of the whole construction. n_bits is sized small
+# (2048) so false positives actually occur at sf0.01+ (at sf0.1 the array is
+# ~90% saturated — hundreds of FPs, all of which must match). is_dup is the
+# verified (exact) answer; the oracle computes it as a plain IN.
+
+_BLOOM_BITS, _BLOOM_K, _BLOOM_SEED = 2048, 3, 7
+
+
+def q_bloom_membership(spark, sf_dir):
+    from mrmr_spark.operators.bloom import bloom_filter_against
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 3 == 0)
+    out = bloom_filter_against(
+        d, ref, n_bits=_BLOOM_BITS, k_hashes=_BLOOM_K, seed=_BLOOM_SEED,
+        hash_fn="md5_60", verify=True,
+    )
+    return out.select("doc_id", "maybe_dup", "is_dup")
+
+
+def _bloom_sql() -> str:
+    nb, k, seed = _BLOOM_BITS, _BLOOM_K, _BLOOM_SEED
+    vals = ",".join(f"({i})" for i in range(k))
+
+    def h(txt, i):
+        return (
+            f"('0x' || substr(md5(CAST({seed * 1000} + {i} AS VARCHAR) "
+            f"|| ':' || {txt}), 1, 15))::BIGINT % {nb}"
+        )
+
+    return f"""
+WITH ref AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+  SELECT {h('text', 'i.i')} AS p
+  FROM ref CROSS JOIN (VALUES {vals}) i(i)
+), words AS (
+  -- DuckDB checks 1 << 63 as overflow; bit 63 is min-int64 directly
+  SELECT p // 64 AS w,
+         bit_or(CASE WHEN p % 64 = 63
+                     THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                     ELSE (1::BIGINT << CAST(p % 64 AS INT)) END) AS word
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT d.doc_id, d.text, {h('d.text', 'i.i')} AS p
+  FROM documents d CROSS JOIN (VALUES {vals}) i(i)
+), maybe AS (
+  SELECT doc_id,
+         bool_and(COALESCE((w.word >> CAST(p % 64 AS INT)) & 1, 0) = 1)
+           AS maybe_dup
+  FROM probe LEFT JOIN words w ON w.w = p // 64
+  GROUP BY doc_id
+)
+SELECT m.doc_id, m.maybe_dup,
+       (d.text IN (SELECT text FROM ref)) AS is_dup
+FROM maybe m JOIN documents d USING (doc_id)
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _bloom_sql()
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4530,6 +4596,7 @@ QUERIES = {
     "token_loss_mask": q_token_loss_mask,
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
+    "bloom_membership": q_bloom_membership,
 }
 
 ORACLE_SQL = {
@@ -4629,4 +4696,5 @@ ORACLE_SQL = {
     "token_loss_mask": SQL_TOKEN_LOSS_MASK,
     "pq_codes": SQL_PQ_CODES,
     "pq_search": SQL_PQ_SEARCH,
+    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
 }
