@@ -4499,6 +4499,67 @@ FROM maybe m JOIN documents d USING (doc_id)
 SQL_BLOOM_MEMBERSHIP = _bloom_sql()
 
 
+# --- preference pairs (DPO/RLHF data prep) -----------------------------------
+
+
+def q_preference_pairs(spark, sf_dir):
+    """best_worst preference pairs per (source, lang) group over the
+    documents table with n_chars as the stand-in reward. Oracle:
+    the same two windows in DuckDB."""
+    from mrmr_spark.operators.chat import preference_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return preference_pairs(
+        d, ["source", "lang"], "n_chars", id_col="doc_id", min_margin=1.0
+    )
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH base AS (
+  SELECT source, lang, doc_id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE n_chars IS NOT NULL
+), ranked AS (
+  SELECT source, lang, doc_id, s,
+         row_number() OVER (PARTITION BY source, lang ORDER BY s DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY source, lang ORDER BY s ASC, doc_id) AS rw
+  FROM base
+)
+SELECT b.source, b.lang,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.s AS chosen_score, w.s AS rejected_score,
+       b.s - w.s AS margin
+FROM (SELECT * FROM ranked WHERE rb = 1) b
+JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (source, lang)
+WHERE b.doc_id <> w.doc_id AND b.s - w.s >= 1.0
+"""
+
+
+def q_preference_all_pairs(spark, sf_dir):
+    """all_pairs strategy on a bounded slice (doc_id < 60): every ordered
+    pair with margin >= 40 inside a (source, lang) group."""
+    from mrmr_spark.operators.chat import preference_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return preference_pairs(
+        d, ["source", "lang"], "n_chars", id_col="doc_id",
+        strategy="all_pairs", min_margin=40.0,
+    )
+
+
+SQL_PREFERENCE_ALL_PAIRS = """
+WITH base AS (
+  SELECT source, lang, doc_id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE n_chars IS NOT NULL AND doc_id < 60
+)
+SELECT a.source, a.lang,
+       a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       a.s AS chosen_score, b.s AS rejected_score,
+       a.s - b.s AS margin
+FROM base a JOIN base b USING (source, lang)
+WHERE a.doc_id <> b.doc_id AND a.s - b.s >= 40.0 AND a.s - b.s > 0
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4597,6 +4658,8 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_search": q_pq_search,
     "bloom_membership": q_bloom_membership,
+    "preference_pairs": q_preference_pairs,
+    "preference_all_pairs": q_preference_all_pairs,
 }
 
 ORACLE_SQL = {
@@ -4697,4 +4760,6 @@ ORACLE_SQL = {
     "pq_codes": SQL_PQ_CODES,
     "pq_search": SQL_PQ_SEARCH,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
+    "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
 }

@@ -251,3 +251,103 @@ def token_loss_mask(
         t["tok_end"].alias("tok_end"),
         contained.alias("loss_mask"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str | list[str],
+    score_col: str,
+    id_col: str = "doc_id",
+    strategy: str = "best_worst",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF reward-model training
+    data (Rafailov et al. 2023; Ouyang et al. 2022): within each prompt
+    group (same prompt sampled several times, or any grouping key), emit
+    (chosen, rejected) pairs ordered by a score column.
+
+    - ``strategy="best_worst"``: ONE pair per group — the canonical DPO
+      reduction (highest vs lowest score). Cost: one window over the
+      group key, two rows kept per group, pure JVM.
+    - ``strategy="all_pairs"``: every ordered pair with
+      ``margin >= min_margin`` — an equi-join on the group key, so the
+      fan-out is per-group quadratic but NEVER a corpus self-join;
+      group sizes are the sampling fan-out (typically 4-16 generations
+      per prompt), which bounds the blow-up by construction.
+
+    Deterministic tie-breaks: chosen ranks by (score desc, id asc),
+    rejected by (score asc, id asc); a pair is emitted only if
+    ``chosen_id != rejected_id`` and ``margin >= min_margin`` (groups of
+    one, or all-tied groups at min_margin > 0, emit nothing). Rows with
+    NULL score are dropped first — a NULL reward cannot rank.
+
+    Output: group key column(s) + ``(chosen_id, rejected_id,
+    chosen_score, rejected_score, margin)``. Gate row
+    ``preference_pairs`` re-derives both windows in DuckDB.
+    """
+    if strategy not in ("best_worst", "all_pairs"):
+        raise ValueError(
+            f"strategy must be 'best_worst' or 'all_pairs', got {strategy!r}"
+        )
+    if min_margin < 0:
+        raise ValueError(f"min_margin must be >= 0, got {min_margin}")
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    base = df.where(F.col(score_col).isNotNull()).select(
+        *gcols,
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    if strategy == "all_pairs":
+        a = base.select(
+            *gcols, F.col("_id").alias("chosen_id"), F.col("_s").alias("chosen_score")
+        )
+        b = base.select(
+            *gcols,
+            F.col("_id").alias("rejected_id"),
+            F.col("_s").alias("rejected_score"),
+        )
+        out = (
+            a.join(b, gcols)
+            .where(F.col("chosen_id") != F.col("rejected_id"))
+            .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+            .where(F.col("margin") >= F.lit(float(min_margin)))
+            .where(
+                # strict order: ties emit neither direction
+                F.col("margin") > 0
+            )
+        )
+        return out.select(
+            *gcols, "chosen_id", "rejected_id", "chosen_score", "rejected_score",
+            "margin",
+        )
+    w_best = Window.partitionBy(*gcols).orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    w_worst = Window.partitionBy(*gcols).orderBy(
+        F.col("_s").asc(), F.col("_id").asc()
+    )
+    ranked = base.select(
+        *gcols,
+        "_id",
+        "_s",
+        F.row_number().over(w_best).alias("_rb"),
+        F.row_number().over(w_worst).alias("_rw"),
+    )
+    best = ranked.where(F.col("_rb") == 1).select(
+        *gcols, F.col("_id").alias("chosen_id"), F.col("_s").alias("chosen_score")
+    )
+    worst = ranked.where(F.col("_rw") == 1).select(
+        *gcols,
+        F.col("_id").alias("rejected_id"),
+        F.col("_s").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, gcols)
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        .where(F.col("margin") >= F.lit(float(min_margin)))
+        .select(
+            *gcols, "chosen_id", "rejected_id", "chosen_score", "rejected_score",
+            "margin",
+        )
+    )

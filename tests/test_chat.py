@@ -349,3 +349,114 @@ def test_token_masks_pack_into_training_chunks(spark, convs):
     sizes = {cid: sum(len(m) for _, m in parts) for cid, parts in got.items()}
     full = {cid: n for cid, n in sizes.items() if cid < max(sizes)}
     assert all(n == budget for n in full.values())
+
+
+# --- preference pairs (DPO/RLHF) --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    """5 prompt groups x 6 generations with controlled score patterns:
+    one all-tied group, one with a NULL score, one singleton."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for g in range(4):
+        for i in range(6):
+            score = 10.0 if g == 2 else float(rng.integers(0, 100))
+            rows.append((f"p{g}", g * 10 + i, score))
+    rows.append(("p1", 999, None))       # NULL score: dropped
+    rows.append(("p4", 400, 55.0))       # singleton group: no pair
+    return spark.createDataFrame(
+        rows, "prompt string, gen_id long, reward double"
+    ).cache()
+
+
+def _py_best_worst(rows, min_margin=0.0):
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, i, s in rows:
+        if s is not None:
+            by_g[g].append((i, s))
+    out = []
+    for g, items in by_g.items():
+        best = min(items, key=lambda t: (-t[1], t[0]))
+        worst = min(items, key=lambda t: (t[1], t[0]))
+        if best[0] != worst[0] and best[1] - worst[1] >= min_margin:
+            out.append((g, best[0], worst[0], best[1], worst[1], best[1] - worst[1]))
+    return sorted(out)
+
+
+def test_preference_pairs_matches_python_oracle(scored):
+    from mrmr_spark.operators.chat import preference_pairs
+
+    raw = [(r["prompt"], r["gen_id"], r["reward"]) for r in scored.collect()]
+    got = sorted(
+        tuple(r)
+        for r in preference_pairs(
+            scored, "prompt", "reward", id_col="gen_id"
+        ).collect()
+    )
+    assert got == _py_best_worst(raw)
+    # the all-tied group (p2) emits nothing only at min_margin > 0
+    got2 = preference_pairs(
+        scored, "prompt", "reward", id_col="gen_id", min_margin=1.0
+    ).toPandas()
+    assert "p2" not in set(got2["prompt"])
+    # ...but at margin 0 a tied group still emits nothing (chosen == rejected
+    # under the id tie-break is excluded)
+    assert "p2" not in set(r[0] for r in got)
+    # singleton group emits nothing
+    assert "p4" not in set(r[0] for r in got)
+
+
+def test_preference_all_pairs_semantics(scored):
+    from mrmr_spark.operators.chat import preference_pairs
+
+    got = preference_pairs(
+        scored, "prompt", "reward", id_col="gen_id", strategy="all_pairs",
+        min_margin=5.0,
+    ).toPandas()
+    raw = [(r["prompt"], r["gen_id"], r["reward"]) for r in scored.collect()]
+    exp = set()
+    for g1, i1, s1 in raw:
+        for g2, i2, s2 in raw:
+            if (
+                g1 == g2 and i1 != i2 and s1 is not None and s2 is not None
+                and s1 - s2 >= 5.0
+            ):
+                exp.add((g1, i1, i2))
+    assert set(zip(got["prompt"], got["chosen_id"], got["rejected_id"])) == exp
+    assert (got["margin"] >= 5.0).all()
+    # every pair is strictly ordered: no (a, b) AND (b, a)
+    fwd = set(zip(got["chosen_id"], got["rejected_id"]))
+    assert not any((b, a) in fwd for a, b in fwd)
+
+
+def test_preference_pairs_validation(scored):
+    from mrmr_spark.operators.chat import preference_pairs
+
+    with pytest.raises(ValueError, match="strategy"):
+        preference_pairs(scored, "prompt", "reward", strategy="tournament")
+    with pytest.raises(ValueError, match="min_margin"):
+        preference_pairs(scored, "prompt", "reward", min_margin=-1.0)
+
+
+def test_preference_pairs_compose_with_rendered_conversations(spark, convs):
+    """The realistic flow: render conversations, score them (length as the
+    stand-in reward), group by a prompt key, emit DPO pairs."""
+    from mrmr_spark.operators.chat import preference_pairs, render_conversations
+
+    rendered = render_conversations(convs)
+    scored = rendered.withColumn("reward", F.length("text").cast("double"))
+    scored = scored.withColumn(
+        "prompt_group", F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    )
+    out = preference_pairs(
+        scored, "prompt_group", "reward", id_col="conv_id", min_margin=1.0
+    ).toPandas()
+    assert len(out) >= 1
+    assert (out["margin"] > 0).all()
+    assert (out["chosen_id"] != out["rejected_id"]).all()
