@@ -4560,6 +4560,96 @@ WHERE a.doc_id <> b.doc_id AND a.s - b.s >= 40.0 AND a.s - b.s > 0
 """
 
 
+# --- unigram-LM tokenizer (Kudo 2018) -----------------------------------------
+# Gate variant skips EM like the PQ/IVF rows skip k-means: the vocabulary is a
+# deterministic statistic both engines derive from the data — ALL single chars
+# + the top-20 multi-char substrings (length 2-4) by frequency-weighted
+# occurrence count (ties by piece asc), logp = ln(weight/total). The oracle
+# then finds the best segmentation of every distinct word by FULL PATH
+# ENUMERATION in a recursive CTE (bounded: max word length 8), under the same
+# (score desc, token-string asc) total order the engine's Viterbi DP uses —
+# so this row proves the DP itself, not just the arithmetic. Production
+# unigram_train runs the EM + prune loop; only the vocabulary source differs.
+
+_UNI_TOP, _UNI_MAXLEN = 20, 4
+
+
+def _unigram_gate_model(spark, sf_dir):
+    import math
+
+    from mrmr_spark.operators.tokenizer import word_counts
+    from mrmr_spark.operators.unigram import substring_counts
+
+    d = _t(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    sc = substring_counts(wc, max_len=_UNI_MAXLEN)
+    chars = sc.where(F.length("piece") == 1)
+    multi = (
+        sc.where(F.length("piece") >= 2)
+        .orderBy(F.col("weight").desc(), F.col("piece").asc())
+        .limit(_UNI_TOP)
+    )
+    rows = chars.unionByName(multi).collect()
+    total = float(sum(r["weight"] for r in rows))
+    logp = {r["piece"]: math.log(r["weight"] / total) for r in rows}
+    return wc, {"logp": logp, "max_piece_len": _UNI_MAXLEN}
+
+
+def q_unigram_segment(spark, sf_dir):
+    from mrmr_spark.operators.unigram import unigram_encode
+
+    wc, model = _unigram_gate_model(spark, sf_dir)
+    enc = unigram_encode(
+        wc.select("word"), model, text_col="word", out_col="t", with_score=True
+    )
+    return enc.select(
+        "word",
+        F.array_join("t", " ").alias("toks"),
+        r6("t_score").alias("score"),
+    )
+
+
+SQL_UNIGRAM_SEGMENT = f"""
+WITH RECURSIVE wc AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY 1
+), nums(n) AS (
+  SELECT unnest(range(1, 9))
+), subs AS (
+  SELECT substr(w.word, i.n, l.n) AS piece, sum(w.cnt) AS wt
+  FROM wc w
+  JOIN nums i ON i.n <= length(w.word)
+  JOIN nums l ON l.n <= {_UNI_MAXLEN} AND i.n + l.n <= length(w.word) + 1
+  GROUP BY 1
+), vocab0 AS (
+  SELECT piece, wt FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, wt FROM (
+    SELECT piece, wt, row_number() OVER (ORDER BY wt DESC, piece) AS rn
+    FROM subs WHERE length(piece) >= 2
+  ) WHERE rn <= {_UNI_TOP}
+), vocab AS (
+  SELECT piece, length(piece) AS len,
+         ln(CAST(wt AS DOUBLE) / (SELECT CAST(sum(wt) AS DOUBLE) FROM vocab0))
+           AS logp
+  FROM vocab0
+), paths AS (
+  SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS score, '' AS toks FROM wc
+  UNION ALL
+  SELECT p.word, p.pos + v.len, p.score + v.logp,
+         CASE WHEN p.toks = '' THEN v.piece ELSE p.toks || ' ' || v.piece END
+  FROM paths p JOIN vocab v ON substr(p.word, p.pos + 1, v.len) = v.piece
+  WHERE p.pos + v.len <= length(p.word)
+)
+SELECT word, toks, round(score, 6) AS score FROM (
+  SELECT word, toks, score,
+         row_number() OVER (PARTITION BY word ORDER BY score DESC, toks) AS rn
+  FROM paths WHERE pos = length(word)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4660,6 +4750,7 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     "preference_pairs": q_preference_pairs,
     "preference_all_pairs": q_preference_all_pairs,
+    "unigram_segment": q_unigram_segment,
 }
 
 ORACLE_SQL = {
@@ -4762,4 +4853,5 @@ ORACLE_SQL = {
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
+    "unigram_segment": SQL_UNIGRAM_SEGMENT,
 }
