@@ -275,6 +275,10 @@ def main():
         "chat_render",
         "chat_spans",
         "token_loss_mask",
+        "pq_search",
+        "bloom_membership",
+        "preference_pairs",
+        "unigram_segment",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

@@ -267,8 +267,9 @@ def preference_pairs(
     (chosen, rejected) pairs ordered by a score column.
 
     - ``strategy="best_worst"``: ONE pair per group — the canonical DPO
-      reduction (highest vs lowest score). Cost: one window over the
-      group key, two rows kept per group, pure JVM.
+      reduction (highest vs lowest score). Cost: ONE map-side-combined
+      aggregation (min_by/max_by over the group key) — no window sort,
+      no self-join, one exchange carrying one row per group.
     - ``strategy="all_pairs"``: every ordered pair with
       ``margin >= min_margin`` — an equi-join on the group key, so the
       fan-out is per-group quadratic but NEVER a corpus self-join;
@@ -279,7 +280,9 @@ def preference_pairs(
     rejected by (score asc, id asc); a pair is emitted only if
     ``chosen_id != rejected_id`` and ``margin >= min_margin`` (groups of
     one, or all-tied groups at min_margin > 0, emit nothing). Rows with
-    NULL score are dropped first — a NULL reward cannot rank.
+    NULL or NaN score are dropped first — an unordered reward cannot
+    rank (NaN would silently win every max under Spark's NaN-greatest
+    ordering).
 
     Output: group key column(s) + ``(chosen_id, rejected_id,
     chosen_score, rejected_score, margin)``. Gate row
@@ -292,7 +295,9 @@ def preference_pairs(
     if min_margin < 0:
         raise ValueError(f"min_margin must be >= 0, got {min_margin}")
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
-    base = df.where(F.col(score_col).isNotNull()).select(
+    base = df.where(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col).cast("double"))
+    ).select(
         *gcols,
         F.col(id_col).alias("_id"),
         F.col(score_col).cast("double").alias("_s"),
@@ -320,29 +325,21 @@ def preference_pairs(
             *gcols, "chosen_id", "rejected_id", "chosen_score", "rejected_score",
             "margin",
         )
-    w_best = Window.partitionBy(*gcols).orderBy(
-        F.col("_s").desc(), F.col("_id").asc()
-    )
-    w_worst = Window.partitionBy(*gcols).orderBy(
-        F.col("_s").asc(), F.col("_id").asc()
-    )
-    ranked = base.select(
-        *gcols,
-        "_id",
-        "_s",
-        F.row_number().over(w_best).alias("_rb"),
-        F.row_number().over(w_worst).alias("_rw"),
-    )
-    best = ranked.where(F.col("_rb") == 1).select(
-        *gcols, F.col("_id").alias("chosen_id"), F.col("_s").alias("chosen_score")
-    )
-    worst = ranked.where(F.col("_rw") == 1).select(
-        *gcols,
-        F.col("_id").alias("rejected_id"),
-        F.col("_s").alias("rejected_score"),
+    # one aggregation: min_by over (±score, id) structs realizes both
+    # tie-break orders (scores are NaN-free, so negation is order-exact)
+    row = F.struct(F.col("_id"), F.col("_s"))
+    agg = base.groupBy(*gcols).agg(
+        F.min_by(row, F.struct(-F.col("_s"), F.col("_id"))).alias("_best"),
+        F.min_by(row, F.struct(F.col("_s"), F.col("_id"))).alias("_worst"),
     )
     return (
-        best.join(worst, gcols)
+        agg.select(
+            *gcols,
+            F.col("_best._id").alias("chosen_id"),
+            F.col("_worst._id").alias("rejected_id"),
+            F.col("_best._s").alias("chosen_score"),
+            F.col("_worst._s").alias("rejected_score"),
+        )
         .where(F.col("chosen_id") != F.col("rejected_id"))
         .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
         .where(F.col("margin") >= F.lit(float(min_margin)))

@@ -366,8 +366,9 @@ def scored(spark):
         for i in range(6):
             score = 10.0 if g == 2 else float(rng.integers(0, 100))
             rows.append((f"p{g}", g * 10 + i, score))
-    rows.append(("p1", 999, None))       # NULL score: dropped
-    rows.append(("p4", 400, 55.0))       # singleton group: no pair
+    rows.append(("p1", 999, None))           # NULL score: dropped
+    rows.append(("p1", 998, float("nan")))   # NaN score: dropped too
+    rows.append(("p4", 400, 55.0))           # singleton group: no pair
     return spark.createDataFrame(
         rows, "prompt string, gen_id long, reward double"
     ).cache()
@@ -378,7 +379,7 @@ def _py_best_worst(rows, min_margin=0.0):
 
     by_g = collections.defaultdict(list)
     for g, i, s in rows:
-        if s is not None:
+        if s is not None and s == s:
             by_g[g].append((i, s))
     out = []
     for g, items in by_g.items():
@@ -424,7 +425,9 @@ def test_preference_all_pairs_semantics(scored):
     for g1, i1, s1 in raw:
         for g2, i2, s2 in raw:
             if (
-                g1 == g2 and i1 != i2 and s1 is not None and s2 is not None
+                g1 == g2 and i1 != i2
+                and s1 is not None and s1 == s1
+                and s2 is not None and s2 == s2
                 and s1 - s2 >= 5.0
             ):
                 exp.add((g1, i1, i2))

@@ -336,6 +336,26 @@ def main():
           "conv-keyed join with the spans aggregate (same key, AQE-"
           "broadcastable: one span row per conversation) -> posexplode; "
           "nothing shuffles per token")
+    audit("pq_search (product-quantization ADC top-k)",
+          gate.QUERIES["pq_search"](spark, SF),
+          "ONE Arrow encode stage feeding ONE Arrow ADC stage that emits "
+          "only per-batch top-k per query; the single exchange before the "
+          "final window carries <= Q*k rows per batch, never the corpus")
+    audit("bloom_membership (Bloom pre-filter + exact verify)",
+          gate.QUERIES["bloom_membership"](spark, SF),
+          "probe is a pure projection (the filter rides the plan as ONE "
+          "bound literal array); the only exchanges belong to the exact "
+          "verify semi-join, whose input is pre-filtered to flagged rows")
+    audit("preference_pairs (DPO best-worst pairs)",
+          gate.QUERIES["preference_pairs"](spark, SF),
+          "ONE map-side-combined min_by/max_by aggregation on the "
+          "prompt-group key — no window sort, no self-join; the single "
+          "exchange carries one partial row per (group, partition)")
+    audit("unigram_segment (unigram-LM Viterbi, gate vocab)",
+          gate.QUERIES["unigram_segment"](spark, SF),
+          "word-count agg (map-side combined) -> substring-seed agg for "
+          "the vocab (collected, vocab-bounded) -> ONE memoized mapInPandas "
+          "Viterbi stage over distinct words; the corpus never shuffles")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
