@@ -265,6 +265,7 @@ def main():
         "sliding_chunks",
         "ppl_buckets_cut",
         "bm25_topk",
+        "rrf_fusion",
         "strip_html",
         "term_blocklist",
         "dedup_incremental",

@@ -3770,6 +3770,115 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval end to end: the sparse run (BM25 top-10 over the
+    documents text, the bm25_topk row's construction) and the dense run
+    (cosine kNN top-10 over the embeddings table, the knn_cosine row's
+    construction — vec_id and doc_id share the 0..N-1 id space) fused by
+    reciprocal-rank fusion at the published k=60. Per-run contributions
+    are summed as DECIMAL(28,12) on both engines, so fused scores and
+    the fused ranking are bit-identical; ties break on ascending id."""
+    from mrmr_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
+    )
+    sparse = bm25_topk(docs, queries, k=10).select("q_id", "doc_id", "rank")
+    dense = q_knn_cosine(spark, sf_dir, k=10, n_queries=3).select(
+        "q_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([sparse, dense], k=60).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+SQL_RRF_FUSION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+qt AS (
+  SELECT q_id, unnest(qts) AS term
+  FROM (
+    SELECT doc_id AS q_id,
+           list_distinct(list_filter(string_split(text, ' ')[1:4],
+                                     t -> t <> '')) AS qts
+    FROM documents WHERE doc_id < 3
+  )
+),
+terms AS (SELECT DISTINCT term FROM qt),
+posts AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+matched AS (
+  SELECT p.doc_id, p.dl, p.term, count(*) AS tf
+  FROM posts p JOIN terms USING (term)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+contrib AS (
+  SELECT qt.q_id, m.doc_id,
+         CAST(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * ((CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(m.tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)))
+              AS DECIMAL(28,12)) AS c
+  FROM matched m
+  JOIN dfs d USING (term)
+  JOIN qt USING (term)
+  CROSS JOIN stats s
+),
+bm25_scored AS (
+  SELECT q_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+sparse AS (
+  SELECT q_id, doc_id, rank FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bm25_scored
+  ) WHERE rank <= 10
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(q.q_emb, e.emb)
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+              * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+),
+dense AS (
+  SELECT q_id, vec_id AS doc_id, rank FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM sims
+  ) WHERE rank <= 10
+),
+unioned AS (
+  SELECT q_id, doc_id,
+         CAST(CAST(1.0 AS DOUBLE) / (60.0 + rank) AS DECIMAL(28,12)) AS c
+  FROM sparse
+  UNION ALL
+  SELECT q_id, doc_id,
+         CAST(CAST(1.0 AS DOUBLE) / (60.0 + rank) AS DECIMAL(28,12)) AS c
+  FROM dense
+),
+fused AS (SELECT q_id, doc_id, sum(c) AS s FROM unioned GROUP BY 1, 2)
+SELECT q_id, doc_id, round(CAST(s AS DOUBLE), 6) AS rrf_score,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY s DESC, doc_id ASC) AS rank
+FROM fused
+"""
+
+
 def q_strip_html(spark, sf_dir):
     """WET-style HTML -> text extraction against a BY-CONSTRUCTION
     truth: wrap each document's (tag-free, single-spaced, verified)
@@ -4731,6 +4840,7 @@ QUERIES = {
     "ppl_buckets_cut": q_ppl_buckets_cut,
     "bm25_topk": q_bm25_topk,
     "bm25_indexed": q_bm25_indexed,
+    "rrf_fusion": q_rrf_fusion,
     "strip_html": q_strip_html,
     "term_blocklist": q_term_blocklist,
     "dedup_incremental": q_dedup_incremental,
@@ -4834,6 +4944,7 @@ ORACLE_SQL = {
     "ppl_buckets_cut": SQL_PPL_BUCKETS_CUT,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed": SQL_BM25_TOPK,
+    "rrf_fusion": SQL_RRF_FUSION,
     "strip_html": SQL_STRIP_HTML,
     "term_blocklist": SQL_TERM_BLOCKLIST,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

@@ -271,3 +271,68 @@ def bm25_topk_indexed(
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "rank", "score")
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k: int = 60,
+    weights: list[float] | None = None,
+    topk: int | None = None,
+    qid_col: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
+    ranked runs into one hybrid ranking: ``rrf = sum_r w_r / (k + rank_r)``
+    over the runs each document appears in, the standard way to combine
+    the sparse path (:func:`bm25_topk`) with the dense path (cosine
+    kNN / ANN from `operators/similarity.py`) without score calibration
+    — only ranks are consumed, so the runs' score scales never meet.
+
+    Each ``runs[i]`` needs ``(qid_col, id_col, rank_col)`` with rank 1 =
+    best (exactly the shape every retrieval/top-k operator here emits).
+    Returns ``(qid_col, id_col, rrf_score, rank)``; fused rank ties break
+    on ascending id. ``k`` is the published dampening constant (60 in the
+    paper and in Elasticsearch/Vespa's implementations).
+
+    Scale shape: every input run is already top-k-bounded (O(#queries *
+    k_run) rows), so the union + one map-side-combined groupBy + the
+    per-query window all move candidate rows only — the corpus is never
+    touched. Per-run contributions are computed in double (deterministic
+    per row) and summed as DECIMAL(28,12), so the fused scores — and
+    therefore the ranking — are bit-identical across partitionings and
+    run order; the reference engine has no retrieval layer, so this has
+    no reference counterpart (extends the documents-table family).
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if weights is not None and len(weights) != len(runs):
+        raise ValueError(
+            f"weights length {len(weights)} != number of runs {len(runs)}"
+        )
+    if topk is not None and topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    fused = None
+    for i, r in enumerate(runs):
+        wt = 1.0 if weights is None else float(weights[i])
+        c = r.select(
+            F.col(qid_col),
+            F.col(id_col),
+            (
+                F.lit(wt) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).cast("decimal(28,12)").alias("_c"),
+        )
+        fused = c if fused is None else fused.unionByName(c)
+    scored = fused.groupBy(qid_col, id_col).agg(F.sum("_c").alias("_s"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("_s").desc(), F.col(id_col).asc())
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out.select(
+        qid_col,
+        id_col,
+        F.round(F.col("_s").cast("double"), 6).alias("rrf_score"),
+        "rank",
+    )

@@ -143,3 +143,116 @@ def test_bm25_indexed_equals_direct_and_roundtrips(spark, frames, tmp_path):
     assert [f.name for f in empty.schema.fields] == ["q_id", "doc_id", "rank", "score"]
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk_indexed(p2, s2, q, k=0)
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def _py_rrf(runs, k=60, weights=None):
+    """Independent oracle: dict-and-loop reciprocal-rank fusion."""
+    acc = {}
+    for i, run in enumerate(runs):
+        w = 1.0 if weights is None else weights[i]
+        for qid, did, rank in run:
+            acc[(qid, did)] = acc.get((qid, did), 0.0) + w / (k + rank)
+    by_q = {}
+    for (qid, did), s in acc.items():
+        by_q.setdefault(qid, []).append((did, s))
+    out = {}
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for r, (did, s) in enumerate(lst, start=1):
+            out[(qid, did)] = (round(s, 6), r)
+    return out
+
+
+RUN_A = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)]
+RUN_B = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2), (2, 22, 3)]
+
+
+def _runs(spark):
+    schema = "q_id long, doc_id long, rank int"
+    return (
+        spark.createDataFrame(RUN_A, schema),
+        spark.createDataFrame(RUN_B, schema),
+    )
+
+
+def test_rrf_matches_python_oracle(spark):
+    from mrmr_spark.operators.retrieval import rrf_fuse
+
+    a, b = _runs(spark)
+    got = {
+        (r.q_id, r.doc_id): (r.rrf_score, r.rank)
+        for r in rrf_fuse([a, b]).collect()
+    }
+    want = _py_rrf([RUN_A, RUN_B])
+    assert got == want
+    # doc 11 appears in both runs -> must outrank every single-run doc
+    assert got[(1, 11)][1] == 1
+
+
+def test_rrf_weights_and_topk(spark):
+    from mrmr_spark.operators.retrieval import rrf_fuse
+
+    a, b = _runs(spark)
+    got = {
+        (r.q_id, r.doc_id): (r.rrf_score, r.rank)
+        for r in rrf_fuse([a, b], weights=[2.0, 0.5]).collect()
+    }
+    assert got == _py_rrf([RUN_A, RUN_B], weights=[2.0, 0.5])
+    top1 = rrf_fuse([a, b], topk=1).collect()
+    assert sorted((r.q_id, r.rank) for r in top1) == [(1, 1), (2, 1)]
+
+
+def test_rrf_tiebreak_and_partitioning_invariance(spark):
+    from mrmr_spark.operators.retrieval import rrf_fuse
+
+    # two docs with identical contribution sets -> exact score tie,
+    # fused order must fall back to ascending doc id
+    tie = spark.createDataFrame(
+        [(1, 7, 1), (1, 5, 2), (1, 9, 2)], "q_id long, doc_id long, rank int"
+    )
+    rows = rrf_fuse([tie]).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (7, 1), (5, 2), (9, 3)
+    ]
+    a, b = _runs(spark)
+    base = rrf_fuse([a, b]).sort("q_id", "rank").collect()
+    repart = rrf_fuse([a.repartition(7), b.repartition(3)]).sort(
+        "q_id", "rank"
+    ).collect()
+    assert base == repart  # decimal sums: bit-identical at any layout
+
+
+def test_rrf_validation(spark):
+    from mrmr_spark.operators.retrieval import rrf_fuse
+
+    a, _ = _runs(spark)
+    with pytest.raises(ValueError, match="at least one run"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k must be > 0"):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="weights length"):
+        rrf_fuse([a], weights=[1.0, 2.0])
+    with pytest.raises(ValueError, match="topk must be"):
+        rrf_fuse([a], topk=0)
+
+
+def test_rrf_hybrid_composition(spark, frames):
+    """End-to-end hybrid shape: fuse a real BM25 run with a synthetic
+    dense run; a doc ranked mid-list by both must beat docs only one
+    side retrieved (the reason hybrid retrieval works)."""
+    from mrmr_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    d, q = frames
+    sparse = bm25_topk(d, q, k=3).select("q_id", "doc_id", "rank")
+    dense = spark.createDataFrame(
+        [(100, 2, 1), (100, 4, 2), (101, 4, 1), (101, 1, 2)],
+        "q_id long, doc_id long, rank int",
+    )
+    fused = rrf_fuse([sparse, dense], topk=3)
+    rows = {(r.q_id, r.rank): r.doc_id for r in fused.collect()}
+    # q=101: doc 1 is in both runs (bm25 rank 1 + dense rank 2);
+    # doc 4 only dense, doc 3 only sparse -> doc 1 must fuse first
+    assert rows[(101, 1)] == 1

@@ -264,6 +264,13 @@ def main():
           "so every exchange ∝ query-term postings; N/avgdl ride as a "
           "broadcast 1-row frame; top-k is WindowGroupLimit (partial "
           "groups truncate to k pre-exchange)")
+    audit("rrf_fusion (hybrid sparse+dense reciprocal-rank fusion)",
+          gate.QUERIES["rrf_fusion"](spark, SF),
+          "every input run is top-k-bounded, so the union + map-side "
+          "combined groupBy + per-query window move only candidate rows; "
+          "DECIMAL(28,12) contribution sums keep the fused ranking "
+          "bit-identical at any partitioning; corpus touched only inside "
+          "the two upstream runs")
     audit("strip_html (WET-style HTML -> text extraction)",
           gate.QUERIES["strip_html"](spark, SF),
           "pure projection: ZERO exchanges, ZERO Python — block removal, "
