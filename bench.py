@@ -261,6 +261,7 @@ def main():
         "domain_stats",
         "pareto_sample",
         "epoch_shuffle",
+        "fim_transform",
         "normalize_url",
         "sliding_chunks",
         "ppl_buckets_cut",

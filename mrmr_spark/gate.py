@@ -2607,6 +2607,43 @@ FROM documents
 """
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle (Bavarian et al. 2022) under the affine hash
+    family: half the documents re-rendered as
+    <fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m} with both cut points
+    floor(u*(len+1)) re-derived in SQL — every rendered string and the
+    applied flag value-checked per document."""
+    from mrmr_spark.operators.curation import fim_transform
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(d, rate=0.5, mode="psm", hash_fn="affine")
+
+
+SQL_FIM_TRANSFORM = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+    ((doc_id * 2654435761 + 1 * 2654435769) % 4294967296) / 4294967296.0 AS u_sel,
+    ((doc_id * 2654435761 + 2 * 2654435769) % 4294967296) / 4294967296.0 AS u1,
+    ((doc_id * 2654435761 + 3 * 2654435769) % 4294967296) / 4294967296.0 AS u2
+  FROM documents
+),
+p AS (
+  SELECT *, CAST(floor(u1 * (n + 1)) AS BIGINT) AS p1,
+            CAST(floor(u2 * (n + 1)) AS BIGINT) AS p2
+  FROM b
+),
+s AS (SELECT *, least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM p)
+SELECT doc_id,
+       u_sel < 0.5 AS fim_applied,
+       CASE WHEN u_sel < 0.5 THEN
+         '<fim_prefix>' || substr(text, 1, lo)
+         || '<fim_suffix>' || substr(text, hi + 1, n - hi)
+         || '<fim_middle>' || substr(text, lo + 1, hi - lo)
+       ELSE text END AS text
+FROM s
+"""
+
+
 def q_explode_chunks(spark, sf_dir, budget: int = 256):
     """The materialized training-chunk span table from pack_documents —
     one row per (chunk, doc) intersection, spans tiling every chunk."""
@@ -4816,6 +4853,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "weighted_sample": q_weighted_sample,
     "hash_split": q_hash_split,
+    "fim_transform": q_fim_transform,
     "explode_chunks": q_explode_chunks,
     "lm_score_trigram": q_lm_score_trigram,
     "pii_redact": q_pii_redact,
@@ -4920,6 +4958,7 @@ ORACLE_SQL = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
+    "fim_transform": SQL_FIM_TRANSFORM,
     "explode_chunks": SQL_EXPLODE_CHUNKS,
     "lm_score_trigram": SQL_LM_SCORE_TRIGRAM,
     "pii_redact": SQL_PII_REDACT,

@@ -2022,3 +2022,100 @@ def corpus_report(
             F.col("n_tokens") / F.sum("n_tokens").over(w), 6
         ).alias("token_share"),
     )
+
+
+#: salt multiplier for the FIM per-decision keys (2654435769 =
+#: ceil(2^32/phi); distinct from KNUTH_MULT and _EPOCH_MULT so FIM
+#: decisions never correlate with sampling keys or epoch permutations)
+_FIM_MULT = 2654435769
+
+
+def _salted_u(id_col: str | Column, hash_fn: str, salt: int) -> Column:
+    """Deterministic uniform in [0,1) — one independent stream per salt.
+
+    ``xxhash64``: hash(id, salt); ``affine``: (id*KNUTH + salt*_FIM_MULT)
+    mod 2^32 — the ANSI-SQL-reproducible family (same contract as
+    :func:`sample_key`: id must stay below 2^31).
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(col, F.lit(salt)).cast("double")
+    elif hash_fn == "affine":
+        key = F.pmod(
+            col.cast("long") * F.lit(KNUTH_MULT) + F.lit(salt * _FIM_MULT),
+            F.lit(_HASH_SPACE),
+        ).cast("double")
+    else:
+        raise ValueError(f"Unknown hash_fn: {hash_fn!r}")
+    return (key - F.lit(_key_lo(hash_fn))) / F.lit(_key_space(hash_fn))
+
+
+def fim_transform(
+    df: DataFrame,
+    rate: float = 0.5,
+    mode: str = "psm",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    prefix_tok: str = "<fim_prefix>",
+    middle_tok: str = "<fim_middle>",
+    suffix_tok: str = "<fim_suffix>",
+    flag_col: str = "fim_applied",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): with probability
+    ``rate`` a document is split at two uniform character positions into
+    (prefix, middle, suffix) and re-rendered with sentinel tokens so the
+    model learns infilling; otherwise the text passes through unchanged.
+
+    - ``mode="psm"``: ``<fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m}``
+      (the paper's canonical ordering);
+    - ``mode="spm"``: ``<fim_prefix><fim_suffix>{s}<fim_middle>{p}{m}``
+      (the paper's "variant 2" SPM encoding, as shipped in Megatron-LM's
+      FIM implementation).
+
+    All three decisions (apply?, cut 1, cut 2) are seed-free deterministic
+    hash streams of the document id (salts 1/2/3), so the transform is
+    reproducible across runs, engines and cluster sizes, and a document's
+    rendering never depends on which other rows share its partition. Cut
+    positions are ``floor(u * (len+1))`` in [0, len] — empty prefix /
+    middle / suffix are all legal, matching the paper (character-level
+    split; token-level FIM is this operator composed after detokenized
+    slicing, e.g. over `explode_chunks` output). NULL text passes through
+    NULL with the flag still computed.
+
+    Scale shape: a pure zero-shuffle zero-Python projection (three hash
+    streams + substring/concat), so it runs at scan speed at any corpus
+    size and is stateless-streaming-safe like the rest of the curation
+    projections. The ``affine`` family is ANSI-SQL-reproducible (gate row
+    ``fim_transform``); production uses the xxhash64 default. The
+    reference engine (kmedved/mrmr) has no text-transform layer — this
+    extends the documents-table curation family.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    u_sel = _salted_u(id_col, hash_fn, 1)
+    u1 = _salted_u(id_col, hash_fn, 2)
+    u2 = _salted_u(id_col, hash_fn, 3)
+    t = F.col(text_col)
+    length = F.length(t)
+    p1 = F.floor(u1 * (length + F.lit(1))).cast("long")
+    p2 = F.floor(u2 * (length + F.lit(1))).cast("long")
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+    pre = F.substring(t, F.lit(1), lo)
+    mid = F.substring(t, lo + F.lit(1), hi - lo)
+    suf = F.substring(t, hi + F.lit(1), length - hi)
+    if mode == "psm":
+        rendered = F.concat(
+            F.lit(prefix_tok), pre, F.lit(suffix_tok), suf, F.lit(middle_tok), mid
+        )
+    else:
+        rendered = F.concat(
+            F.lit(prefix_tok), F.lit(suffix_tok), suf, F.lit(middle_tok), pre, mid
+        )
+    applied = u_sel < F.lit(float(rate))
+    return df.withColumn(flag_col, applied).withColumn(
+        text_col, F.when(applied, rendered).otherwise(t)
+    )

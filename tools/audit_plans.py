@@ -264,6 +264,12 @@ def main():
           "so every exchange ∝ query-term postings; N/avgdl ride as a "
           "broadcast 1-row frame; top-k is WindowGroupLimit (partial "
           "groups truncate to k pre-exchange)")
+    audit("fim_transform (fill-in-the-middle re-rendering)",
+          gate.QUERIES["fim_transform"](spark, SF),
+          "pure projection: three deterministic hash streams + "
+          "substring/concat fuse into the scan — ZERO exchanges, ZERO "
+          "Python; runs at scan speed at any corpus size, "
+          "stateless-streaming-safe")
     audit("rrf_fusion (hybrid sparse+dense reciprocal-rank fusion)",
           gate.QUERIES["rrf_fusion"](spark, SF),
           "every input run is top-k-bounded, so the union + map-side "
