@@ -4796,6 +4796,73 @@ SELECT word, toks, round(score, 6) AS score FROM (
 """
 
 
+# --- PCA / whitening over the embedding column -------------------------------
+# Two rows: the training STATISTIC (sample covariance — the one distributed
+# pass pca_train makes) oracled against DuckDB covar_samp over unnested
+# coordinates, and the PROJECTION kernel (the 10^12-row path) under a
+# fixed SQL-reproducible model: components = the embedding rows vec_id < k,
+# mean = the vec_id = k row (same data-as-parameters construction as the
+# PQ rows). The engine side runs the DEFAULT Arrow GEMM backend, so the
+# row doubles as backend evidence for the pure-Column twin the SQL mirrors.
+
+_PCA_K = 4
+
+
+def q_embedding_cov(spark, sf_dir):
+    """Sample covariance (ddof=1) of the 64-dim embedding column — the
+    Chan-merged single-scan moments statistic behind pca_train."""
+    from mrmr_spark.operators.pca import covariance_matrix
+
+    cov = covariance_matrix(_t(spark, sf_dir, "embeddings"), _PQ_DIM)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(_PQ_DIM)
+        for j in range(_PQ_DIM)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+SQL_EMBEDDING_COV = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+idx AS (SELECT unnest(generate_series(0, {_PQ_DIM - 1})) AS i),
+u AS (SELECT vec_id, i, emb[i + 1] AS v FROM e CROSS JOIN idx)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       round(covar_samp(a.v, b.v), 6) AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+"""
+
+
+def q_pca_project(spark, sf_dir):
+    import numpy as np
+
+    from mrmr_spark.operators.pca import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    params = (
+        e.where(F.col("vec_id") <= _PCA_K)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    W = np.stack([np.asarray(r.e, dtype=np.float64) for r in params[:_PCA_K]])
+    mu = np.asarray(params[_PCA_K].e, dtype=np.float64)
+    out = pca_project(e, mean=mu, components=W, backend="arrow")
+    return out.select(
+        "vec_id", F.posexplode("pca").alias("j", "y")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), r6("y").alias("y"))
+
+
+SQL_PCA_PROJECT = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+w AS (SELECT CAST(vec_id AS INT) AS j, emb AS w FROM e WHERE vec_id < {_PCA_K}),
+mu AS (SELECT emb AS mu FROM e WHERE vec_id = {_PCA_K})
+SELECT e.vec_id, w.j,
+       round(list_dot_product(e.emb, w.w) - list_dot_product(mu.mu, w.w), 6) AS y
+FROM e CROSS JOIN w CROSS JOIN mu
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4899,6 +4966,8 @@ QUERIES = {
     "preference_pairs": q_preference_pairs,
     "preference_all_pairs": q_preference_all_pairs,
     "unigram_segment": q_unigram_segment,
+    "embedding_cov": q_embedding_cov,
+    "pca_project": q_pca_project,
 }
 
 ORACLE_SQL = {
@@ -5004,4 +5073,6 @@ ORACLE_SQL = {
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "preference_all_pairs": SQL_PREFERENCE_ALL_PAIRS,
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
+    "embedding_cov": SQL_EMBEDDING_COV,
+    "pca_project": SQL_PCA_PROJECT,
 }

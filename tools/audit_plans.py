@@ -369,6 +369,11 @@ def main():
           "word-count agg (map-side combined) -> substring-seed agg for "
           "the vocab (collected, vocab-bounded) -> ONE memoized mapInPandas "
           "Viterbi stage over distinct words; the corpus never shuffles")
+    audit("pca_project (fixed-model Arrow GEMM projection)",
+          gate.QUERIES["pca_project"](spark, SF),
+          "one zero-exchange mapInArrow GEMM stage over the embedding scan "
+          "(model broadcast as task closure); posexplode is gate-row "
+          "presentation only")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
