@@ -4863,6 +4863,87 @@ FROM e CROSS JOIN w CROSS JOIN mu
 """
 
 
+# --- Conversation prefix dedup ------------------------------------------------
+# Retry/regeneration logs: an aborted attempt's transcript is the first k
+# turns of the completed one. Both engines plant the duplicates from the
+# events table itself (half-length 'r-' copies for uid % 5, full 'd-' copies
+# for uid % 11), then the engine's 128-bit chain construction (verify=True —
+# the exact positional re-check also runs) must agree with an independent
+# cumulative-string-prefix oracle on every keep flag AND the covered_by
+# representative (longest cover, then smallest id).
+
+
+def q_prefix_dedup(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from mrmr_spark.operators.dedup import prefix_dedup
+
+    ev = _chat_events(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.count("*").over(W.partitionBy("conv_id")).alias("_n"),
+        "role",
+        "text",
+    )
+    cid = F.col("conv_id").cast("string")
+    base = t.select(F.concat(F.lit("conv-"), cid).alias("conv"), "pos", "role", "text")
+    rplant = t.where(
+        (F.col("conv_id") % 5 == 0)
+        & (F.col("pos") < F.greatest(F.lit(1), F.floor(F.col("_n") / 2)))
+    ).select(F.concat(F.lit("r-conv-"), cid).alias("conv"), "pos", "role", "text")
+    dplant = t.where(F.col("conv_id") % 11 == 0).select(
+        F.concat(F.lit("d-conv-"), cid).alias("conv"), "pos", "role", "text"
+    )
+    corpus = base.unionByName(rplant).unionByName(dplant)
+    return prefix_dedup(
+        corpus, conv_col="conv", order_cols=("pos",), content_cols=("role", "text"),
+        verify=True,
+    )
+
+
+SQL_PREFIX_DEDUP = """
+WITH t AS (
+  SELECT user_id AS uid,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         event_type AS role, props AS text
+  FROM events
+), corpus AS (
+  SELECT 'conv-' || uid AS conv, pos, role, text FROM t
+  UNION ALL
+  SELECT 'r-conv-' || uid, pos, role, text FROM t
+  WHERE uid % 5 = 0 AND pos < greatest(1, n // 2)
+  UNION ALL
+  SELECT 'd-conv-' || uid, pos, role, text FROM t WHERE uid % 11 = 0
+), cum AS (
+  SELECT conv, pos + 1 AS pos1,
+         string_agg(coalesce(role, chr(0)) || chr(31) || coalesce(text, chr(0)) || chr(30), '')
+           OVER (PARTITION BY conv ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM corpus
+), f AS (
+  SELECT conv, max(pos1) AS n_turns, max_by(s, pos1) AS sfull FROM cum GROUP BY conv
+), cand AS (
+  SELECT a.conv, b.conv AS bconv, b.n_turns AS bn
+  FROM f a
+  JOIN cum c ON c.s = a.sfull AND c.pos1 = a.n_turns AND c.conv <> a.conv
+  JOIN f b ON b.conv = c.conv
+  WHERE b.n_turns > a.n_turns OR (b.n_turns = a.n_turns AND b.conv < a.conv)
+), cov AS (
+  SELECT conv, bconv FROM (
+    SELECT conv, bconv,
+           row_number() OVER (PARTITION BY conv ORDER BY bn DESC, bconv ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT f.conv, CAST(f.n_turns AS INT) AS n_turns,
+       cov.bconv IS NULL AS keep, cov.bconv AS covered_by
+FROM f LEFT JOIN cov ON cov.conv = f.conv
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -4968,6 +5049,7 @@ QUERIES = {
     "unigram_segment": q_unigram_segment,
     "embedding_cov": q_embedding_cov,
     "pca_project": q_pca_project,
+    "prefix_dedup": q_prefix_dedup,
 }
 
 ORACLE_SQL = {
@@ -5075,4 +5157,5 @@ ORACLE_SQL = {
     "unigram_segment": SQL_UNIGRAM_SEGMENT,
     "embedding_cov": SQL_EMBEDDING_COV,
     "pca_project": SQL_PCA_PROJECT,
+    "prefix_dedup": SQL_PREFIX_DEDUP,
 }

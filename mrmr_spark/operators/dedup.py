@@ -790,3 +790,174 @@ def dedup_against(
             s.unpersist()
         return out
     raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Conversation prefix dedup (transcripts: retries / regenerations)
+# ---------------------------------------------------------------------------
+
+def prefix_chains(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols=("turn_idx",),
+    content_cols=("role", "text"),
+) -> DataFrame:
+    """Per-(conversation, position) 128-bit prefix-chain fingerprints.
+
+    Each turn hashes its content columns twice (independent xxhash64
+    seeds, NULL normalized to a chr(0) sentinel so NULL != ''), salted
+    with its 0-based position; the chain at position p is the running
+    bit_xor of the salted hashes — a commutative fold, but the position
+    salt makes the (hash, position) SET determine the SEQUENCE, so
+    chain(A, p) == chain(B, p) iff turns 0..p match pairwise (up to a
+    ~2^-128 birthday collision across both lanes). One hash exchange on
+    the conversation key (the FE pipeline's own partitioning); output
+    ``(conv_col, pos1, c1, c2)`` where pos1 is the prefix LENGTH.
+    """
+    from pyspark.sql import Window
+
+    norm = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(f"_n{i}")
+        for i, c in enumerate(content_cols)
+    ]
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    pos = (F.row_number().over(w) - 1).alias("_pos")
+    base = turns.select(F.col(conv_col), pos, *norm)
+    ncols = [F.col(f"_n{i}") for i in range(len(content_cols))]
+    s1 = F.xxhash64(F.lit(0x51_7E), F.col("_pos"), *ncols)
+    s2 = F.xxhash64(F.lit(0x9E3779B9), F.col("_pos"), *ncols)
+    wc = (
+        Window.partitionBy(conv_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        F.col(conv_col),
+        (F.col("_pos") + 1).cast("int").alias("pos1"),
+        F.bit_xor(s1).over(wc).alias("c1"),
+        F.bit_xor(s2).over(wc).alias("c2"),
+    )
+
+
+def prefix_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols=("turn_idx",),
+    content_cols=("role", "text"),
+    mode: str = "flag",
+    verify: bool = False,
+) -> DataFrame:
+    """Drop conversations whose whole turn sequence is a strict PREFIX of
+    another conversation (or an exact duplicate of one) — the shape
+    retry/regeneration logging produces: the aborted attempt's transcript
+    is the first k turns of the completed one. Plain exact dedup never
+    catches these (the texts differ in length); near-dup schemes catch
+    them only past a similarity threshold. Keep rule: the longest
+    sequence wins; exact-duplicate ties keep the smallest ``conv_col``.
+
+    Mechanics: one window pass builds the position-salted 128-bit prefix
+    chains (:func:`prefix_chains`); conversation A is covered iff some
+    other conversation's chain AT POSITION len(A) equals A's full chain.
+    The probe side of that join is pre-filtered to positions that are
+    some conversation's length (the distinct-length set is tiny —
+    broadcast semi-join), so the equi-join carries ~one row per
+    conversation, never one per turn. Nothing ever compares turn text
+    across conversations unless ``verify=True``, which re-checks every
+    candidate (A, B) pair by joining the actual content columns
+    position-by-position (shuffle bounded by covered-pair turns — the
+    winnowing lesson: trust-but-verify is cheap when the candidate set
+    is small, and 2^-128 is an estimate, not an invariant).
+
+    - ``mode="flag"``: one row per conversation —
+      ``(conv_col, n_turns, keep, covered_by)`` where ``covered_by`` is
+      the longest (then smallest-id) covering conversation, NULL when
+      kept.
+    - ``mode="drop"``: the input turn rows of kept conversations only.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"prefix_dedup: mode must be 'flag'|'drop', got {mode!r}")
+    chains = prefix_chains(turns, conv_col, order_cols, content_cols)
+    full = chains.groupBy(conv_col).agg(
+        F.max("pos1").alias("n_turns"),
+        F.max_by("c1", "pos1").alias("f1"),
+        F.max_by("c2", "pos1").alias("f2"),
+    )
+    lengths = full.select(F.col("n_turns").alias("pos1")).distinct()
+    probe = (
+        chains.join(F.broadcast(lengths), "pos1", "left_semi")
+        .select(
+            F.col(conv_col).alias("_b"), "pos1",
+            F.col("c1").alias("_bc1"), F.col("c2").alias("_bc2"),
+        )
+    )
+    blen = full.select(F.col(conv_col).alias("_b"), F.col("n_turns").alias("_bn"))
+    cand = (
+        full.join(
+            probe,
+            (full["n_turns"] == probe["pos1"])
+            & (full["f1"] == probe["_bc1"])
+            & (full["f2"] == probe["_bc2"])
+            & (full[conv_col] != probe["_b"]),
+        )
+        .join(blen, "_b")
+        .where(
+            (F.col("_bn") > F.col("n_turns"))
+            | ((F.col("_bn") == F.col("n_turns")) & (F.col("_b") < F.col(conv_col)))
+        )
+        .select(conv_col, "n_turns", "_b", "_bn")
+    )
+    if verify:
+        # re-derive positioned content (same window) for the exact compare
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+        content = turns.select(
+            F.col(conv_col),
+            (F.row_number().over(w) - 1).alias("_pos"),
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(f"_n{i}")
+                for i, c in enumerate(content_cols)
+            ],
+        )
+        ca = content.select(
+            F.col(conv_col), "_pos",
+            *[F.col(f"_n{i}").alias(f"_a{i}") for i in range(len(content_cols))],
+        )
+        cb = content.select(
+            F.col(conv_col).alias("_b"), "_pos",
+            *[F.col(f"_n{i}").alias(f"_v{i}") for i in range(len(content_cols))],
+        )
+        match = F.lit(True)
+        for i in range(len(content_cols)):
+            match = match & (F.col(f"_a{i}") == F.col(f"_v{i}"))
+        checked = (
+            cand.join(ca, conv_col)
+            .join(cb, ["_b", "_pos"])
+            .groupBy(conv_col, "n_turns", "_b", "_bn")
+            .agg(F.min(match.cast("int")).alias("_ok"))
+            .where(F.col("_ok") == 1)
+            .select(conv_col, "n_turns", "_b", "_bn")
+        )
+        cand = checked
+    flags = (
+        full.join(
+            cand.groupBy(conv_col).agg(
+                F.min_by(
+                    "_b", F.struct((-F.col("_bn")).alias("l"), F.col("_b").alias("i"))
+                ).alias("covered_by")
+            ),
+            conv_col,
+            "left",
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            F.col("covered_by").isNull().alias("keep"),
+            "covered_by",
+        )
+    )
+    if mode == "flag":
+        return flags
+    return turns.join(
+        flags.where("keep").select(conv_col), conv_col, "left_semi"
+    )

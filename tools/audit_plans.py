@@ -369,6 +369,14 @@ def main():
           "word-count agg (map-side combined) -> substring-seed agg for "
           "the vocab (collected, vocab-bounded) -> ONE memoized mapInPandas "
           "Viterbi stage over distinct words; the corpus never shuffles")
+    audit("prefix_dedup (conversation prefix/retry dedup, verify on)",
+          gate.QUERIES["prefix_dedup"](spark, SF),
+          "one conversation-keyed window pass builds the 128-bit chains; "
+          "the cover join probes only positions in the broadcast "
+          "distinct-length set (~1 row/conv), verify re-checks candidate "
+          "pairs positionally — every shuffle is conv-keyed or bounded by "
+          "the candidate set; turn text never shuffles across convs "
+          "except inside verify")
     audit("pca_project (fixed-model Arrow GEMM projection)",
           gate.QUERIES["pca_project"](spark, SF),
           "one zero-exchange mapInArrow GEMM stage over the embedding scan "
