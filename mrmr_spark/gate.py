@@ -4944,6 +4944,49 @@ FROM f LEFT JOIN cov ON cov.conv = f.conv
 """
 
 
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed padded-batch assembly over documents (longest-first,
+    batch 32) + per-batch padding stats — the exact global rank is the
+    two-phase range pattern; the oracle re-derives it with a plain window
+    row_number, so range-boundary/offset drift hash-mismatches."""
+    from mrmr_spark.operators.curation import batch_by_length, batch_padding_stats
+
+    d = _t(spark, sf_dir, "documents")
+    pin: list = []
+    out = batch_padding_stats(
+        batch_by_length(d, 32, len_col="n_chars", pin=pin), len_col="n_chars"
+    ).select(
+        "batch", "n_rows", "max_len", "sum_len", "padded_tokens",
+        r6("pad_frac").alias("pad_frac"),
+    )
+    res = out.toPandas()
+    for s in pin:
+        s.unpersist()
+    return spark.createDataFrame(
+        res,
+        "batch int, n_rows long, max_len long, sum_len long, "
+        "padded_tokens long, pad_frac double",
+    )
+
+
+SQL_LENGTH_BATCHES = """
+WITH r AS (
+  SELECT doc_id, coalesce(n_chars, 0) AS len,
+         row_number() OVER (ORDER BY coalesce(n_chars, 0) DESC, doc_id) - 1 AS rk
+  FROM documents
+), b AS (
+  SELECT CAST(rk // 32 AS INT) AS batch, len FROM r
+)
+SELECT batch, count(*) AS n_rows, max(len) AS max_len, sum(len) AS sum_len,
+       count(*) * max(len) - sum(len) AS padded_tokens,
+       round(CASE WHEN count(*) * max(len) > 0
+                  THEN (count(*) * max(len) - sum(len))::DOUBLE
+                       / (count(*) * max(len))
+                  ELSE 0.0 END, 6) AS pad_frac
+FROM b GROUP BY batch
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5050,6 +5093,7 @@ QUERIES = {
     "embedding_cov": q_embedding_cov,
     "pca_project": q_pca_project,
     "prefix_dedup": q_prefix_dedup,
+    "length_batches": q_length_batches,
 }
 
 ORACLE_SQL = {
@@ -5158,4 +5202,5 @@ ORACLE_SQL = {
     "embedding_cov": SQL_EMBEDDING_COV,
     "pca_project": SQL_PCA_PROJECT,
     "prefix_dedup": SQL_PREFIX_DEDUP,
+    "length_batches": SQL_LENGTH_BATCHES,
 }

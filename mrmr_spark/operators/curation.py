@@ -2119,3 +2119,71 @@ def fim_transform(
     return df.withColumn(flag_col, applied).withColumn(
         text_col, F.when(applied, rendered).otherwise(t)
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assembly (padded SFT batching)
+# ---------------------------------------------------------------------------
+
+def batch_by_length(
+    df: DataFrame,
+    batch_size: int,
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    batch_col: str = "batch",
+    ascending: bool = False,
+    pin: list | None = None,
+) -> DataFrame:
+    """Assign every row to a fixed-size training batch under a global
+    length sort — the padded-batching alternative to
+    :func:`pack_documents` (SFT loaders that pad to the batch max instead
+    of concatenating want near-equal lengths per batch; a length-sorted
+    assignment minimizes per-batch padding for a fixed batch size).
+
+    The global rank is the shard layer's exact two-phase range pattern
+    (:func:`mrmr_spark.sources.shards.sized_shards` under
+    ``(sort_len, id_col)`` — one range exchange, the in-range work is
+    bounded by the partition, never a single-task global window).
+    ``ascending=False`` (default) sorts longest-first, so the ragged
+    final batch is the SHORTEST one — its padding waste is minimal.
+    NULL lengths sort as 0 (documented coalesce; they land with the
+    shortest rows). Output: input columns + ``batch_col``.
+    """
+    from mrmr_spark.sources.shards import sized_shards
+
+    if batch_size < 1:
+        raise ValueError(f"batch_by_length: batch_size must be >= 1, got {batch_size}")
+    L = F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+    sort_key = L if ascending else -L
+    out = sized_shards(
+        df.withColumn("_len_ord", sort_key),
+        rows_per_shard=batch_size,
+        order_by=["_len_ord"],
+        id_col=id_col,
+        shard_col=batch_col,
+        pin=pin,
+    )
+    return out.drop("_len_ord")
+
+
+def batch_padding_stats(
+    batched: DataFrame,
+    batch_col: str = "batch",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-batch padding diagnostics for a :func:`batch_by_length`
+    assignment: ``n_rows``, ``max_len`` (the padded width), ``sum_len``
+    (real tokens), ``padded_tokens`` (= n_rows*max_len - sum_len) and
+    ``pad_frac`` (padding / padded volume; 0.0 for an all-zero batch).
+    One map-side-combined aggregation on the batch key."""
+    L = F.coalesce(F.col(len_col).cast("long"), F.lit(0))
+    vol = F.count(F.lit(1)) * F.max(L)
+    return batched.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(L).alias("max_len"),
+        F.sum(L).alias("sum_len"),
+        (vol - F.sum(L)).alias("padded_tokens"),
+        F.when(vol > 0, (vol - F.sum(L)) / vol.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pad_frac"),
+    )
