@@ -4987,6 +4987,45 @@ FROM b GROUP BY batch
 """
 
 
+def q_fewshot_prompts(spark, sf_dir):
+    """k-shot eval-prompt assembly under the md5_60 family: eval slice
+    doc_id % 17 = 5, pool = the rest, one deterministic 3-exemplar block
+    per source; the oracle re-deals the block from the same hash order and
+    re-renders every prompt byte-for-byte."""
+    from mrmr_spark.operators.chat import fewshot_prompts
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 17 == 5)
+    pool = d.where(F.col("doc_id") % 17 != 5)
+    out = fewshot_prompts(ev, pool, 3, seed=5, hash_fn="md5_60")
+    return out.select("doc_id", "source", "prompt", "n_shots")
+
+
+SQL_FEWSHOT_PROMPTS = """
+WITH pool AS (
+  SELECT source, doc_id, coalesce(text, '') AS inp, coalesce(lang, '') AS tgt,
+         ('0x' || substr(md5('5:' || doc_id), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id % 17 <> 5
+), ex AS (
+  SELECT source, inp, tgt,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM pool
+), blk AS (
+  SELECT source,
+         string_agg('Q: ' || inp || chr(10) || 'A: ' || tgt || chr(10) || chr(10),
+                    '' ORDER BY rn) AS block,
+         CAST(count(*) AS INT) AS n_shots
+  FROM ex WHERE rn <= 3 GROUP BY source
+)
+SELECT e.doc_id, e.source,
+       coalesce(b.block, '') || 'Q: ' || coalesce(e.text, '') || chr(10) || 'A:'
+         AS prompt,
+       coalesce(b.n_shots, 0) AS n_shots
+FROM documents e LEFT JOIN blk b USING (source)
+WHERE e.doc_id % 17 = 5
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5094,6 +5133,7 @@ QUERIES = {
     "pca_project": q_pca_project,
     "prefix_dedup": q_prefix_dedup,
     "length_batches": q_length_batches,
+    "fewshot_prompts": q_fewshot_prompts,
 }
 
 ORACLE_SQL = {
@@ -5203,4 +5243,5 @@ ORACLE_SQL = {
     "pca_project": SQL_PCA_PROJECT,
     "prefix_dedup": SQL_PREFIX_DEDUP,
     "length_batches": SQL_LENGTH_BATCHES,
+    "fewshot_prompts": SQL_FEWSHOT_PROMPTS,
 }

@@ -348,3 +348,91 @@ def preference_pairs(
             "margin",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Few-shot eval-prompt assembly
+# ---------------------------------------------------------------------------
+
+def fewshot_prompts(
+    eval_df: DataFrame,
+    pool_df: DataFrame,
+    k: int,
+    task_col: str = "source",
+    input_col: str = "text",
+    target_col: str = "lang",
+    id_col: str = "doc_id",
+    exemplar_template: tuple[str, str, str] = ("Q: ", "\nA: ", "\n\n"),
+    query_template: tuple[str, str] = ("Q: ", "\nA:"),
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "prompt",
+) -> DataFrame:
+    """Assemble k-shot evaluation prompts: for every ``eval_df`` row, the
+    prompt is a task-shared block of ``k`` exemplars drawn from
+    ``pool_df`` (the lm-eval-harness convention — one deterministic
+    exemplar block per task, so scores are comparable across rows and the
+    pool scan is paid once) followed by the row's own rendered query.
+
+    Exemplar selection is a seed-free hash order within each task
+    (:func:`mrmr_spark.operators.dedup.hash64` over ``id_col``, ties by
+    id — deterministic under any partitioning, and a different ``seed``
+    re-deals the block). Each exemplar renders as
+    ``pre + input + mid + target + sep``; the query as ``pre + input +
+    suf``. The pool must be disjoint from the eval set (the standard
+    train/validation split contract) — nothing excludes an eval row from
+    its own block.
+
+    Scale: the pool reduces to k rows per task (one window inside the
+    task partition), the block frame is #tasks rows and broadcast; the
+    eval side is one projection + that broadcast join. Output: eval
+    columns + ``n_shots`` + ``out_col``.
+    """
+    from pyspark.sql import Window
+
+    from mrmr_spark.operators.dedup import hash64
+
+    if k < 1:
+        raise ValueError(f"fewshot_prompts: k must be >= 1, got {k}")
+    pre, mid, sep = exemplar_template
+    qpre, qsuf = query_template
+    w = Window.partitionBy(task_col).orderBy(
+        hash64(F.col(id_col).cast("string"), seed=seed, hash_fn=hash_fn),
+        F.col(id_col),
+    )
+    ex = (
+        pool_df.select(
+            task_col,
+            id_col,
+            F.coalesce(F.col(input_col).cast("string"), F.lit("")).alias("_in"),
+            F.coalesce(F.col(target_col).cast("string"), F.lit("")).alias("_tg"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    shot = F.struct(F.col("_rn").alias("_rn"), F.col("_in").alias("_in"), F.col("_tg").alias("_tg"))
+    block = ex.groupBy(task_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(shot)),
+                lambda s: F.concat(
+                    F.lit(pre), s["_in"], F.lit(mid), s["_tg"], F.lit(sep)
+                ),
+            ),
+            "",
+        ).alias("_block"),
+        F.count(F.lit(1)).cast("int").alias("n_shots"),
+    )
+    q = F.concat(
+        F.col("_block"),
+        F.lit(qpre),
+        F.coalesce(F.col(input_col).cast("string"), F.lit("")),
+        F.lit(qsuf),
+    )
+    return (
+        eval_df.join(F.broadcast(block), task_col, "left")
+        .withColumn("_block", F.coalesce(F.col("_block"), F.lit("")))
+        .withColumn("n_shots", F.coalesce(F.col("n_shots"), F.lit(0)))
+        .withColumn(out_col, q)
+        .drop("_block")
+    )

@@ -463,3 +463,73 @@ def test_preference_pairs_compose_with_rendered_conversations(spark, convs):
     assert len(out) >= 1
     assert (out["margin"] > 0).all()
     assert (out["chosen_id"] != out["rejected_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# fewshot_prompts
+# ---------------------------------------------------------------------------
+
+def _md5_60(s: str, seed: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def fewshot_frames(spark):
+    pool = [(i, f"t{i % 3}", f"q{i}", f"a{i}") for i in range(30)]
+    ev = [(100 + i, f"t{i % 4}", f"e{i}", None) for i in range(8)]  # t3 not in pool
+    schema = "doc_id long, source string, text string, lang string"
+    return (
+        spark.createDataFrame(ev, schema).cache(),
+        spark.createDataFrame(pool, schema).cache(),
+        ev,
+        pool,
+    )
+
+
+def test_fewshot_matches_python_oracle(fewshot_frames):
+    from mrmr_spark.operators.chat import fewshot_prompts
+
+    ev_df, pool_df, ev, pool = fewshot_frames
+    k, seed = 3, 5
+    blocks = {}
+    for task in {p[1] for p in pool}:
+        rows = sorted(
+            (p for p in pool if p[1] == task),
+            key=lambda p: (_md5_60(str(p[0]), seed), p[0]),
+        )[:k]
+        blocks[task] = "".join(f"Q: {r[2]}\nA: {r[3]}\n\n" for r in rows)
+    out = fewshot_prompts(
+        ev_df, pool_df, k, seed=seed, hash_fn="md5_60"
+    ).toPandas().set_index("doc_id")
+    for doc_id, task, text, _ in ev:
+        r = out.loc[doc_id]
+        assert r["prompt"] == blocks.get(task, "") + f"Q: {text}\nA:"
+        assert r["n_shots"] == (k if task in blocks else 0)
+
+
+def test_fewshot_determinism_and_seed(fewshot_frames):
+    from mrmr_spark.operators.chat import fewshot_prompts
+
+    ev_df, pool_df, *_ = fewshot_frames
+    a = fewshot_prompts(ev_df, pool_df, 4, seed=1).toPandas().sort_values("doc_id")
+    b = (
+        fewshot_prompts(ev_df.repartition(5), pool_df.repartition(3), 4, seed=1)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a["prompt"].tolist() == b["prompt"].tolist()
+    c = fewshot_prompts(ev_df, pool_df, 4, seed=2).toPandas().sort_values("doc_id")
+    assert a["prompt"].tolist() != c["prompt"].tolist()
+
+
+def test_fewshot_small_pool_and_validation(fewshot_frames, spark):
+    from mrmr_spark.operators.chat import fewshot_prompts
+
+    ev_df, pool_df, *_ = fewshot_frames
+    out = fewshot_prompts(ev_df, pool_df, 50).toPandas()
+    assert set(out[out["source"] != "t3"]["n_shots"]) == {10}  # pool has 10/task
+    assert set(out[out["source"] == "t3"]["n_shots"]) == {0}
+    with pytest.raises(ValueError, match="k must be"):
+        fewshot_prompts(ev_df, pool_df, 0)
