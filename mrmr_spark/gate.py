@@ -5026,6 +5026,45 @@ WHERE e.doc_id % 17 = 5
 """
 
 
+def q_interleave_mix(spark, sf_dir):
+    """Weighted-fair-queueing source interleave over documents (src0 at 4x,
+    src3 at 2x, rest 1x) under the md5_60 family — the oracle re-derives
+    the ENTIRE stream order (every global position) from plain windows,
+    so rank-phase or key-arithmetic drift anywhere hash-mismatches."""
+    from mrmr_spark.operators.curation import interleave_sources
+
+    d = _t(spark, sf_dir, "documents")
+    pin: list = []
+    out = interleave_sources(
+        d, {"src0": 4.0, "src3": 2.0}, seed=0, hash_fn="md5_60", pin=pin
+    ).select("doc_id", "source", "global_pos")
+    res = out.toPandas()
+    for s in pin:
+        s.unpersist()
+    return spark.createDataFrame(res, "doc_id long, source string, global_pos long")
+
+
+SQL_INTERLEAVE_MIX = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS r
+  FROM h
+), k AS (
+  SELECT doc_id, source,
+         r / CASE source WHEN 'src0' THEN 4.0 WHEN 'src3' THEN 2.0 ELSE 1.0 END
+           AS key
+  FROM r
+)
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY key, source, doc_id) - 1 AS global_pos
+FROM k
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5134,6 +5173,7 @@ QUERIES = {
     "prefix_dedup": q_prefix_dedup,
     "length_batches": q_length_batches,
     "fewshot_prompts": q_fewshot_prompts,
+    "interleave_mix": q_interleave_mix,
 }
 
 ORACLE_SQL = {
@@ -5244,4 +5284,5 @@ ORACLE_SQL = {
     "prefix_dedup": SQL_PREFIX_DEDUP,
     "length_batches": SQL_LENGTH_BATCHES,
     "fewshot_prompts": SQL_FEWSHOT_PROMPTS,
+    "interleave_mix": SQL_INTERLEAVE_MIX,
 }

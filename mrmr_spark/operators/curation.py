@@ -2187,3 +2187,88 @@ def batch_padding_stats(
         .otherwise(F.lit(0.0))
         .alias("pad_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted source interleaving (training-stream order)
+# ---------------------------------------------------------------------------
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict | None = None,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    order_cols: list[str] | None = None,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    pos_col: str = "global_pos",
+    pin: list | None = None,
+) -> DataFrame:
+    """Assign every row its position in ONE deterministic training stream
+    that interleaves domains proportionally to ``weights`` — the ORDER
+    half of dataset mixing (:func:`temperature_sample` /
+    :func:`temperature_quotas` decide HOW MUCH of each domain;
+    this decides WHERE each row lands, so a loader reading shards
+    sequentially sees every domain at its target rate from step one
+    instead of domain-sized blocks).
+
+    Weighted-fair-queueing virtual finish times: row i of domain d (rank
+    r_d(i) under a seed-free hash order, or ``order_cols`` when given)
+    gets key (r_d(i)+1)/w_d; the stream is the global sort by
+    (key, domain, id). A domain with twice the weight appears twice as
+    often in every prefix (off by at most one per domain — the WFQ
+    bound). Domains missing from ``weights`` default to 1.0; ``None``
+    means round-robin.
+
+    Scale: the within-domain rank is :func:`~mrmr_spark.sources.shards.grouped_ranks`
+    (range-partitioned two-phase — NO per-domain window task, so a
+    90%-domain cannot straggle), the global position is
+    :func:`~mrmr_spark.sources.shards.sized_shards`'s exact rank under
+    the key. Two range exchanges total; both IEEE-double keys are
+    ANSI-SQL-reproducible (the gate oracles the whole stream order).
+    Output: input columns + ``pos_col`` (0-based).
+    """
+    from mrmr_spark.sources.shards import grouped_ranks, sized_shards
+
+    if weights is not None:
+        bad = {d: w for d, w in weights.items() if not (float(w) > 0)}
+        if bad:
+            raise ValueError(f"interleave_sources: weights must be > 0: {bad}")
+    if order_cols is None:
+        ordered = df.withColumn(
+            "_ord", hash64(F.col(id_col).cast("string"), seed=seed, hash_fn=hash_fn)
+        )
+        ocols = ["_ord"]
+    else:
+        ordered = df
+        ocols = list(order_cols)
+    ranks = grouped_ranks(
+        ordered, [domain_col], ocols, id_col=id_col, rank_col="_r", pin=pin
+    )
+    if weights:
+        dom = F.col(domain_col).cast("string")
+        w_expr = None
+        for d, w in sorted(weights.items()):
+            cond = dom == F.lit(str(d))
+            w_expr = (
+                F.when(cond, F.lit(float(w)))
+                if w_expr is None
+                else w_expr.when(cond, F.lit(float(w)))
+            )
+        w_expr = w_expr.otherwise(F.lit(1.0))
+    else:
+        w_expr = F.lit(1.0)
+    keyed = ranks.withColumn(
+        "_key", (F.col("_r") + 1).cast("double") / w_expr
+    )
+    out = sized_shards(
+        keyed,
+        rows_per_shard=1,
+        order_by=["_key", domain_col],
+        id_col=id_col,
+        shard_col="_sh",
+        rank_col=pos_col,
+        pin=pin,
+    )
+    drop = ["_sh", "_key", "_r"] + (["_ord"] if order_cols is None else [])
+    return out.drop(*drop)

@@ -162,3 +162,65 @@ def write_training_shards(
     for p in pin:
         p.unpersist()
     return out
+
+
+def grouped_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    pin: list | None = None,
+) -> DataFrame:
+    """Exact 0-based rank WITHIN each group under
+    ``(*order_cols, id_col)`` — the skew-safe replacement for a
+    ``row_number() OVER (PARTITION BY group ...)`` window when one group
+    can dominate the corpus (a plain window funnels that whole group
+    through a single task; at 100 TB one 90%-domain means one straggler
+    doing 90% of the work).
+
+    Same two-phase shape as :func:`sized_shards`, grouped: range-exchange
+    on ``(*group_cols, *order_cols, id_col)`` + local sort, pin the
+    ordinals, then per-(partition, group) counts (a tiny frame: at most
+    #partitions x #groups-touching-them rows) prefix-summed PER GROUP
+    into exclusive offsets and broadcast back. The in-partition group
+    start comes from a min-window bounded by one range partition. Every
+    window in the plan is either over the counts frame or inside a
+    single range partition — no single-task-per-group stage.
+    """
+    order = [F.col(c) for c in (*group_cols, *order_cols, id_col)]
+    ranged = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    ranged.count()
+    if pin is not None:
+        pin.append(ranged)
+
+    rid = F.shiftrightunsigned(F.col("_mid"), 33)
+    counts = ranged.groupBy(rid.alias("_rid"), *group_cols).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_rid",
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
+    )
+    # group start inside the range partition: bounded by the partition
+    gstart = F.min("_mid").over(Window.partitionBy(rid, *group_cols))
+    cond = [rid == F.col("_rid")] + [
+        F.col(c).eqNullSafe(F.col(f"_g_{c}")) for c in group_cols
+    ]
+    rn = F.col("_off") + (F.col("_mid") - F.col("_gs"))
+    return (
+        ranged.withColumn("_gs", gstart)
+        .join(F.broadcast(offsets), cond, "inner")
+        .select(*df.columns, rn.alias(rank_col))
+    )

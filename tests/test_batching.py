@@ -82,3 +82,117 @@ def test_validation(docs):
     df, _ = docs
     with pytest.raises(ValueError, match="batch_size"):
         batch_by_length(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# grouped_ranks + interleave_sources
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from mrmr_spark.operators.curation import interleave_sources
+from mrmr_spark.sources.shards import grouped_ranks
+
+
+def _md5_60(s: str, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def mix(spark):
+    rows = [(i, "a" if i % 10 < 7 else ("b" if i % 10 < 9 else "c")) for i in range(200)]
+    return (
+        spark.createDataFrame(rows, "doc_id long, source string").cache(),
+        rows,
+    )
+
+
+def test_grouped_ranks_matches_window(mix, spark):
+    df, rows = mix
+    pin = []
+    got = {
+        (r.doc_id): r.rank
+        for r in grouped_ranks(df, ["source"], ["doc_id"], rank_col="rank", pin=pin).collect()
+    }
+    exp = {}
+    for src in "abc":
+        for i, (doc, _) in enumerate(
+            sorted((r for r in rows if r[1] == src), key=lambda r: r[0])
+        ):
+            exp[doc] = i
+    assert got == exp
+    for s in pin:
+        s.unpersist()
+
+
+def test_grouped_ranks_skewed_partitioning(mix):
+    df, _ = mix
+    pin = []
+    a = grouped_ranks(df.repartition(1), ["source"], ["doc_id"], rank_col="r", pin=pin)
+    b = grouped_ranks(df.repartition(13), ["source"], ["doc_id"], rank_col="r", pin=pin)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    for s in pin:
+        s.unpersist()
+
+
+def _py_interleave(rows, weights, seed=0):
+    ranks = {}
+    for src in {r[1] for r in rows}:
+        grp = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (_md5_60(str(r[0]), seed), r[0]),
+        )
+        for i, (doc, _) in enumerate(grp):
+            ranks[doc] = i
+    keyed = sorted(
+        rows, key=lambda r: ((ranks[r[0]] + 1) / weights.get(r[1], 1.0), r[1], r[0])
+    )
+    return {doc: i for i, (doc, _) in enumerate(keyed)}
+
+
+def test_interleave_matches_python_oracle(mix):
+    df, rows = mix
+    pin = []
+    weights = {"a": 3.0, "b": 1.5}
+    out = interleave_sources(df, weights, seed=0, hash_fn="md5_60", pin=pin)
+    got = {r.doc_id: r.global_pos for r in out.collect()}
+    assert got == _py_interleave(rows, weights)
+    for s in pin:
+        s.unpersist()
+
+
+def test_interleave_prefix_rates(mix):
+    """WFQ guarantee: every prefix holds each domain at its weight share,
+    off by at most one row per domain."""
+    df, rows = mix
+    pin = []
+    weights = {"a": 2.0, "b": 2.0, "c": 1.0}
+    out = (
+        interleave_sources(df, weights, pin=pin)
+        .toPandas()
+        .sort_values("global_pos")
+        .reset_index(drop=True)
+    )
+    # while all domains still have rows, domain counts track weight shares
+    w = sum(weights.values())
+    for L in (5, 10, 25, 50):
+        head = out.head(L)["source"].value_counts()
+        for d, wd in weights.items():
+            assert abs(head.get(d, 0) - L * wd / w) <= 1.0 + wd
+    for s in pin:
+        s.unpersist()
+
+
+def test_interleave_round_robin_and_validation(mix):
+    df, rows = mix
+    pin = []
+    out = interleave_sources(df, None, pin=pin).toPandas().sort_values("global_pos")
+    # equal weights -> while every domain has rows left, each cycle of 3
+    # holds one row of each domain
+    head = out.head(30)
+    for i in range(0, 30, 3):
+        assert set(head.iloc[i : i + 3]["source"]) == {"a", "b", "c"}
+    with pytest.raises(ValueError, match="weights must be > 0"):
+        interleave_sources(df, {"a": 0.0})
+    for s in pin:
+        s.unpersist()

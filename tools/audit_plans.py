@@ -369,6 +369,32 @@ def main():
           "word-count agg (map-side combined) -> substring-seed agg for "
           "the vocab (collected, vocab-bounded) -> ONE memoized mapInPandas "
           "Viterbi stage over distinct words; the corpus never shuffles")
+    import mrmr_spark.operators.curation as cur
+
+    _pinb: list = []
+    audit("batch_by_length + batch_padding_stats (padded SFT batching)",
+          cur.batch_padding_stats(
+              cur.batch_by_length(
+                  spark.read.parquet(f"{SF}/documents.parquet"), 32,
+                  len_col="n_chars", pin=_pinb),
+              len_col="n_chars"),
+          "one range exchange for the exact global length rank (two-phase "
+          "offsets, no single-task window) + one map-side-combined batch agg")
+    _pini: list = []
+    audit("interleave_sources (WFQ training-stream order)",
+          cur.interleave_sources(
+              spark.read.parquet(f"{SF}/documents.parquet"),
+              {"src0": 4.0}, pin=_pini),
+          "two range exchanges (grouped within-domain rank, then the global "
+          "key rank); every window runs over a counts frame or inside one "
+          "range partition — a 90% domain cannot straggle")
+    for _s in (*_pinb, *_pini):
+        _s.unpersist()
+    audit("fewshot_prompts (k-shot eval-prompt assembly)",
+          gate.QUERIES["fewshot_prompts"](spark, SF),
+          "pool reduces to k rows/task inside one task-partitioned window; "
+          "the rendered block frame is #tasks rows and broadcast; eval side "
+          "is a projection + that broadcast join — no pool scan per eval row")
     audit("prefix_dedup (conversation prefix/retry dedup, verify on)",
           gate.QUERIES["prefix_dedup"](spark, SF),
           "one conversation-keyed window pass builds the 128-bit chains; "
