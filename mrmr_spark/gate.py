@@ -5065,6 +5065,89 @@ FROM k
 """
 
 
+def q_qa_scores(spark, sf_dir):
+    """SQuAD-style EM + token-F1 over constructed (pred, ref) pairs:
+    doc_id%3=0 exact, %3=1 the first 8 words (partial recall), %3=2 the
+    word-reversed text (EM 0 but F1 1 — the multiset-overlap check). The
+    oracle recomputes normalization, per-token multiset counts and the
+    no-answer conventions from unnest+GROUP BY."""
+    from mrmr_spark.operators.textstats import qa_scores
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ref = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.array_join(F.slice(toks, 1, 8), " "))
+        .otherwise(F.array_join(F.reverse(toks), " "))
+    )
+    pairs = d.select("doc_id", F.col("text").alias("pred"), ref.alias("ref"))
+    out = qa_scores(pairs)
+    return out.select(
+        "doc_id", "exact_match", "n_pred", "n_ref",
+        r6("precision").alias("precision"), r6("recall").alias("recall"),
+        r6("f1").alias("f1"),
+    )
+
+
+SQL_QA_SCORES = """
+WITH pairs AS (
+  SELECT doc_id, text AS pred,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(string_split(text, ' ')[1:8], ' ')
+              ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         END AS ref
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(coalesce(pred, '')), '[^a-z0-9 ]', ' ', 'g'),
+             '\\b(a|an|the)\\b', ' ', 'g'), ' +', ' ', 'g')) AS p,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(coalesce(ref, '')), '[^a-z0-9 ]', ' ', 'g'),
+             '\\b(a|an|the)\\b', ' ', 'g'), ' +', ' ', 'g')) AS r
+  FROM pairs
+), sz AS (
+  SELECT doc_id, p, r,
+         len(list_filter(string_split(p, ' '), x -> x <> '')) AS np,
+         len(list_filter(string_split(r, ' '), x -> x <> '')) AS nr
+  FROM n
+), pc AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_filter(string_split(p, ' '), x -> x <> '')) AS tok
+    FROM n
+  ) GROUP BY doc_id, tok
+), rc AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_filter(string_split(r, ' '), x -> x <> '')) AS tok
+    FROM n
+  ) GROUP BY doc_id, tok
+), com AS (
+  SELECT pc.doc_id, sum(least(pc.c, rc.c)) AS common
+  FROM pc JOIN rc ON pc.doc_id = rc.doc_id AND pc.tok = rc.tok
+  GROUP BY pc.doc_id
+), sc AS (
+  SELECT s.doc_id,
+         CAST(s.p = s.r AS INT) AS exact_match,
+         CAST(s.np AS INT) AS n_pred, CAST(s.nr AS INT) AS n_ref,
+         CASE WHEN s.np = 0 AND s.nr = 0 THEN 1.0
+              WHEN s.np > 0 THEN coalesce(c.common, 0)::DOUBLE / s.np
+              ELSE 0.0 END AS precision,
+         CASE WHEN s.np = 0 AND s.nr = 0 THEN 1.0
+              WHEN s.nr > 0 THEN coalesce(c.common, 0)::DOUBLE / s.nr
+              ELSE 0.0 END AS recall
+  FROM sz s LEFT JOIN com c ON c.doc_id = s.doc_id
+)
+SELECT doc_id, exact_match, n_pred, n_ref,
+       round(precision, 6) AS precision, round(recall, 6) AS recall,
+       round(CASE WHEN n_pred = 0 AND n_ref = 0 THEN 1.0
+                  WHEN precision + recall > 0
+                    THEN 2.0 * precision * recall / (precision + recall)
+                  ELSE 0.0 END, 6) AS f1
+FROM sc
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5174,6 +5257,7 @@ QUERIES = {
     "length_batches": q_length_batches,
     "fewshot_prompts": q_fewshot_prompts,
     "interleave_mix": q_interleave_mix,
+    "qa_scores": q_qa_scores,
 }
 
 ORACLE_SQL = {
@@ -5285,4 +5369,5 @@ ORACLE_SQL = {
     "length_batches": SQL_LENGTH_BATCHES,
     "fewshot_prompts": SQL_FEWSHOT_PROMPTS,
     "interleave_mix": SQL_INTERLEAVE_MIX,
+    "qa_scores": SQL_QA_SCORES,
 }

@@ -306,3 +306,78 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint64(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# QA / generation eval scoring (SQuAD-style EM + token F1)
+# ---------------------------------------------------------------------------
+
+def _qa_norm(col: Column) -> Column:
+    """SQuAD-style answer normalization, in the Java-regex ∩ RE2 portable
+    subset so ANSI SQL reproduces it: lowercase, punctuation -> space
+    (deviation from SQuAD's delete-punctuation: space-splitting never
+    glues neighboring words), article removal, whitespace collapse."""
+    c = F.lower(F.coalesce(col.cast("string"), F.lit("")))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, "\\b(a|an|the)\\b", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def _qa_toks(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def qa_scores(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-row exact-match and token-F1 between a prediction column and a
+    reference column — the SQuAD/generation eval reduction, as pure
+    Column expressions (zero shuffle, zero Python; composes with
+    streaming frames unchanged).
+
+    ``exact_match`` compares the normalized strings; token F1 is the
+    multiset-overlap harmonic mean: common = Σ_t min(cnt_pred(t),
+    cnt_ref(t)) over the prediction's distinct tokens (tokens absent
+    from the prediction contribute 0). The no-answer convention follows
+    SQuAD: both sides empty -> EM = F1 = 1; exactly one empty -> 0.
+    Appends ``exact_match, n_pred, n_ref, precision, recall, f1``.
+    """
+    norm = (
+        _qa_norm
+        if normalize
+        else (lambda c: F.coalesce(c.cast("string"), F.lit("")))
+    )
+    p, r = norm(F.col(pred_col)), norm(F.col(ref_col))
+    tp, tr = _qa_toks(p), _qa_toks(r)
+
+    def _cnt(arr: Column, t: Column) -> Column:
+        return F.size(F.filter(arr, lambda x: x == t))
+
+    common = F.aggregate(
+        F.array_distinct(tp),
+        F.lit(0),
+        lambda acc, t: acc + F.least(_cnt(tp, t), _cnt(tr, t)),
+    )
+    np_, nr_ = F.size(tp), F.size(tr)
+    both_empty = (np_ == 0) & (nr_ == 0)
+    prec = F.when(both_empty, F.lit(1.0)).when(
+        np_ > 0, common.cast("double") / np_
+    ).otherwise(F.lit(0.0))
+    rec = F.when(both_empty, F.lit(1.0)).when(
+        nr_ > 0, common.cast("double") / nr_
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(both_empty, F.lit(1.0)).when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        (p == r).cast("int").alias("exact_match"),
+        np_.cast("int").alias("n_pred"),
+        nr_.cast("int").alias("n_ref"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )
