@@ -5148,6 +5148,47 @@ FROM sc
 """
 
 
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k over synthetic per-problem sample counts derived
+    from documents (n = 20 + doc_id%30, c = n_chars%(n+1)); the oracle
+    re-derives the same left-folded product, so both the estimator math
+    and the c=0 / n-c<k conventions are value-checked row by row."""
+    from mrmr_spark.operators.textstats import pass_at_k
+
+    d = _t(spark, sf_dir, "documents")
+    n = (F.lit(20) + F.col("doc_id") % 30).cast("long")
+    probs = d.select(
+        "doc_id", n.alias("n_samples"),
+        (F.col("n_chars") % (n + 1)).cast("long").alias("n_correct"),
+    )
+    out = pass_at_k(probs, ks=(1, 5))
+    return out.select(
+        "doc_id", "n_samples", "n_correct",
+        r6("pass_at_1").alias("pass_at_1"), r6("pass_at_5").alias("pass_at_5"),
+    )
+
+
+def _passk_sql_term(k: int) -> str:
+    prod = " * ".join(f"((n - c - {i})::DOUBLE / (n - {i}))" for i in range(k))
+    return (
+        f"CASE WHEN c <= 0 THEN 0.0 WHEN n - c < {k} THEN 1.0 "
+        f"ELSE 1.0 - {prod} END"
+    )
+
+
+SQL_PASS_AT_K = f"""
+WITH p AS (
+  SELECT doc_id, 20 + doc_id % 30 AS n,
+         n_chars % (20 + doc_id % 30 + 1) AS c
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(c AS BIGINT) AS n_correct,
+       round({_passk_sql_term(1)}, 6) AS pass_at_1,
+       round({_passk_sql_term(5)}, 6) AS pass_at_5
+FROM p
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5258,6 +5299,7 @@ QUERIES = {
     "fewshot_prompts": q_fewshot_prompts,
     "interleave_mix": q_interleave_mix,
     "qa_scores": q_qa_scores,
+    "pass_at_k": q_pass_at_k,
 }
 
 ORACLE_SQL = {
@@ -5370,4 +5412,5 @@ ORACLE_SQL = {
     "fewshot_prompts": SQL_FEWSHOT_PROMPTS,
     "interleave_mix": SQL_INTERLEAVE_MIX,
     "qa_scores": SQL_QA_SCORES,
+    "pass_at_k": SQL_PASS_AT_K,
 }

@@ -381,3 +381,51 @@ def qa_scores(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    n_col: str = "n_samples",
+    c_col: str = "n_correct",
+    ks: tuple[int, ...] = (1, 10, 100),
+    prefix: str = "pass_at_",
+) -> DataFrame:
+    """Unbiased pass@k estimator per problem row (Chen et al. 2021,
+    HumanEval appendix): with n generated samples of which c are correct,
+    pass@k = 1 - C(n-c, k)/C(n, k), computed in the numerically stable
+    product form 1 - Π_{i=0..k-1} (n-c-i)/(n-i) — no factorials, exact
+    in f64 for any practical n, and the identical fold is ANSI-SQL
+    expressible (the gate oracles it). Conventions: c = 0 -> 0.0;
+    n - c < k -> 1.0 (every k-subset contains a correct sample); k > n
+    raises (the estimator is undefined).
+
+    Pure Column expressions — zero shuffle, zero Python; the per-problem
+    rows are typically a tiny frame (one per eval task), but the same
+    projection runs at any scale, e.g. per-(problem, model, epoch) grids.
+    """
+    n, c = F.col(n_col).cast("long"), F.col(c_col).cast("long")
+    out = df
+    for k in ks:
+        if k < 1:
+            raise ValueError(f"pass_at_k: k must be >= 1, got {k}")
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc * (n - c - i).cast("double") / (n - i).cast("double"),
+        )
+        val = (
+            F.when(
+                (n < k) | (c > n) | n.isNull() | c.isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"pass_at_k: need 0 <= n_correct <= n_samples and "
+                        f"k={k} <= n_samples (NULLs rejected)"
+                    )
+                ),
+            )
+            .when(c <= 0, F.lit(0.0))
+            .when(n - c < k, F.lit(1.0))
+            .otherwise(F.lit(1.0) - prod)
+        )
+        out = out.withColumn(f"{prefix}{k}", val)
+    return out

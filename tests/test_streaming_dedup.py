@@ -418,3 +418,52 @@ def test_tokenizer_embedding_stateless_on_streams(spark, doc_stream_dir):
     for col in ("bpe_tokens", "emb"):
         assert [list(x) for x in a[col]] == [list(x) for x in b[col]]
     assert list(a["n_bpe"]) == list(b["n_bpe"])
+
+
+def test_eval_and_pca_stateless_on_streams(spark, doc_stream_dir):
+    """qa_scores, pass_at_k and the pca_project column backend are
+    stateless projections — they run on a streaming frame unchanged and
+    replay-match the batch result (the live eval-scoring / embedding
+    reduction admission forms)."""
+    import numpy as np
+
+    from mrmr_spark.operators.pca import pca_project
+    from mrmr_spark.operators.textstats import pass_at_k, qa_scores
+
+    d, schema, pdf = doc_stream_dir
+    rng = np.random.default_rng(3)
+    W = rng.normal(size=(2, 4))
+    mu = rng.normal(size=4)
+
+    def chain(df):
+        out = df.withColumn("pred", F.col("text")).withColumn(
+            "ref", F.upper(F.col("text"))
+        )
+        out = qa_scores(out)
+        out = pass_at_k(
+            out.withColumn("n_samples", F.lit(20).cast("long")).withColumn(
+                "n_correct", (F.length("text") % 21).cast("long")
+            ),
+            ks=(1, 5),
+        )
+        emb = F.array(
+            *[(F.length("text") * (i + 1) % 7).cast("double") for i in range(4)]
+        )
+        proj = pca_project(
+            out.withColumn("embedding", emb),
+            mean=mu, components=W, backend="column", id_col="doc_id", out_col="pca",
+        )
+        return out.select("doc_id", "f1", "exact_match", "pass_at_5"), proj
+
+    s_main, s_proj = chain(_read_stream(spark, d, schema))
+    got = _run_stream(spark, s_main, "s_eval")
+    got_p = _run_stream(spark, s_proj, "s_eval_pca")
+    b_main, b_proj = chain(spark.createDataFrame(pdf.drop(columns=["slice"])))
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = b_main.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    ap = got_p.sort_values("doc_id").reset_index(drop=True)
+    bp = b_proj.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert [list(x) for x in ap["pca"]] == [list(x) for x in bp["pca"]]
+    # normalization makes pred == upper(pred): every row exact-matches
+    assert set(a["exact_match"]) == {1}
