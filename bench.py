@@ -281,6 +281,13 @@ def main():
         "bloom_membership",
         "preference_pairs",
         "unigram_segment",
+        "prefix_dedup",
+        "length_batches",
+        "interleave_mix",
+        "fewshot_prompts",
+        "qa_scores",
+        "pass_at_k",
+        "pca_project",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())
