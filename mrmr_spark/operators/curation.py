@@ -2160,10 +2160,16 @@ def batch_by_length(
         rows_per_shard=batch_size,
         order_by=["_len_ord"],
         id_col=id_col,
-        shard_col=batch_col,
+        shard_col="_sh_i32",
+        rank_col="_rk",
         pin=pin,
     )
-    return out.drop("_len_ord")
+    # batch ids stay BIGINT: 10^12 rows / batch 32 overflows the int shard
+    # column sized_shards emits (shard counts are bounded in practice;
+    # batch counts are not)
+    return out.withColumn(
+        batch_col, F.floor(F.col("_rk") / F.lit(int(batch_size))).cast("long")
+    ).drop("_len_ord", "_sh_i32", "_rk")
 
 
 def batch_padding_stats(

@@ -187,6 +187,14 @@ def grouped_ranks(
     start comes from a min-window bounded by one range partition. Every
     window in the plan is either over the counts frame or inside a
     single range partition — no single-task-per-group stage.
+
+    Cardinality contract: the broadcast counts frame is at most
+    #partitions x #groups-touching-them rows, and the range exchange on
+    ``(*group_cols, ...)`` clusters each group into few partitions, so
+    in practice it is O(#partitions + #groups). This operator targets
+    bounded-cardinality skew-prone groups (domains, languages, sources);
+    for millions of tiny groups a plain per-group window has no skew
+    problem and is the right tool.
     """
     order = [F.col(c) for c in (*group_cols, *order_cols, id_col)]
     ranged = (
