@@ -287,6 +287,9 @@ def main():
         "fewshot_prompts",
         "qa_scores",
         "pass_at_k",
+        "bleu_scores",
+        "rouge_l",
+        "bt_ratings",
         "pca_project",
     ]:
         fn = gate.QUERIES[name]

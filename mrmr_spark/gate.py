@@ -5189,6 +5189,382 @@ FROM p
 """
 
 
+def _bleu_pairs(spark, sf_dir):
+    """Shared (pred, ref) construction for the BLEU rows: pred = first 20
+    tokens; ref per doc_id%3 = identical / first-12 truncation (BP=1, low
+    precision) / reversed (unigram-perfect, higher orders collapse)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pred = F.array_join(F.slice(toks, 1, 20), " ")
+    ref = (
+        F.when(F.col("doc_id") % 3 == 0, pred)
+        .when(F.col("doc_id") % 3 == 1, F.array_join(F.slice(toks, 1, 12), " "))
+        .otherwise(F.array_join(F.reverse(F.slice(toks, 1, 20)), " "))
+    )
+    return d.select("doc_id", pred.alias("pred"), ref.alias("ref"))
+
+
+def q_bleu_scores(spark, sf_dir):
+    """Sentence BLEU-4 over constructed (pred, ref) pairs. The oracle
+    recomputes every clipped n-gram match count with list lambdas (the
+    same distinct-gram multiset-min the engine folds) plus the brevity
+    penalty and the repeated-sqrt geometric mean, so the value check
+    covers all 4 gram orders and the zero conventions row by row."""
+    from mrmr_spark.operators.evalmetrics import bleu_scores
+
+    out = bleu_scores(_bleu_pairs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_pred", "n_ref",
+        "match_1", "total_1", "match_2", "total_2",
+        "match_3", "total_3", "match_4", "total_4",
+        r6("brevity_penalty").alias("brevity_penalty"), r6("bleu").alias("bleu"),
+    )
+
+
+def _bleu_sql_grams(arr: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, len({arr}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({arr}, i, i + {n} - 1), ' '))"
+    )
+
+
+def _bleu_sql_terms() -> str:
+    """Per-order gram/match/total columns as chained CTE select items."""
+    parts = []
+    for n in range(1, 5):
+        cg, rg = _bleu_sql_grams("tp", n), _bleu_sql_grams("tr", n)
+        parts.append(
+            f"coalesce(list_sum(list_transform(list_distinct({cg}), g -> "
+            f"least(len(list_filter({cg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))), 0) AS m{n}, "
+            f"greatest(len(tp) - {n} + 1, 0) AS t{n}"
+        )
+    return ",\n         ".join(parts)
+
+
+_BLEU_SQL_PAIRS = """
+pairs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS pred,
+         CASE WHEN doc_id % 3 = 0
+                THEN array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+              WHEN doc_id % 3 = 1
+                THEN array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+              ELSE array_to_string(
+                     list_reverse(list_slice(string_split(text, ' '), 1, 20)), ' ')
+         END AS ref
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split(pred, ' '), x -> x <> '') AS tp,
+         list_filter(string_split(ref, ' '), x -> x <> '') AS tr
+  FROM pairs
+), m AS (
+  SELECT doc_id, len(tp) AS np, len(tr) AS nr,
+         {terms}
+  FROM tk
+)"""
+
+#: engine-mirroring BLEU final expressions: the exp brevity penalty and a
+#: left-assoc product of the four precisions under repeated sqrt (both
+#: mirror the engine's Column expression op for op)
+_BLEU_SQL_BP = """CASE WHEN np = 0 THEN 0.0 WHEN np >= nr THEN 1.0
+            ELSE exp(1.0 - nr::DOUBLE / np::DOUBLE) END"""
+
+_BLEU_SQL_BLEU = f"""CASE WHEN m1 > 0 AND t1 > 0 AND m2 > 0 AND t2 > 0
+                 AND m3 > 0 AND t3 > 0 AND m4 > 0 AND t4 > 0
+            THEN ({_BLEU_SQL_BP})
+                 * sqrt(sqrt(1.0 * (m1::DOUBLE / t1) * (m2::DOUBLE / t2)
+                                 * (m3::DOUBLE / t3) * (m4::DOUBLE / t4)))
+            ELSE 0.0 END"""
+
+SQL_BLEU_SCORES = f"""
+WITH {_BLEU_SQL_PAIRS.format(terms=_bleu_sql_terms())}
+SELECT doc_id, CAST(np AS INT) AS n_pred, CAST(nr AS INT) AS n_ref,
+       CAST(m1 AS INT) AS match_1, CAST(t1 AS INT) AS total_1,
+       CAST(m2 AS INT) AS match_2, CAST(t2 AS INT) AS total_2,
+       CAST(m3 AS INT) AS match_3, CAST(t3 AS INT) AS total_3,
+       CAST(m4 AS INT) AS match_4, CAST(t4 AS INT) AS total_4,
+       round({_BLEU_SQL_BP}, 6) AS brevity_penalty,
+       round({_BLEU_SQL_BLEU}, 6) AS bleu
+FROM m
+"""
+
+
+def q_corpus_bleu(spark, sf_dir):
+    """Corpus BLEU-4 over the same pairs: the integer match/total sums
+    are associative (partitioning-independent by construction) and the
+    oracle re-applies the identical one-shot formula to its own sums."""
+    from mrmr_spark.operators.evalmetrics import bleu_scores, corpus_bleu
+
+    out = corpus_bleu(bleu_scores(_bleu_pairs(spark, sf_dir)))
+    return out.select(
+        "n_pred", "n_ref",
+        "match_1", "total_1", "match_2", "total_2",
+        "match_3", "total_3", "match_4", "total_4",
+        r6("brevity_penalty").alias("brevity_penalty"), r6("bleu").alias("bleu"),
+    )
+
+
+SQL_CORPUS_BLEU = f"""
+WITH {_BLEU_SQL_PAIRS.format(terms=_bleu_sql_terms())}, agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS np, CAST(sum(nr) AS BIGINT) AS nr,
+         CAST(sum(m1) AS BIGINT) AS m1, CAST(sum(t1) AS BIGINT) AS t1,
+         CAST(sum(m2) AS BIGINT) AS m2, CAST(sum(t2) AS BIGINT) AS t2,
+         CAST(sum(m3) AS BIGINT) AS m3, CAST(sum(t3) AS BIGINT) AS t3,
+         CAST(sum(m4) AS BIGINT) AS m4, CAST(sum(t4) AS BIGINT) AS t4
+  FROM m
+)
+SELECT np AS n_pred, nr AS n_ref,
+       m1 AS match_1, t1 AS total_1, m2 AS match_2, t2 AS total_2,
+       m3 AS match_3, t3 AS total_3, m4 AS match_4, t4 AS total_4,
+       round({_BLEU_SQL_BP}, 6) AS brevity_penalty,
+       round({_BLEU_SQL_BLEU}, 6) AS bleu
+FROM agg
+"""
+
+
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L on the default Arrow backend (pred = first 12 tokens, ref
+    = a 4-token rotation, doc_id%7 subset) against a recursive-CTE oracle
+    that runs the SAME prefix-max LCS recurrence the pure-Column twin
+    folds — so the row is both a DP value check and backend-equivalence
+    evidence (column ≡ arrow is pytest-parametrized on top)."""
+    from mrmr_spark.operators.evalmetrics import rouge_l_scores
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = F.split(F.col("text"), " ")
+    pred = F.array_join(F.slice(toks, 1, 12), " ")
+    ref = F.array_join(F.concat(F.slice(toks, 5, 8), F.slice(toks, 1, 4)), " ")
+    pairs = d.select("doc_id", pred.alias("pred"), ref.alias("ref"))
+    out = rouge_l_scores(pairs)
+    return out.select(
+        "doc_id", "lcs", "n_pred", "n_ref",
+        r6("rouge_l_precision").alias("rouge_l_precision"),
+        r6("rouge_l_recall").alias("rouge_l_recall"),
+        r6("rouge_l_f").alias("rouge_l_f"),
+    )
+
+
+SQL_ROUGE_L = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         list_slice(string_split(text, ' '), 1, 12) AS tp,
+         list_concat(list_slice(string_split(text, ' '), 5, 12),
+                     list_slice(string_split(text, ' '), 1, 4)) AS tr
+  FROM documents WHERE doc_id % 7 = 0
+), sz AS (
+  SELECT doc_id, tp, tr, len(tp) AS np, len(tr) AS nr FROM base
+), dp AS (
+  SELECT doc_id, tp, tr, np, nr, 0 AS i,
+         list_transform(range(0, nr + 1), x -> 0) AS d
+  FROM sz
+  UNION ALL
+  SELECT doc_id, tp, tr, np, nr, i + 1,
+         list_prepend(0, list_transform(range(1, nr + 1), j ->
+             greatest(
+               list_extract(d, j + 1),
+               list_max(list_transform(range(1, j + 1), k ->
+                 list_extract(d, k)
+                 + CASE WHEN list_extract(tr, k) = list_extract(tp, i + 1)
+                        THEN 1 ELSE 0 END)))))
+  FROM dp WHERE i < np
+), fin AS (
+  SELECT doc_id, np, nr,
+         coalesce(list_extract(d, nr + 1), 0) AS lcs
+  FROM dp WHERE i = np
+)
+SELECT doc_id, CAST(lcs AS INT) AS lcs,
+       CAST(np AS INT) AS n_pred, CAST(nr AS INT) AS n_ref,
+       round(CASE WHEN np > 0 THEN lcs::DOUBLE / np ELSE 0.0 END, 6)
+         AS rouge_l_precision,
+       round(CASE WHEN nr > 0 THEN lcs::DOUBLE / nr ELSE 0.0 END, 6)
+         AS rouge_l_recall,
+       round(CASE WHEN (CASE WHEN nr > 0 THEN lcs::DOUBLE / nr ELSE 0.0 END)
+                     + (CASE WHEN np > 0 THEN lcs::DOUBLE / np ELSE 0.0 END) > 0
+                  THEN 2.0 * (CASE WHEN np > 0 THEN lcs::DOUBLE / np ELSE 0.0 END)
+                           * (CASE WHEN nr > 0 THEN lcs::DOUBLE / nr ELSE 0.0 END)
+                       / ((CASE WHEN nr > 0 THEN lcs::DOUBLE / nr ELSE 0.0 END)
+                          + (CASE WHEN np > 0 THEN lcs::DOUBLE / np ELSE 0.0 END))
+                  ELSE 0.0 END, 6) AS rouge_l_f
+FROM fin
+"""
+
+
+def q_bt_ratings(spark, sf_dir):
+    """Bradley-Terry MM fit over a constructed 20-item comparison set
+    (source vs a derived opponent, winner by n_chars parity). The oracle
+    unrolls ALL 15 MM iterations as CTEs with the same 1e-12-quantized
+    integer-summed denominators, so every float step of the driver loop
+    is value-checked — rating drift at any iteration hash-mismatches."""
+    from mrmr_spark.operators.evalmetrics import bradley_terry
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.col("source")
+    b = F.concat(F.lit("src"), ((F.col("doc_id") * 7 + 3) % 20).cast("string"))
+    cmp = d.where(a != b).select(
+        F.when(F.col("n_chars") % 2 == 0, a).otherwise(b).alias("winner"),
+        F.when(F.col("n_chars") % 2 == 0, b).otherwise(a).alias("loser"),
+    )
+    out = bradley_terry(cmp, iters=15, prior=0.5)
+    return out.select("item", "wins", "games", r6("rating").alias("rating"))
+
+
+def _bt_sql_iter(t: int) -> str:
+    # MATERIALIZED: each iteration joins the previous one TWICE — default
+    # CTE inlining would expand the base scan 2^15 times (fd exhaustion)
+    return f"""it{t} AS MATERIALIZED (
+  SELECT w.item,
+         least(greatest(
+           floor((w.wins + 0.5) / (d.den / 1e12) * 1e12 + 0.5) / 1e12,
+           1e-6), 1e6) AS th
+  FROM witems w JOIN (
+    SELECT p.item,
+           CAST(SUM(CAST(floor(p.n / (ta.th + tb.th) * 1e12 + 0.5) AS HUGEINT))
+                + CAST(floor(2 * 0.5 / (min(ta.th) + 1) * 1e12 + 0.5) AS HUGEINT)
+             AS DOUBLE) AS den
+    FROM pairn p
+    JOIN it{t - 1} ta ON ta.item = p.item
+    JOIN it{t - 1} tb ON tb.item = p.opp
+    GROUP BY p.item
+  ) d ON d.item = w.item
+)"""
+
+
+SQL_BT_RATINGS = f"""
+WITH cmp AS MATERIALIZED (
+  SELECT CASE WHEN n_chars % 2 = 0 THEN source ELSE cand END AS w,
+         CASE WHEN n_chars % 2 = 0 THEN cand ELSE source END AS l
+  FROM (SELECT doc_id, source, n_chars,
+               'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS cand
+        FROM documents)
+  WHERE source <> cand
+), sym AS MATERIALIZED (
+  SELECT w AS item, l AS opp FROM cmp UNION ALL SELECT l, w FROM cmp
+), pairn AS MATERIALIZED (
+  SELECT item, opp, count(*)::DOUBLE AS n FROM sym GROUP BY 1, 2
+), witems AS MATERIALIZED (
+  SELECT s.item, coalesce(wn.wins, 0) AS wins, g.games
+  FROM (SELECT DISTINCT item FROM sym) s
+  LEFT JOIN (SELECT w AS item, count(*) AS wins FROM cmp GROUP BY 1) wn
+    USING (item)
+  JOIN (SELECT item, count(*) AS games FROM sym GROUP BY 1) g USING (item)
+), it0 AS MATERIALIZED (
+  SELECT item, CAST(1.0 AS DOUBLE) AS th FROM witems
+), {', '.join(_bt_sql_iter(t) for t in range(1, 16))}
+SELECT w.item, CAST(w.wins AS BIGINT) AS wins, CAST(w.games AS BIGINT) AS games,
+       round(t.th, 6) AS rating
+FROM witems w JOIN it15 t USING (item)
+"""
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over events as an annotation frame (item = user_id
+    bucket, label = event_type): the oracle re-derives per-item pairwise
+    agreement, the retained-item marginals and both DECIMAL-summed means
+    independently."""
+    from mrmr_spark.operators.evalmetrics import fleiss_kappa
+
+    ev = _events(spark, sf_dir)
+    rat = ev.select(
+        (F.col("user_id") % 40).alias("item"), F.col("event_type").alias("label")
+    )
+    out = fleiss_kappa(rat)
+    return out.select(
+        "n_items", "n_ratings",
+        r6("p_bar").alias("p_bar"), r6("p_e").alias("p_e"),
+        r6("kappa").alias("kappa"),
+    )
+
+
+SQL_FLEISS_KAPPA = """
+WITH cnt AS (
+  SELECT user_id % 40 AS i, event_type AS l, count(*) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT i, sum(c) AS n_i, sum(c * (c - 1)) AS s_i
+  FROM cnt GROUP BY 1 HAVING sum(c) >= 2
+), it AS (
+  SELECT count(*) AS n_items, sum(n_i) AS n_ratings,
+         sum(CAST(s_i::DOUBLE / (n_i::DOUBLE * (n_i - 1)::DOUBLE)
+                  AS DECIMAL(28,12))) AS p_sum
+  FROM per
+), mg AS (
+  SELECT l, sum(c) AS t_l FROM cnt JOIN per USING (i) GROUP BY l
+), tot AS (
+  SELECT sum(t_l) AS n FROM mg
+), pe AS (
+  SELECT CAST(sum(CAST((t_l::DOUBLE / n::DOUBLE) * (t_l::DOUBLE / n::DOUBLE)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS p_e
+  FROM mg, tot
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, CAST(n_ratings AS BIGINT) AS n_ratings,
+       round(CAST(p_sum AS DOUBLE) / n_items::DOUBLE, 6) AS p_bar,
+       round(p_e, 6) AS p_e,
+       round(CASE WHEN p_e < 1.0
+                  THEN (CAST(p_sum AS DOUBLE) / n_items::DOUBLE - p_e)
+                       / (1.0 - p_e) END, 6) AS kappa
+FROM it, pe
+"""
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between event_type and a derived second rater
+    (agrees on event_id%3=0, else a deterministic label swap) — the
+    oracle recomputes the exact P_o ratio and the DECIMAL-summed P_e."""
+    from mrmr_spark.operators.evalmetrics import cohens_kappa
+
+    ev = _events(spark, sf_dir)
+    swap = (
+        F.when(F.col("event_type") == "click", F.lit("view"))
+        .when(F.col("event_type") == "view", F.lit("click"))
+        .otherwise(F.lit("error"))
+    )
+    b = F.when(F.col("event_id") % 3 == 0, F.col("event_type")).otherwise(swap)
+    pairs = ev.select(F.col("event_type").alias("label_a"), b.alias("label_b"))
+    out = cohens_kappa(pairs)
+    return out.select(
+        "n", "agree",
+        r6("p_o").alias("p_o"), r6("p_e").alias("p_e"),
+        r6("kappa").alias("kappa"),
+    )
+
+
+SQL_COHENS_KAPPA = """
+WITH base AS (
+  SELECT event_type AS a,
+         CASE WHEN event_id % 3 = 0 THEN event_type
+              ELSE CASE WHEN event_type = 'click' THEN 'view'
+                        WHEN event_type = 'view' THEN 'click'
+                        ELSE 'error' END
+         END AS b
+  FROM events
+), tot AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM base
+), ma AS (
+  SELECT a AS l, count(*) AS ca FROM base GROUP BY 1
+), mb AS (
+  SELECT b AS l, count(*) AS cb FROM base GROUP BY 1
+), mg AS (
+  SELECT coalesce(ma.ca, 0) AS ca, coalesce(mb.cb, 0) AS cb
+  FROM ma FULL OUTER JOIN mb USING (l)
+), pe AS (
+  SELECT CAST(sum(CAST(ca::DOUBLE / n::DOUBLE * (cb::DOUBLE / n::DOUBLE)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS p_e
+  FROM mg, tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       round(agree::DOUBLE / n::DOUBLE, 6) AS p_o,
+       round(p_e, 6) AS p_e,
+       round(CASE WHEN p_e < 1.0
+                  THEN (agree::DOUBLE / n::DOUBLE - p_e) / (1.0 - p_e) END, 6)
+         AS kappa
+FROM tot, pe
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5300,6 +5676,12 @@ QUERIES = {
     "interleave_mix": q_interleave_mix,
     "qa_scores": q_qa_scores,
     "pass_at_k": q_pass_at_k,
+    "bleu_scores": q_bleu_scores,
+    "corpus_bleu": q_corpus_bleu,
+    "rouge_l": q_rouge_l,
+    "bt_ratings": q_bt_ratings,
+    "fleiss_kappa": q_fleiss_kappa,
+    "cohens_kappa": q_cohens_kappa,
 }
 
 ORACLE_SQL = {
@@ -5413,4 +5795,10 @@ ORACLE_SQL = {
     "interleave_mix": SQL_INTERLEAVE_MIX,
     "qa_scores": SQL_QA_SCORES,
     "pass_at_k": SQL_PASS_AT_K,
+    "bleu_scores": SQL_BLEU_SCORES,
+    "corpus_bleu": SQL_CORPUS_BLEU,
+    "rouge_l": SQL_ROUGE_L,
+    "bt_ratings": SQL_BT_RATINGS,
+    "fleiss_kappa": SQL_FLEISS_KAPPA,
+    "cohens_kappa": SQL_COHENS_KAPPA,
 }

@@ -1,0 +1,535 @@
+"""Generation-eval metrics + preference analytics: BLEU, ROUGE-L,
+Bradley-Terry ratings, inter-annotator agreement.
+
+Completes the eval-harness layer next to ``textstats.qa_scores`` /
+``textstats.pass_at_k`` and ``chat.preference_pairs``:
+
+- :func:`bleu_scores` / :func:`corpus_bleu` — Papineni et al. 2002
+  modified-n-gram-precision BLEU, sentence- and corpus-level, as pure
+  Column expressions (zero shuffle, zero Python — composes with
+  streaming frames unchanged).
+- :func:`rouge_l_scores` — Lin 2004 ROUGE-L over an LCS computed with a
+  prefix-max reformulation of the classic DP (no within-row sequential
+  dependency), with an Arrow default backend and a bit-identical pure
+  Column twin that an ANSI recursive CTE mirrors step for step.
+- :func:`bradley_terry` — Bradley-Terry 1952 strength fitting over
+  pairwise preference outcomes via Hunter 2004 MM updates: the pair
+  statistics are ONE distributed aggregation (shuffle ∝ distinct pairs,
+  never rows), the bounded item table iterates on the driver like
+  ``tokenizer.bpe_train``'s merge loop, and every float step is written
+  to be engine-mirrorable (term-quantized integer sums) so the gate
+  oracle re-derives the full iteration in SQL.
+- :func:`fleiss_kappa` / :func:`cohens_kappa` — annotation-QA agreement
+  statistics with DECIMAL(28,12)-summed terms (the ``ngram_lm_score``
+  pattern) so results are partitioning-independent bit for bit.
+
+Scale notes (100 TB): the per-row metrics are projections — they ride
+whatever partitioning the eval frame already has. Bradley-Terry's
+distributed work is bounded by the distinct (item, item) comparison
+graph (models/policies/annotators — thousands, not corpus-sized); the
+caps raise explicit errors rather than letting a mis-keyed join ship a
+corpus to the driver. The kappas are two-stage aggregations whose
+second stage is O(#items + #labels).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bleu_scores",
+    "corpus_bleu",
+    "rouge_l_scores",
+    "lcs_length",
+    "bradley_terry",
+    "fleiss_kappa",
+    "cohens_kappa",
+]
+
+#: separator used to join tokens into n-gram keys; tokens come from a
+#: whitespace split so they can never contain it; gram keys stay unambiguous
+_GRAM_SEP = " "
+
+def _empty_int_arr() -> Column:
+    return F.array().cast("array<int>")
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of a string column; NULL -> [] (empty text)."""
+    return F.filter(
+        F.split(F.coalesce(col.cast("string"), F.lit("")), "\\s+"),
+        lambda t: t != "",
+    )
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Order-n gram strings of a token array (empty when len < n)."""
+    if n == 1:
+        return toks
+    cnt = F.size(toks) - (n - 1)
+    # sequence(1, cnt) DESCENDS when cnt < 1 — guard to an empty array
+    seq = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(_empty_int_arr())
+    return F.transform(seq, lambda i: F.array_join(F.slice(toks, i, n), _GRAM_SEP))
+
+
+def _clipped_matches(cand: Column, ref: Column) -> Column:
+    """Σ_g min(count_cand(g), count_ref(g)) over the candidate's distinct
+    grams — the modified (clipped) n-gram match count."""
+
+    def _cnt(arr: Column, g: Column) -> Column:
+        return F.size(F.filter(arr, lambda x: x == g))
+
+    return F.aggregate(
+        F.array_distinct(cand),
+        F.lit(0),
+        lambda acc, g: acc + F.least(_cnt(cand, g), _cnt(ref, g)),
+    )
+
+
+def _geo_mean(prod: Column, max_n: int) -> Column:
+    """(Π p_n)^(1/max_n). For max_n in {1, 2, 4} this is repeated sqrt —
+    IEEE-754 requires sqrt to be correctly rounded, so JVM and any other
+    engine agree bit for bit; pow(x, 1/3.0) etc. is libm-dependent."""
+    if max_n == 1:
+        return prod
+    if max_n == 2:
+        return F.sqrt(prod)
+    if max_n == 4:
+        return F.sqrt(F.sqrt(prod))
+    return F.pow(prod, F.lit(1.0 / max_n))
+
+
+def bleu_scores(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-row sentence BLEU (Papineni et al. 2002) between a candidate
+    and a single reference, as pure Column expressions — zero shuffle,
+    zero Python (plan-asserted in tests; runs on streaming frames
+    unchanged).
+
+    Tokenization is whitespace splitting (BLEU assumes pre-tokenized
+    text); NULL reads as empty. For each n ≤ ``max_n`` the clipped match
+    count Σ_g min(cnt_cand(g), cnt_ref(g)) and the candidate gram total
+    are emitted (``match_n`` / ``total_n`` — exact ints, which is what
+    makes :func:`corpus_bleu` a deterministic sum), plus:
+
+    - ``brevity_penalty`` = 1 if len_pred >= len_ref else
+      exp(1 - len_ref/len_pred) (0 when the candidate is empty);
+    - ``bleu`` = BP · (Π_n p_n)^(1/max_n) with p_n = match_n/total_n,
+      and 0 whenever any match_n or total_n is 0 (the unsmoothed
+      convention; sentence-level smoothing variants belong to the
+      caller, corpus BLEU rarely needs them).
+
+    The geometric mean is computed by repeated ``sqrt`` when max_n is a
+    power of two ≤ 4 (correctly rounded per IEEE-754 in every engine),
+    keeping the value reproducible bit for bit outside the one ``exp``
+    in the brevity penalty.
+    """
+    if max_n < 1:
+        raise ValueError(f"bleu_scores: max_n must be >= 1, got {max_n}")
+    tp = _ws_tokens(F.col(pred_col))
+    tr = _ws_tokens(F.col(ref_col))
+    np_, nr_ = F.size(tp), F.size(tr)
+
+    cols: list[Column] = [
+        np_.cast("int").alias("n_pred"),
+        nr_.cast("int").alias("n_ref"),
+    ]
+    prod = F.lit(1.0)
+    nonzero = F.lit(True)
+    for n in range(1, max_n + 1):
+        cg, rg = _grams(tp, n), _grams(tr, n)
+        m = _clipped_matches(cg, rg)
+        t = F.size(cg)
+        cols.append(m.cast("int").alias(f"match_{n}"))
+        cols.append(t.cast("int").alias(f"total_{n}"))
+        nonzero = nonzero & (m > 0) & (t > 0)
+        prod = prod * (m.cast("double") / F.when(t > 0, t).otherwise(1))
+    bp = (
+        F.when(np_ == 0, F.lit(0.0))
+        .when(np_ >= nr_, F.lit(1.0))
+        .otherwise(F.exp(F.lit(1.0) - nr_.cast("double") / np_.cast("double")))
+    )
+    bleu = F.when(nonzero, bp * _geo_mean(prod, max_n)).otherwise(F.lit(0.0))
+    cols.append(bp.alias("brevity_penalty"))
+    cols.append(bleu.alias("bleu"))
+    return df.select("*", *cols)
+
+
+def corpus_bleu(scored: DataFrame, max_n: int = 4) -> DataFrame:
+    """Corpus-level BLEU from a :func:`bleu_scores` output frame: sums the
+    integer ``match_n`` / ``total_n`` / length columns (associative —
+    partitioning-independent) and applies the same BP · geometric-mean
+    formula once. Returns one row: ``n_pred, n_ref, match_1..N,
+    total_1..N, brevity_penalty, bleu``."""
+    aggs = [
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_ref").alias("n_ref"),
+    ]
+    for n in range(1, max_n + 1):
+        aggs.append(F.sum(f"match_{n}").alias(f"match_{n}"))
+        aggs.append(F.sum(f"total_{n}").alias(f"total_{n}"))
+    out = scored.agg(*aggs)
+    np_, nr_ = F.col("n_pred"), F.col("n_ref")
+    prod = F.lit(1.0)
+    nonzero = F.lit(True)
+    for n in range(1, max_n + 1):
+        m, t = F.col(f"match_{n}"), F.col(f"total_{n}")
+        nonzero = nonzero & (m > 0) & (t > 0)
+        prod = prod * (m.cast("double") / F.when(t > 0, t).otherwise(1))
+    bp = (
+        F.when(np_ == 0, F.lit(0.0))
+        .when(np_ >= nr_, F.lit(1.0))
+        .otherwise(F.exp(F.lit(1.0) - nr_.cast("double") / np_.cast("double")))
+    )
+    bleu = F.when(nonzero, bp * _geo_mean(prod, max_n)).otherwise(F.lit(0.0))
+    return out.select("*", bp.alias("brevity_penalty"), bleu.alias("bleu"))
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (LCS)
+# ---------------------------------------------------------------------------
+
+def lcs_length(pred_toks: Column, ref_toks: Column) -> Column:
+    """Longest-common-subsequence length of two token arrays as a pure
+    Column expression (zero Python).
+
+    Uses the prefix-max reformulation of the LCS row update: with rows
+    nondecreasing in j, dp_new[j] = max(dp_prev[j], dp_new[j-1],
+    dp_prev[j-1] + match_j) unrolls to
+
+        dp_new[j] = max(dp_prev[j], max_{k<=j}(dp_prev[k-1] + match_k))
+
+    which has NO dependency on dp_new — each row is a transform +
+    sliced array_max instead of a sequential fold, so the whole DP is
+    one ``aggregate`` over the candidate tokens carrying the dp row as
+    the accumulator, and an ANSI recursive CTE can mirror it exactly
+    (the gate oracle does). O(np·nr²) interpreted — use the Arrow
+    backend of :func:`rouge_l_scores` for long texts; this form is the
+    SQL-reproducible reference."""
+    nr = F.size(ref_toks)
+    seq_j = F.when(nr >= 1, F.sequence(F.lit(1), nr)).otherwise(_empty_int_arr())
+    init = F.transform(F.sequence(F.lit(0), nr), lambda _: F.lit(0))
+
+    def _step(dp: Column, tok: Column) -> Column:
+        # ms[k] = dp_prev[k-1] + match_k (1-indexed arrays: dp[k] IS dp_{k-1})
+        ms = F.transform(
+            seq_j,
+            lambda k: F.element_at(dp, k)
+            + F.when(F.element_at(ref_toks, k) == tok, 1).otherwise(0),
+        )
+        tail = F.transform(
+            seq_j,
+            lambda j: F.greatest(
+                F.element_at(dp, j + 1), F.array_max(F.slice(ms, 1, j))
+            ),
+        )
+        return F.concat(F.array(F.lit(0)), tail)
+
+    return F.element_at(F.aggregate(pred_toks, init, _step), -1)
+
+
+def _lcs_arrow(pred_col: Column, ref_col: Column) -> Column:
+    """Arrow-vectorized LCS over token arrays: the identical prefix-max
+    recurrence with numpy (maximum.accumulate per candidate token) —
+    O(np·nr) per row, one Arrow batch exchange, bit-identical to
+    :func:`lcs_length` (tested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _lcs(preds, refs):
+        out = []
+        for p, r in zip(preds, refs):
+            p = [] if p is None else list(p)
+            r = [] if r is None else list(r)
+            if not p or not r:
+                out.append(0)
+                continue
+            ra = np.asarray(r, dtype=object)
+            dp = np.zeros(len(r) + 1, dtype=np.int64)
+            for tok in p:
+                m = dp[:-1] + (ra == tok)
+                new = dp.copy()
+                new[1:] = np.maximum(dp[1:], np.maximum.accumulate(m))
+                dp = new
+            out.append(int(dp[-1]))
+        return pd.Series(out)
+
+    return _lcs(pred_col, ref_col)
+
+
+def rouge_l_scores(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    beta: float = 1.0,
+    backend: str = "arrow",
+) -> DataFrame:
+    """Per-row ROUGE-L (Lin 2004): LCS-based precision/recall/F between
+    a candidate and a reference (whitespace tokens, NULL reads empty).
+
+    Appends ``lcs, n_pred, n_ref, rouge_l_precision, rouge_l_recall,
+    rouge_l_f`` with P = LCS/len_pred, R = LCS/len_ref, and
+    F = (1+β²)PR / (R + β²P); an empty side yields all zeros.
+
+    ``backend="arrow"`` (default) runs the numpy DP — O(np·nr) per row
+    through one Arrow exchange, the right cost for real eval texts.
+    ``backend="column"`` is the bit-identical zero-Python twin
+    (:func:`lcs_length`): O(np·nr²) interpreted, but expressible in
+    ANSI SQL — it is the form the gate's recursive-CTE oracle mirrors,
+    and the equality of the two backends is pytest-parametrized.
+    """
+    if backend not in ("arrow", "column"):
+        raise ValueError(f"rouge_l_scores: unknown backend {backend!r}")
+    tp = _ws_tokens(F.col(pred_col))
+    tr = _ws_tokens(F.col(ref_col))
+    lcs = lcs_length(tp, tr) if backend == "column" else _lcs_arrow(tp, tr)
+    np_, nr_ = F.size(tp), F.size(tr)
+    lc = lcs.cast("double")
+    prec = F.when(np_ > 0, lc / np_).otherwise(F.lit(0.0))
+    rec = F.when(nr_ > 0, lc / nr_).otherwise(F.lit(0.0))
+    b2 = beta * beta
+    denom = rec + b2 * prec
+    fm = F.when(denom > 0, (1.0 + b2) * prec * rec / denom).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        lcs.cast("int").alias("lcs"),
+        np_.cast("int").alias("n_pred"),
+        nr_.cast("int").alias("n_ref"),
+        prec.alias("rouge_l_precision"),
+        rec.alias("rouge_l_recall"),
+        fm.alias("rouge_l_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference ratings
+# ---------------------------------------------------------------------------
+
+def _bt_round12(x: float) -> float:
+    """floor(x·1e12 + 0.5)/1e12 — half-up quantization written so SQL's
+    ``floor`` reproduces it exactly (library round() families differ:
+    Python rounds half to even, most SQL engines half away from zero)."""
+    return math.floor(x * 1e12 + 0.5) / 1e12
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 15,
+    prior: float = 0.5,
+    max_items: int = 200_000,
+    max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Fit Bradley-Terry strengths θ from pairwise preference outcomes
+    (one row per comparison: ``winner_col`` beat ``loser_col``) — the
+    standard aggregation from DPO/RLHF preference data or eval
+    head-to-heads to a model leaderboard.
+
+    Distributed part: ONE aggregation to the per-ordered-pair win-count
+    table (shuffle ∝ distinct pairs — items are models/policies/
+    annotators, bounded by ``max_items``/``max_pairs`` with explicit
+    errors, never corpus-sized). Driver part: Hunter 2004 MM updates
+
+        θ_i ← (W_i + prior) / (Σ_j n_ij/(θ_i + θ_j) + 2·prior/(θ_i + 1))
+
+    where the prior terms are ``prior`` virtual wins and losses against
+    a fixed ghost opponent of strength 1 — this anchors the scale (no
+    renormalization step) and keeps the MM well-defined for undefeated
+    or winless items. Every iteration quantizes each denominator term to
+    an integer number of 1e-12 units and sums exactly (integer
+    arithmetic), then quantizes θ to 1e-12 and clamps to [1e-6, 1e6]:
+    the whole fit is reproducible bit for bit in any engine with IEEE
+    doubles + exact integer sums, which is how the gate's SQL oracle
+    re-derives all ``iters`` iterations as CTEs.
+
+    Returns one row per item: ``item (string), wins, games, rating``,
+    with θ on the ghost-anchored scale (θ > 1: better than even odds
+    against the ghost).
+    """
+    if iters < 1:
+        raise ValueError(f"bradley_terry: iters must be >= 1, got {iters}")
+    if not (prior > 0):
+        raise ValueError(
+            f"bradley_terry: prior must be > 0 (the ghost anchor), got {prior}"
+        )
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    counts = (
+        df.select(w.alias("_w"), l.alias("_l"))
+        .groupBy("_w", "_l")
+        .count()
+        .limit(max_pairs + 1)
+        .collect()
+    )
+    if len(counts) > max_pairs:
+        raise ValueError(
+            f"bradley_terry: > {max_pairs} distinct ordered pairs — the item "
+            "domain is not bounded; raise max_pairs only if the driver can "
+            "hold the comparison graph"
+        )
+    for r in counts:
+        if r["_w"] is None or r["_l"] is None:
+            raise ValueError("bradley_terry: NULL item in a comparison row")
+        if r["_w"] == r["_l"]:
+            raise ValueError(
+                f"bradley_terry: self-comparison for item {r['_w']!r}"
+            )
+
+    wins: dict[str, int] = {}
+    games: dict[str, int] = {}
+    nbr: dict[str, dict[str, int]] = {}
+    for r in counts:
+        a, b, n = r["_w"], r["_l"], int(r["count"])
+        wins[a] = wins.get(a, 0) + n
+        for i, j in ((a, b), (b, a)):
+            games[i] = games.get(i, 0) + n
+            nbr.setdefault(i, {})[j] = nbr.get(i, {}).get(j, 0) + n
+    items = sorted(games)
+    if len(items) > max_items:
+        raise ValueError(
+            f"bradley_terry: {len(items)} items exceeds max_items={max_items}"
+        )
+
+    th = {i: 1.0 for i in items}
+    for _ in range(iters):
+        new = {}
+        for i in items:
+            den = 0  # exact integer sum of 1e-12-quantized terms
+            ti = th[i]
+            for j, n in nbr[i].items():
+                den += math.floor(n / (ti + th[j]) * 1e12 + 0.5)
+            den += math.floor(2 * prior / (ti + 1) * 1e12 + 0.5)
+            t = (wins.get(i, 0) + prior) / (float(den) / 1e12)
+            new[i] = min(max(_bt_round12(t), 1e-6), 1e6)
+        th = new
+
+    spark = df.sparkSession
+    rows = [(i, wins.get(i, 0), games[i], th[i]) for i in items]
+    return spark.createDataFrame(
+        rows, "item string, wins long, games long, rating double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+def _dec(c: Column) -> Column:
+    """The ngram_lm_score determinism pattern: per-term DECIMAL(28,12)
+    cast so the cross-partition sum is associative (bit-reproducible
+    under any partitioning)."""
+    return c.cast("decimal(28,12)")
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str = "item", label_col: str = "label"
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971, generalized to unequal raters per
+    item) over an assignment frame with one row per (item, rating) —
+    the annotation-QA statistic for label curation at corpus scale.
+
+    Two aggregation stages, both map-side combinable: (item, label)
+    counts, then per-item agreement P_i = Σ_l c_il(c_il−1) /
+    (n_i(n_i−1)) and label marginals. Items with fewer than 2 ratings
+    carry no pairwise information and are dropped (documented
+    deviation from the equal-n textbook form). P̄ and P_e are means of
+    DECIMAL(28,12)-quantized terms — partitioning-independent.
+
+    Returns one row: ``n_items, n_ratings, p_bar, p_e, kappa`` (kappa
+    NULL when P_e = 1, i.e. a single observed label).
+    """
+    cnt = (
+        df.groupBy(F.col(item_col).alias("_i"), F.col(label_col).alias("_l"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_item = (
+        cnt.groupBy("_i")
+        .agg(
+            F.sum("c").alias("n_i"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("s_i"),
+        )
+        .where(F.col("n_i") >= 2)
+    )
+    p_i = F.col("s_i").cast("double") / (
+        F.col("n_i").cast("double") * (F.col("n_i") - 1).cast("double")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_i").alias("n_ratings"),
+        F.sum(_dec(p_i)).alias("_p_sum"),
+    )
+    # marginals over the SAME retained items
+    marg = (
+        cnt.join(per_item.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("c").alias("t_l"))
+    )
+    total = marg.agg(F.sum("t_l").alias("_N")).select("_N")
+    p_l = F.col("t_l").cast("double") / F.col("_N").cast("double")
+    pe = (
+        marg.crossJoin(F.broadcast(total))
+        .agg(F.sum(_dec(p_l * p_l)).alias("_pe_dec"))
+        .select(F.col("_pe_dec").cast("double").alias("p_e"))
+    )
+    out = items.crossJoin(F.broadcast(pe))
+    p_bar = F.col("_p_sum").cast("double") / F.col("n_items").cast("double")
+    kappa = F.when(
+        F.col("p_e") < 1.0, (p_bar - F.col("p_e")) / (1.0 - F.col("p_e"))
+    )
+    return out.select(
+        "n_items",
+        "n_ratings",
+        p_bar.alias("p_bar"),
+        "p_e",
+        kappa.alias("kappa"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str = "label_a", col_b: str = "label_b"
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two raters' label columns (one
+    row per item, both labels non-NULL rows only). P_o is an exact
+    integer ratio; P_e sums DECIMAL(28,12)-quantized marginal products
+    (partitioning-independent). Returns one row: ``n, agree, p_o, p_e,
+    kappa`` (kappa NULL when P_e = 1)."""
+    a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
+    base = df.select(a.alias("_a"), b.alias("_b")).where(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("agree"),
+    )
+    ma = base.groupBy(F.col("_a").alias("_l")).agg(F.count(F.lit(1)).alias("ca"))
+    mb = base.groupBy(F.col("_b").alias("_l")).agg(F.count(F.lit(1)).alias("cb"))
+    m = ma.join(mb, "_l", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    pe_term = (
+        F.col("ca").cast("double")
+        / F.col("n").cast("double")
+        * (F.col("cb").cast("double") / F.col("n").cast("double"))
+    )
+    pe = (
+        m.crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(_dec(pe_term)).alias("_pe_dec"))
+        .select(F.col("_pe_dec").cast("double").alias("p_e"))
+    )
+    out = tot.crossJoin(F.broadcast(pe))
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    kappa = F.when(
+        F.col("p_e") < 1.0, (po - F.col("p_e")) / (1.0 - F.col("p_e"))
+    )
+    return out.select("n", "agree", po.alias("p_o"), "p_e", kappa.alias("kappa"))

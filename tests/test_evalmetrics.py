@@ -1,0 +1,344 @@
+"""Eval-metric operators: BLEU / ROUGE-L / Bradley-Terry / kappas vs
+independent Python oracles, backend equality, plan asserts, validation."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrmr_spark.operators.evalmetrics import (
+    bleu_scores,
+    bradley_terry,
+    cohens_kappa,
+    corpus_bleu,
+    fleiss_kappa,
+    rouge_l_scores,
+)
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+
+def _py_bleu_stats(pred, ref, max_n=4):
+    tp = (pred or "").split()
+    tr = (ref or "").split()
+    ms, ts = [], []
+    for n in range(1, max_n + 1):
+        cg = [" ".join(tp[i : i + n]) for i in range(len(tp) - n + 1)]
+        rg = [" ".join(tr[i : i + n]) for i in range(len(tr) - n + 1)]
+        cc, rc = Counter(cg), Counter(rg)
+        ms.append(sum(min(c, rc[g]) for g, c in cc.items()))
+        ts.append(len(cg))
+    if not tp:
+        bp = 0.0
+    elif len(tp) >= len(tr):
+        bp = 1.0
+    else:
+        bp = math.exp(1.0 - len(tr) / len(tp))
+    if any(m == 0 or t == 0 for m, t in zip(ms, ts)):
+        bleu = 0.0
+    else:
+        prod = 1.0
+        for m, t in zip(ms, ts):
+            prod *= m / t
+        bleu = bp * prod ** (1.0 / max_n)
+    return ms, ts, bp, bleu
+
+
+BLEU_CASES = [
+    ("the cat sat on the mat", "the cat sat on the mat", "identical"),
+    ("the the the the the", "the cat", "clipping caps repeated grams"),
+    ("the cat the cat on the mat", "the cat is on the mat", "partial"),
+    ("a b c d e f g", "a b c x e f g", "one substitution"),
+    ("short one", "a much longer reference sentence here", "brevity penalty"),
+    ("a b c", "c b a", "reversed trigram"),
+    ("one", "one", "single token (no higher grams)"),
+    ("", "x y", "empty pred"),
+    ("x y", "", "empty ref"),
+    (None, None, "nulls"),
+]
+
+
+def test_bleu_matches_python_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r, _) in enumerate(BLEU_CASES)],
+        "id long, pred string, ref string",
+    )
+    out = bleu_scores(df).toPandas().set_index("id")
+    for i, (p, r, label) in enumerate(BLEU_CASES):
+        ms, ts, bp, bleu = _py_bleu_stats(p, r)
+        row = out.loc[i]
+        for n in range(1, 5):
+            assert row[f"match_{n}"] == ms[n - 1], (label, n)
+            assert row[f"total_{n}"] == ts[n - 1], (label, n)
+        assert abs(row["brevity_penalty"] - bp) < 1e-12, label
+        assert abs(row["bleu"] - bleu) < 1e-12, label
+
+
+def test_bleu_is_pure_projection(spark):
+    df = spark.createDataFrame([(0, "a b", "a b")], "id long, pred string, ref string")
+    out = bleu_scores(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_corpus_bleu_sums_and_partition_invariance(spark):
+    rows = [(i, p, r) for i, (p, r, _) in enumerate(BLEU_CASES) if p and r]
+    df = spark.createDataFrame(rows, "id long, pred string, ref string")
+    stats = [_py_bleu_stats(p, r) for _, p, r in rows]
+    np_ = sum(len(p.split()) for _, p, _r in rows)
+    nr_ = sum(len(r.split()) for _, _p, r in rows)
+    ms = [sum(s[0][n] for s in stats) for n in range(4)]
+    ts = [sum(s[1][n] for s in stats) for n in range(4)]
+    bp = 1.0 if np_ >= nr_ else math.exp(1.0 - nr_ / np_)
+    prod = 1.0
+    for m, t in zip(ms, ts):
+        prod *= m / t
+    expected = bp * prod**0.25
+
+    for parts in (1, 7):
+        got = corpus_bleu(bleu_scores(df.repartition(parts))).collect()[0]
+        assert got["n_pred"] == np_ and got["n_ref"] == nr_
+        for n in range(1, 5):
+            assert got[f"match_{n}"] == ms[n - 1]
+            assert got[f"total_{n}"] == ts[n - 1]
+        assert abs(got["bleu"] - expected) < 1e-12
+
+
+def test_bleu_max_n_validation(spark):
+    df = spark.createDataFrame([("a", "a")], "pred string, ref string")
+    with pytest.raises(ValueError, match="max_n"):
+        bleu_scores(df, max_n=0)
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L
+# ---------------------------------------------------------------------------
+
+
+def _py_lcs(a, b):
+    a, b = (a or "").split(), (b or "").split()
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[-1][-1]
+
+
+ROUGE_CASES = [
+    ("the cat sat on the mat", "the cat sat on the mat"),
+    ("a b c d e f", "c d e f a b"),
+    ("a b a b a", "b a b a b"),
+    ("x y z", "p q r"),
+    ("the quick brown fox jumps", "the brown fox"),
+    ("a a a a", "a a"),
+    ("", "x"),
+    (None, "x y"),
+    ("w", None),
+]
+
+
+@pytest.mark.parametrize("backend", ["column", "arrow"])
+def test_rouge_l_matches_python_dp(spark, backend):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(ROUGE_CASES)],
+        "id long, pred string, ref string",
+    )
+    out = rouge_l_scores(df, backend=backend).toPandas().set_index("id")
+    for i, (p, r) in enumerate(ROUGE_CASES):
+        lcs = _py_lcs(p, r)
+        np_, nr_ = len((p or "").split()), len((r or "").split())
+        row = out.loc[i]
+        assert row["lcs"] == lcs, (backend, p, r)
+        prec = lcs / np_ if np_ else 0.0
+        rec = lcs / nr_ if nr_ else 0.0
+        fm = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        assert abs(row["rouge_l_precision"] - prec) < 1e-12
+        assert abs(row["rouge_l_recall"] - rec) < 1e-12
+        assert abs(row["rouge_l_f"] - fm) < 1e-12
+
+
+def test_rouge_backends_identical(spark):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(ROUGE_CASES)],
+        "id long, pred string, ref string",
+    )
+    a = rouge_l_scores(df, backend="column").toPandas().set_index("id")
+    b = rouge_l_scores(df, backend="arrow").toPandas().set_index("id")
+    assert (a["lcs"] == b["lcs"]).all()
+    assert (a["rouge_l_f"] == b["rouge_l_f"]).all()  # bit-identical
+
+
+def test_rouge_column_backend_pure_projection(spark):
+    df = spark.createDataFrame([(0, "a b", "b a")], "id long, pred string, ref string")
+    out = rouge_l_scores(df, backend="column")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_rouge_beta_weighting(spark):
+    # beta > 1 weights recall: truncated pred has perfect precision, low
+    # recall, so F with beta=3 sits near recall
+    df = spark.createDataFrame([(0, "a b", "a b c d e f")], "id long, pred string, ref string")
+    got = rouge_l_scores(df, beta=3.0).collect()[0]
+    p, r, b2 = 1.0, 2 / 6, 9.0
+    assert abs(got["rouge_l_f"] - (1 + b2) * p * r / (r + b2 * p)) < 1e-12
+
+
+def test_rouge_unknown_backend(spark):
+    df = spark.createDataFrame([("a", "a")], "pred string, ref string")
+    with pytest.raises(ValueError, match="backend"):
+        rouge_l_scores(df, backend="gpu")
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry
+# ---------------------------------------------------------------------------
+
+
+def _py_bt_reference(counts, iters=300, prior=0.5):
+    """Plain float MM with the same ghost anchor, run to convergence —
+    no quantization; the engine's 1e-12-quantized loop must land within
+    1e-6 of this."""
+    wins, nbr = {}, {}
+    items = set()
+    for (a, b), n in counts.items():
+        wins[a] = wins.get(a, 0) + n
+        items |= {a, b}
+        nbr.setdefault(a, {}).setdefault(b, 0)
+        nbr[a][b] += n
+        nbr.setdefault(b, {}).setdefault(a, 0)
+        nbr[b][a] += n
+    th = {i: 1.0 for i in items}
+    for _ in range(iters):
+        th = {
+            i: (wins.get(i, 0) + prior)
+            / (
+                sum(n / (th[i] + th[j]) for j, n in nbr[i].items())
+                + 2 * prior / (th[i] + 1)
+            )
+            for i in items
+        }
+    return th
+
+
+def test_bt_matches_reference_mm(spark):
+    counts = {("A", "B"): 9, ("B", "A"): 1, ("B", "C"): 7, ("C", "B"): 3, ("A", "C"): 5}
+    rows = [(w, l) for (w, l), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    # same iteration count on both sides: the only difference is the
+    # engine's 1e-12 per-step quantization, which stays below 1e-8
+    got = {r["item"]: r for r in bradley_terry(df, iters=200).collect()}
+    ref = _py_bt_reference(counts, iters=200)
+    for i in "ABC":
+        assert abs(got[i]["rating"] - ref[i]) < 1e-8, i
+    # and the converged fit satisfies the MM fixed point: theta stops moving
+    long = {r["item"]: r["rating"] for r in bradley_terry(df, iters=2000).collect()}
+    longer = {r["item"]: r["rating"] for r in bradley_terry(df, iters=2200).collect()}
+    for i in "ABC":
+        assert abs(long[i] - longer[i]) < 1e-6, i
+    assert got["A"]["rating"] > got["B"]["rating"] > got["C"]["rating"]
+    assert got["A"]["wins"] == 14 and got["A"]["games"] == 15
+    assert got["B"]["games"] == 20
+
+
+def test_bt_partition_invariance_bitexact(spark):
+    rows = [(f"m{i % 5}", f"m{(i * 3 + 1) % 5}") for i in range(200)]
+    rows = [(w, l) for w, l in rows if w != l]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    a = {r["item"]: r["rating"] for r in bradley_terry(df.repartition(1)).collect()}
+    b = {r["item"]: r["rating"] for r in bradley_terry(df.repartition(13)).collect()}
+    assert a == b  # exact: integer pair counts + deterministic driver loop
+
+
+def test_bt_undefeated_item_stays_finite(spark):
+    # ghost anchor keeps an undefeated item's rating finite and above all
+    df = spark.createDataFrame(
+        [("champ", "x")] * 10 + [("x", "y")] * 5 + [("y", "x")] * 5,
+        "winner string, loser string",
+    )
+    got = {r["item"]: r["rating"] for r in bradley_terry(df).collect()}
+    assert got["champ"] <= 1e6
+    assert got["champ"] > got["x"] and got["champ"] > got["y"]
+
+
+def test_bt_validation(spark):
+    df = spark.createDataFrame([("a", "a")], "winner string, loser string")
+    with pytest.raises(ValueError, match="self-comparison"):
+        bradley_terry(df)
+    dfn = spark.createDataFrame([("a", None)], "winner string, loser string")
+    with pytest.raises(ValueError, match="NULL"):
+        bradley_terry(dfn)
+    ok = spark.createDataFrame([("a", "b"), ("b", "c")], "winner string, loser string")
+    with pytest.raises(ValueError, match="pairs"):
+        bradley_terry(ok, max_pairs=1)
+    with pytest.raises(ValueError, match="iters"):
+        bradley_terry(ok, iters=0)
+    with pytest.raises(ValueError, match="prior"):
+        bradley_terry(ok, prior=0.0)
+
+
+# ---------------------------------------------------------------------------
+# kappas
+# ---------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_hand_value(spark):
+    # 10 items x 3 raters, labels alternate by (item + rater) parity:
+    # every item splits 2-1 -> P_i = 1/3; marginals 50/50 -> P_e = 1/2
+    rows = [(i, ["yes", "no"][(i + r) % 2]) for i in range(10) for r in range(3)]
+    df = spark.createDataFrame(rows, "item long, label string")
+    got = fleiss_kappa(df).collect()[0]
+    assert got["n_items"] == 10 and got["n_ratings"] == 30
+    assert abs(got["p_bar"] - 1 / 3) < 1e-9
+    assert abs(got["p_e"] - 0.5) < 1e-9
+    assert abs(got["kappa"] - (1 / 3 - 0.5) / 0.5) < 1e-9
+
+
+def test_fleiss_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(i, lab) for i, lab in enumerate(["a", "b"] * 5) for _ in range(4)],
+        "item long, label string",
+    )
+    got = fleiss_kappa(perfect).collect()[0]
+    assert got["p_bar"] == 1.0 and abs(got["kappa"] - 1.0) < 1e-9
+    # single observed label: P_e = 1 -> kappa NULL
+    one = spark.createDataFrame([(i, "a") for i in range(4) for _ in range(3)], "item long, label string")
+    got = fleiss_kappa(one).collect()[0]
+    assert got["p_e"] == 1.0 and got["kappa"] is None
+
+
+def test_fleiss_drops_single_rating_items(spark):
+    rows = [(0, "a"), (0, "a"), (1, "b")]  # item 1 has 1 rating -> dropped
+    df = spark.createDataFrame(rows, "item long, label string")
+    got = fleiss_kappa(df).collect()[0]
+    assert got["n_items"] == 1 and got["n_ratings"] == 2
+
+
+def test_cohens_kappa_hand_value(spark):
+    rows = (
+        [("yes", "yes")] * 20 + [("no", "no")] * 15
+        + [("yes", "no")] * 5 + [("no", "yes")] * 10
+    )
+    df = spark.createDataFrame(rows, "label_a string, label_b string")
+    got = cohens_kappa(df).collect()[0]
+    # po = 35/50 = 0.7; pe = (25/50)(30/50) + (25/50)(20/50) = 0.5
+    assert got["n"] == 50 and got["agree"] == 35
+    assert abs(got["p_o"] - 0.7) < 1e-12
+    assert abs(got["p_e"] - 0.5) < 1e-12
+    assert abs(got["kappa"] - 0.4) < 1e-12
+
+
+def test_cohens_kappa_null_rows_excluded(spark):
+    rows = [("a", "a"), ("a", None), (None, "b"), ("b", "b")]
+    df = spark.createDataFrame(rows, "label_a string, label_b string")
+    got = cohens_kappa(df).collect()[0]
+    assert got["n"] == 2 and got["agree"] == 2

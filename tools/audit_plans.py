@@ -408,6 +408,20 @@ def main():
           "one zero-exchange mapInArrow GEMM stage over the embedding scan "
           "(model broadcast as task closure); posexplode is gate-row "
           "presentation only")
+    audit("bleu_scores (sentence BLEU-4 eval metric)",
+          gate.QUERIES["bleu_scores"](spark, SF),
+          "pure Column projection — zero exchanges, zero Python; the "
+          "clipped-gram folds are higher-order functions over the scan")
+    audit("rouge_l (LCS eval metric, Arrow backend)",
+          gate.QUERIES["rouge_l"](spark, SF),
+          "one ArrowEvalPython stage for the numpy LCS DP over the scan — "
+          "no exchange; the pure-Column twin is plan-asserted in pytest")
+    audit("fleiss_kappa (annotator agreement)",
+          gate.QUERIES["fleiss_kappa"](spark, SF),
+          "every post-count stage is bounded by #items x #labels: "
+          "(item,label) counts, per-item rollup, the retained-item semi-join "
+          "(item-keyed shuffle), marginal agg, then broadcast crossjoins of "
+          "1-row frames — corpus rows are touched exactly once")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
