@@ -290,6 +290,7 @@ def main():
         "bleu_scores",
         "rouge_l",
         "bt_ratings",
+        "roc_auc",
         "pca_project",
     ]:
         fn = gate.QUERIES[name]

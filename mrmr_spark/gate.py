@@ -5565,6 +5565,126 @@ FROM tot, pe
 """
 
 
+#: shared score/label construction for the classifier-eval rows: two
+#: integer hashes of event_id — score = h1/1000 (1000 distinct values ->
+#: heavy ties for the midrank path), label correlated with score through
+#: the pure-integer comparison 2*h2 < 600 + h1 (mirrors exactly in SQL)
+def _clf_frame(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    h1 = (F.col("event_id") * 37 + 11) % 1000
+    h2 = (F.col("event_id") * 53 + 7) % 1000
+    return ev.select(
+        (h1 / F.lit(1000.0)).alias("score"),
+        F.when(2 * h2 < 600 + h1, 1).otherwise(0).alias("label"),
+    )
+
+
+_CLF_SQL_BASE = """
+q AS (
+  SELECT h1 / 1000.0 AS s,
+         CASE WHEN 2 * h2 < 600 + h1 THEN 1 ELSE 0 END AS y
+  FROM (SELECT (event_id * 37 + 11) % 1000 AS h1,
+               (event_id * 53 + 7) % 1000 AS h2
+        FROM events)
+)"""
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-aware ROC-AUC (midrank / Mann-Whitney form) — the oracle
+    re-derives the integer numerator S2 from a window cumsum over the
+    per-score groups, so the two-phase range prefix sum, the tie midranks
+    and the final one-division formula are all value-checked."""
+    from mrmr_spark.operators.evalmetrics import roc_auc
+
+    pin: list = []
+    out = roc_auc(_clf_frame(spark, sf_dir), pin=pin)
+    res = out.select("n", "n_pos", "n_neg", r6("auc").alias("auc")).toPandas()
+    for h in pin:
+        h.unpersist()
+    return spark.createDataFrame(
+        res, "n long, n_pos long, n_neg long, auc double"
+    )
+
+
+SQL_ROC_AUC = f"""
+WITH {_CLF_SQL_BASE},
+g AS (
+  SELECT s, count(*) AS c, sum(y) AS p FROM q GROUP BY 1
+), cum AS (
+  SELECT c, p,
+         coalesce(sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+), a AS (
+  SELECT CAST(sum(CAST(p * (2 * cb + c + 1) AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(p) AS BIGINT) AS np, CAST(sum(c) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n, np AS n_pos, n - np AS n_neg,
+       round(CASE WHEN np > 0 AND n - np > 0
+                  THEN (s2::DOUBLE - np::DOUBLE * (np + 1)::DOUBLE)
+                       / (2.0 * np::DOUBLE * (n - np)::DOUBLE) END, 6) AS auc
+FROM a
+"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Per-bin reliability table (10 bins): the oracle recomputes the bin
+    assignment (floor with the 1.0 clamp), the DECIMAL-summed mean
+    confidence and the exact accuracy ratio per bin."""
+    from mrmr_spark.operators.evalmetrics import calibration_report
+
+    d = _clf_frame(spark, sf_dir).withColumnRenamed("score", "prob")
+    out = calibration_report(d, n_bins=10)
+    return out.select(
+        "bin", "n", r6("conf").alias("conf"), r6("acc").alias("acc")
+    )
+
+
+_CLF_SQL_BINS = f"""
+WITH {_CLF_SQL_BASE},
+b AS (
+  SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y FROM q
+), g AS (
+  SELECT bin, count(*) AS n,
+         sum(CAST(s AS DECIMAL(28,12))) AS ps, sum(y) AS pos
+  FROM b GROUP BY 1
+)"""
+
+SQL_CALIBRATION_BINS = f"""{_CLF_SQL_BINS}
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(CAST(ps AS DOUBLE) / n::DOUBLE, 6) AS conf,
+       round(pos::DOUBLE / n::DOUBLE, 6) AS acc
+FROM g
+"""
+
+
+def q_ece(spark, sf_dir):
+    """Expected calibration error over the same report — the oracle sums
+    the identical DECIMAL-quantized (n_b/N)·|acc−conf| terms from its own
+    re-derived bins."""
+    from mrmr_spark.operators.evalmetrics import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    d = _clf_frame(spark, sf_dir).withColumnRenamed("score", "prob")
+    out = expected_calibration_error(calibration_report(d, n_bins=10))
+    return out.select("n", r6("ece").alias("ece"))
+
+
+SQL_ECE = f"""{_CLF_SQL_BINS}, t AS (
+  SELECT sum(n) AS nn FROM g
+)
+SELECT CAST(t.nn AS BIGINT) AS n,
+       round(CAST(sum(CAST(g.n::DOUBLE / t.nn::DOUBLE
+                           * abs(pos::DOUBLE / g.n::DOUBLE
+                                 - CAST(ps AS DOUBLE) / g.n::DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece
+FROM g, t GROUP BY t.nn
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5682,6 +5802,9 @@ QUERIES = {
     "bt_ratings": q_bt_ratings,
     "fleiss_kappa": q_fleiss_kappa,
     "cohens_kappa": q_cohens_kappa,
+    "roc_auc": q_roc_auc,
+    "calibration_bins": q_calibration_bins,
+    "ece": q_ece,
 }
 
 ORACLE_SQL = {
@@ -5801,4 +5924,7 @@ ORACLE_SQL = {
     "bt_ratings": SQL_BT_RATINGS,
     "fleiss_kappa": SQL_FLEISS_KAPPA,
     "cohens_kappa": SQL_COHENS_KAPPA,
+    "roc_auc": SQL_ROC_AUC,
+    "calibration_bins": SQL_CALIBRATION_BINS,
+    "ece": SQL_ECE,
 }

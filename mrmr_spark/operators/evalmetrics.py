@@ -38,9 +38,13 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "bleu_scores",
+    "roc_auc",
+    "calibration_report",
+    "expected_calibration_error",
     "corpus_bleu",
     "rouge_l_scores",
     "lcs_length",
@@ -533,3 +537,156 @@ def cohens_kappa(
         F.col("p_e") < 1.0, (po - F.col("p_e")) / (1.0 - F.col("p_e"))
     )
     return out.select("n", "agree", po.alias("p_o"), "p_e", kappa.alias("kappa"))
+
+
+# ---------------------------------------------------------------------------
+# Classifier eval: ROC-AUC + calibration
+# ---------------------------------------------------------------------------
+
+def _binary_label(label_col: str) -> Column:
+    """0/1 label with an execution-time error on anything else (the
+    pass_at_k validation pattern — no extra validation job)."""
+    lab = F.col(label_col).cast("long")
+    return F.when(
+        lab.isNull() | ~lab.isin(0, 1),
+        F.raise_error(
+            F.lit(f"binary label column {label_col!r} must be 0/1 and non-NULL")
+        ),
+    ).otherwise(lab)
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    pin: list | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC of a score column against 0/1 labels, ties handled
+    by midranks (the Mann-Whitney U identity) — the ranking metric for
+    quality classifiers, reward models and dedup scorers at corpus scale.
+
+    With per-score groups (count c_s, positives p_s) and cum_s = rows
+    strictly below s, the positive midrank sum doubles to the INTEGER
+
+        S2 = Σ_s p_s · (2·cum_s + c_s + 1)
+
+    and AUC = (S2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) — one float
+    division at the end, everything before it exact integer arithmetic
+    (DECIMAL(38,0) accumulators: S2 ≤ n² overflows int64 past ~3e9
+    rows), so the value is reproducible bit for bit and the gate's SQL
+    oracle re-derives it from a window cumsum.
+
+    Scale shape: ONE score-keyed aggregation (shuffle ∝ distinct
+    scores), then the same range-partitioned two-phase prefix sum the
+    pack/copula/KS operators use for cum_s — per-range totals →
+    exclusive prefix over O(#ranges) rows broadcast back; the in-range
+    window is bounded by the range-partition size (never a single-task
+    global window). The ranged group frame is persisted (two consumers
+    must see one range-boundary sample); pass ``pin`` (a list) to
+    receive the handle, the standard pin contract.
+
+    Returns one row: ``n, n_pos, n_neg, auc`` (auc NULL when either
+    class is absent). NULL scores are rejected like bad labels.
+    """
+    score = F.when(
+        F.col(score_col).isNull() | F.isnan(F.col(score_col).cast("double")),
+        F.raise_error(F.lit(f"score column {score_col!r} must be non-NULL/NaN")),
+    ).otherwise(F.col(score_col).cast("double"))
+    grp = (
+        df.select(score.alias("_s"), _binary_label(label_col).alias("_y"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p"))
+    )
+    ranged = (
+        grp.repartitionByRange(F.col("_s"))
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    if pin is not None:
+        pin.append(ranged)
+    wo = Window.orderBy("_rid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_rid")
+        .agg(F.sum("_c").alias("_rc"))
+        .select("_rid", F.coalesce(F.sum("_rc").over(wo), F.lit(0)).alias("_roff"))
+    )
+    wi = Window.partitionBy("_rid").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = ranged.join(F.broadcast(offsets), "_rid").select(
+        "_c",
+        "_p",
+        (F.col("_roff") + F.coalesce(F.sum("_c").over(wi), F.lit(0))).alias("_cb"),
+    )
+    term = (F.col("_p") * (2 * F.col("_cb") + F.col("_c") + 1)).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum(term).alias("_s2"),
+        F.sum("_p").alias("n_pos"),
+        F.sum("_c").alias("n"),
+    )
+    npos, n = F.col("n_pos"), F.col("n")
+    nneg = n - npos
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        (F.col("_s2").cast("double") - npos.cast("double") * (npos + 1).cast("double"))
+        / (2.0 * npos.cast("double") * nneg.cast("double")),
+    )
+    return agg.select(n.alias("n"), npos.alias("n_pos"), nneg.alias("n_neg"),
+                      auc.alias("auc"))
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin reliability table for a probabilistic classifier: bin by
+    ``floor(prob·n_bins)`` (prob = 1.0 clamps into the last bin), one
+    map-side-combined aggregation → ``bin, n, conf`` (mean predicted
+    probability; DECIMAL(28,12)-quantized terms so the mean is
+    partitioning-independent), ``acc`` (positive fraction — an exact
+    integer ratio). Probabilities outside [0, 1] and non-0/1 labels
+    raise at execution. Output is ≤ ``n_bins`` rows at any corpus size.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report: n_bins must be >= 1, got {n_bins}")
+    pc = F.col(prob_col).cast("double")
+    prob = F.when(
+        pc.isNull() | F.isnan(pc) | (pc < 0.0) | (pc > 1.0),
+        F.raise_error(F.lit(f"prob column {prob_col!r} must be within [0, 1]")),
+    ).otherwise(pc)
+    b = F.least(F.floor(prob * n_bins), F.lit(n_bins - 1)).cast("int")
+    out = (
+        df.select(b.alias("bin"), prob.alias("_p"), _binary_label(label_col).alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("_p"))).alias("_ps"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    return out.select(
+        "bin",
+        "n",
+        (F.col("_ps").cast("double") / F.col("n").cast("double")).alias("conf"),
+        (F.col("_pos").cast("double") / F.col("n").cast("double")).alias("acc"),
+    )
+
+
+def expected_calibration_error(report: DataFrame) -> DataFrame:
+    """ECE from a :func:`calibration_report` frame: Σ_b (n_b/N)·|acc_b −
+    conf_b| with DECIMAL(28,12)-quantized terms (the bin frame is tiny,
+    but the sum stays deterministic under any layout). Returns one row:
+    ``n, ece``."""
+    tot = report.agg(F.sum("n").alias("_N"))
+    term = (
+        F.col("n").cast("double")
+        / F.col("_N").cast("double")
+        * F.abs(F.col("acc") - F.col("conf"))
+    )
+    return (
+        report.crossJoin(F.broadcast(tot))
+        .agg(F.sum(_dec(term)).alias("_e"), F.sum("n").alias("n"))
+        .select("n", F.col("_e").cast("double").alias("ece"))
+    )

@@ -342,3 +342,119 @@ def test_cohens_kappa_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "label_a string, label_b string")
     got = cohens_kappa(df).collect()[0]
     assert got["n"] == 2 and got["agree"] == 2
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC + calibration
+# ---------------------------------------------------------------------------
+
+import random
+
+from mrmr_spark.operators.evalmetrics import (
+    calibration_report,
+    expected_calibration_error,
+    roc_auc,
+)
+
+
+def _auc_rows(n=500, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        s = round(rng.random(), 2)  # 2dp -> heavy ties
+        rows.append((s, 1 if rng.random() < s else 0))
+    return rows
+
+
+def _py_auc(rows):
+    import pandas as pd
+
+    s = pd.Series([r[0] for r in rows])
+    y = pd.Series([r[1] for r in rows])
+    r = s.rank(method="average")
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    if npos == 0 or nneg == 0:
+        return None
+    return float((r[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+
+
+def test_roc_auc_matches_midrank_oracle(spark):
+    rows = _auc_rows()
+    df = spark.createDataFrame(rows, "score double, label int")
+    pin = []
+    got = roc_auc(df, pin=pin).collect()[0]
+    for h in pin:
+        h.unpersist()
+    assert abs(got["auc"] - _py_auc(rows)) < 1e-12
+    assert got["n"] == len(rows)
+    assert got["n_pos"] == sum(y for _, y in rows)
+
+
+def test_roc_auc_partition_invariance_and_edges(spark):
+    rows = _auc_rows(300, seed=9)
+    df = spark.createDataFrame(rows, "score double, label int")
+    vals = []
+    for parts in (1, 11):
+        pin = []
+        vals.append(roc_auc(df.repartition(parts), pin=pin).collect()[0]["auc"])
+        for h in pin:
+            h.unpersist()
+    assert vals[0] == vals[1]  # bit-identical: integer numerator
+
+    # perfect separation -> 1.0; anti-separation -> 0.0; one class -> NULL
+    sep = spark.createDataFrame(
+        [(0.9, 1)] * 5 + [(0.1, 0)] * 5, "score double, label int"
+    )
+    assert roc_auc(sep).collect()[0]["auc"] == 1.0
+    anti = spark.createDataFrame(
+        [(0.1, 1)] * 5 + [(0.9, 0)] * 5, "score double, label int"
+    )
+    assert roc_auc(anti).collect()[0]["auc"] == 0.0
+    ties = spark.createDataFrame([(0.5, 1), (0.5, 0)], "score double, label int")
+    assert roc_auc(ties).collect()[0]["auc"] == 0.5
+    one = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, label int")
+    assert roc_auc(one).collect()[0]["auc"] is None
+
+
+def test_roc_auc_validation(spark):
+    bad = spark.createDataFrame([(0.5, 2)], "score double, label int")
+    with pytest.raises(Exception, match="must be 0/1"):
+        roc_auc(bad).collect()
+    nan = spark.createDataFrame([(float("nan"), 1)], "score double, label int")
+    with pytest.raises(Exception, match="non-NULL/NaN"):
+        roc_auc(nan).collect()
+
+
+def test_calibration_report_matches_python(spark):
+    rows = [
+        (p, 1 if ((i * 7) % 10) < p * 10 else 0)
+        for i, p in enumerate([j / 20 for j in range(21)] * 10)
+    ]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    got = calibration_report(df, n_bins=5).toPandas().set_index("bin")
+    bins = {}
+    for p, y in rows:
+        b = min(int(p * 5), 4)
+        bins.setdefault(b, []).append((p, y))
+    for b, vals in bins.items():
+        assert got.loc[b, "n"] == len(vals)
+        assert abs(got.loc[b, "conf"] - sum(p for p, _ in vals) / len(vals)) < 1e-9
+        assert abs(got.loc[b, "acc"] - sum(y for _, y in vals) / len(vals)) < 1e-12
+    # ece
+    e = expected_calibration_error(calibration_report(df, n_bins=5)).collect()[0]
+    n = len(rows)
+    expected = sum(
+        len(v) / n * abs(sum(y for _, y in v) / len(v) - sum(p for p, _ in v) / len(v))
+        for v in bins.values()
+    )
+    assert abs(e["ece"] - expected) < 1e-9 and e["n"] == n
+
+
+def test_calibration_validation(spark):
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(
+            spark.createDataFrame([(0.5, 1)], "prob double, label int"), n_bins=0
+        )
+    bad = spark.createDataFrame([(1.5, 1)], "prob double, label int")
+    with pytest.raises(Exception, match="within"):
+        calibration_report(bad).collect()

@@ -422,6 +422,14 @@ def main():
           "(item,label) counts, per-item rollup, the retained-item semi-join "
           "(item-keyed shuffle), marginal agg, then broadcast crossjoins of "
           "1-row frames — corpus rows are touched exactly once")
+    audit("roc_auc (exact tie-aware AUC)",
+          gate.QUERIES["roc_auc"](spark, SF),
+          "gate row materializes via toPandas, so the audited plan is the "
+          "local result relation; the engine plan is one score-keyed agg + "
+          "the standard two-phase range prefix sum (range exchange, "
+          "in-range window, O(#ranges) broadcast offsets) — same shape as "
+          "pack_documents, asserted by the bit-exact partition-invariance "
+          "pytest")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
