@@ -76,3 +76,41 @@ def test_run_eval_echo_baseline(spark, eval_parquet, tmp_path):
     # inputs share the word "thing N" with targets never -> EM 0, tiny F1
     assert out["micro_em"] == 0.0
     assert out["micro_f1"] < 0.5
+
+
+def test_run_eval_extra_metrics(spark, eval_parquet, tmp_path):
+    import tools.run_eval as run_eval
+
+    # perfect predictions of a >=4-token target: every enabled metric
+    # must hit 1.0 (sentence BLEU-4 needs a 4-gram, so the 2-token
+    # "answer N" target would floor bleu at 0 by the unsmoothed
+    # convention — that behavior is covered in test_evalmetrics)
+    ev = spark.read.parquet(eval_parquet).withColumn(
+        "lang", F.concat(F.lit("the long answer is "), F.col("lang"))
+    )
+    epath = str(tmp_path / "eval_long.parquet")
+    ev.write.mode("overwrite").parquet(epath)
+    ppath = str(tmp_path / "perfect.parquet")
+    ev.select("doc_id", F.col("lang").alias("prediction")).write.mode(
+        "overwrite"
+    ).parquet(ppath)
+    out = run_eval.main(
+        ["--input", epath, "--shots", "1", "--predictions", ppath,
+         "--metrics", "qa,bleu,rouge",
+         "--checkpoint-dir", str(tmp_path / "ck_metrics")]
+    )
+    for t in out["tasks"]:
+        assert t["em"] == 1.0 and t["f1"] == 1.0
+        assert t["bleu"] == 1.0 and t["rouge_l_f"] == 1.0
+
+    # validation: unknown metric / missing qa
+    with pytest.raises(ValueError, match="metrics"):
+        run_eval.main(
+            ["--input", eval_parquet, "--metrics", "qa,wer",
+             "--checkpoint-dir", str(tmp_path / "ck_bad")]
+        )
+    with pytest.raises(ValueError, match="metrics"):
+        run_eval.main(
+            ["--input", eval_parquet, "--metrics", "bleu",
+             "--checkpoint-dir", str(tmp_path / "ck_bad2")]
+        )

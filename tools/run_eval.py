@@ -22,8 +22,11 @@ eval rows that remain are never in their own block) -> predict (JOIN of
 to this engine; without it, ``--baseline empty`` scores the no-answer
 baseline and ``--baseline echo-input`` the copy-input baseline, useful
 to exercise the harness and calibrate floor scores) -> score
-(``qa_scores`` EM + token F1 per row) -> report (per-task n / EM / F1
-means). Returns the report dict and prints it as one JSON line.
+(``qa_scores`` EM + token F1 per row; ``--metrics qa,bleu,rouge`` adds
+sentence BLEU-4 and ROUGE-L F columns from the same (prediction, target)
+pair — all three are pure projections, so extra metrics cost no extra
+shuffle) -> report (per-task n / EM / F1 and the enabled extra means).
+Returns the report dict and prints it as one JSON line.
 """
 
 from __future__ import annotations
@@ -48,6 +51,9 @@ def main(argv: list[str] | None = None) -> dict:
                     help="model outputs (parquet): id_col, prediction")
     ap.add_argument("--baseline", default="empty", choices=["empty", "echo-input"],
                     help="scoring baseline when --predictions is absent")
+    ap.add_argument("--metrics", default="qa",
+                    help="comma list: qa (EM+F1, always useful), bleu "
+                         "(sentence BLEU-4), rouge (ROUGE-L F)")
     ap.add_argument("--shots", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="/tmp/mrmr_eval")
@@ -61,6 +67,7 @@ def main(argv: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from mrmr_spark.operators.chat import fewshot_prompts
+    from mrmr_spark.operators.evalmetrics import bleu_scores, rouge_l_scores
     from mrmr_spark.operators.curation import hash_split
     from mrmr_spark.operators.textstats import qa_scores
     from mrmr_spark.plans.checkpoint import PhaseRunner
@@ -110,16 +117,42 @@ def main(argv: list[str] | None = None) -> dict:
         )
         return prev.withColumn("prediction", base)
 
+    metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    unknown = set(metrics) - {"qa", "bleu", "rouge"}
+    if unknown or "qa" not in metrics:
+        raise ValueError(
+            f"--metrics must be a subset of qa,bleu,rouge and include qa; got {args.metrics!r}"
+        )
+
     def score(prev):
-        return qa_scores(prev, pred_col="prediction", ref_col=args.target_col)
+        # all three metrics are projections over (prediction, target) —
+        # chaining them adds zero shuffles; the only care is the shared
+        # n_pred/n_ref diagnostic names, dropped before each re-derivation
+        out = qa_scores(prev, pred_col="prediction", ref_col=args.target_col)
+        if "bleu" in metrics:
+            out = bleu_scores(
+                out.drop("n_pred", "n_ref"),
+                pred_col="prediction", ref_col=args.target_col,
+            )
+        if "rouge" in metrics:
+            out = rouge_l_scores(
+                out.drop("n_pred", "n_ref"),
+                pred_col="prediction", ref_col=args.target_col,
+            )
+        return out
 
     def report(prev):
-        return prev.groupBy(task).agg(
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.avg(F.col("exact_match").cast("double")).alias("em"),
             F.avg("f1").alias("f1"),
             F.avg("n_shots").alias("avg_shots"),
-        )
+        ]
+        if "bleu" in metrics:
+            aggs.append(F.avg("bleu").alias("bleu"))
+        if "rouge" in metrics:
+            aggs.append(F.avg("rouge_l_f").alias("rouge_l_f"))
+        return prev.groupBy(task).agg(*aggs)
 
     runner = PhaseRunner(spark, args.checkpoint_dir)
     scored = runner.run(
@@ -136,10 +169,12 @@ def main(argv: list[str] | None = None) -> dict:
     rows = sorted(
         (r.asDict() for r in rep.collect()), key=lambda r: str(r[task])
     )
+    extra_cols = [c for c in ("bleu", "rouge_l_f") if any(c in r for r in rows)]
     out = {
         "tasks": [
             {task: r[task], "n": int(r["n"]), "em": round(float(r["em"]), 6),
-             "f1": round(float(r["f1"]), 6), "avg_shots": round(float(r["avg_shots"]), 3)}
+             "f1": round(float(r["f1"]), 6), "avg_shots": round(float(r["avg_shots"]), 3),
+             **{c: round(float(r[c]), 6) for c in extra_cols}}
             for r in rows
         ],
         "micro_em": round(
