@@ -291,6 +291,8 @@ def main():
         "rouge_l",
         "bt_ratings",
         "roc_auc",
+        "classification_report",
+        "psi_report",
         "pca_project",
     ]:
         fn = gate.QUERIES[name]

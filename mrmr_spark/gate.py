@@ -5685,6 +5685,171 @@ FROM g, t GROUP BY t.nn
 """
 
 
+def _clf_pred_frame(spark, sf_dir):
+    """(label, pred) construction shared by the multi-class rows: the
+    cohens_kappa label swap on event_id%3 != 0 (5 classes, asymmetric
+    confusion — 'purchase'/'signup' collapse into predicted 'error')."""
+    ev = _events(spark, sf_dir)
+    swap = (
+        F.when(F.col("event_type") == "click", F.lit("view"))
+        .when(F.col("event_type") == "view", F.lit("click"))
+        .otherwise(F.lit("error"))
+    )
+    pred = F.when(F.col("event_id") % 3 == 0, F.col("event_type")).otherwise(swap)
+    return ev.select(F.col("event_type").alias("label"), pred.alias("pred"))
+
+
+_CLF_PRED_SQL = """
+base AS (
+  SELECT event_type AS l,
+         CASE WHEN event_id % 3 = 0 THEN event_type
+              ELSE CASE WHEN event_type = 'click' THEN 'view'
+                        WHEN event_type = 'view' THEN 'click'
+                        ELSE 'error' END
+         END AS p
+  FROM events
+), cm AS (
+  SELECT l, p, count(*) AS c FROM base GROUP BY 1, 2
+), sup AS (
+  SELECT l AS class, sum(c) AS support FROM cm GROUP BY 1
+), prd AS (
+  SELECT p AS class, sum(c) AS predicted FROM cm GROUP BY 1
+), tp AS (
+  SELECT l AS class, c AS tp FROM cm WHERE l = p
+), r AS (
+  SELECT j.class, j.support, j.predicted, coalesce(tp.tp, 0) AS tp,
+         CASE WHEN j.predicted > 0
+              THEN coalesce(tp.tp, 0)::DOUBLE / j.predicted::DOUBLE
+              ELSE 0.0 END AS prec,
+         CASE WHEN j.support > 0
+              THEN coalesce(tp.tp, 0)::DOUBLE / j.support::DOUBLE
+              ELSE 0.0 END AS rec
+  FROM (SELECT coalesce(s.class, pr.class) AS class,
+               coalesce(s.support, 0) AS support,
+               coalesce(pr.predicted, 0) AS predicted
+        FROM sup s FULL OUTER JOIN prd pr ON s.class = pr.class) j
+  LEFT JOIN tp ON tp.class = j.class
+)"""
+
+
+def q_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1 — the oracle rebuilds the confusion
+    matrix and every class rollup from plain GROUP BYs."""
+    from mrmr_spark.operators.evalmetrics import classification_report
+
+    out = classification_report(_clf_pred_frame(spark, sf_dir))
+    return out.select(
+        "class", "support", "predicted", "tp",
+        r6("precision").alias("precision"), r6("recall").alias("recall"),
+        r6("f1").alias("f1"),
+    )
+
+
+SQL_CLASSIFICATION_REPORT = f"""
+WITH {_CLF_PRED_SQL}
+SELECT class, CAST(support AS BIGINT) AS support,
+       CAST(predicted AS BIGINT) AS predicted, CAST(tp AS BIGINT) AS tp,
+       round(prec, 6) AS precision, round(rec, 6) AS recall,
+       round(CASE WHEN prec + rec > 0
+                  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+FROM r
+"""
+
+
+def q_classification_summary(spark, sf_dir):
+    """Accuracy + DECIMAL-summed macro means over the same report."""
+    from mrmr_spark.operators.evalmetrics import (
+        classification_report,
+        classification_summary,
+    )
+
+    out = classification_summary(classification_report(_clf_pred_frame(spark, sf_dir)))
+    return out.select(
+        "n", "n_classes", r6("accuracy").alias("accuracy"),
+        r6("macro_precision").alias("macro_precision"),
+        r6("macro_recall").alias("macro_recall"),
+        r6("macro_f1").alias("macro_f1"),
+    )
+
+
+SQL_CLASSIFICATION_SUMMARY = f"""
+WITH {_CLF_PRED_SQL}, f AS (
+  SELECT class, support, tp, prec, rec,
+         CASE WHEN prec + rec > 0
+              THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+  FROM r WHERE support > 0
+), a AS (
+  SELECT CAST(sum(support) AS BIGINT) AS n, count(*) AS n_classes,
+         CAST(sum(tp) AS BIGINT) AS tps,
+         sum(CAST(prec AS DECIMAL(28,12))) AS mp,
+         sum(CAST(rec AS DECIMAL(28,12))) AS mr,
+         sum(CAST(f1 AS DECIMAL(28,12))) AS mf
+  FROM f
+)
+SELECT n, CAST(n_classes AS BIGINT) AS n_classes,
+       round(tps::DOUBLE / n::DOUBLE, 6) AS accuracy,
+       round(CAST(mp AS DOUBLE) / n_classes::DOUBLE, 6) AS macro_precision,
+       round(CAST(mr AS DOUBLE) / n_classes::DOUBLE, 6) AS macro_recall,
+       round(CAST(mf AS DOUBLE) / n_classes::DOUBLE, 6) AS macro_f1
+FROM a
+"""
+
+
+def q_psi_report(spark, sf_dir):
+    """PSI drift between the even/odd event_id halves, with a planted
+    a-only category so the eps clamp is exercised — the oracle recomputes
+    shares, the log terms and the DECIMAL-summed total per category."""
+    from mrmr_spark.operators.evalmetrics import psi_report
+
+    ev = _events(spark, sf_dir)
+    cat = F.when(
+        (F.col("event_id") % 97 == 0) & (F.col("event_id") % 2 == 0),
+        F.lit("rare_burst"),
+    ).otherwise(F.col("event_type"))
+    half = ev.select(cat.alias("cat"), (F.col("event_id") % 2).alias("_h"))
+    a = half.where(F.col("_h") == 0).select("cat")
+    b = half.where(F.col("_h") == 1).select("cat")
+    out = psi_report(a, b, "cat")
+    return out.select(
+        "category", "n_a", "n_b",
+        r6("share_a").alias("share_a"), r6("share_b").alias("share_b"),
+        r6("psi_term").alias("psi_term"), r6("psi").alias("psi"),
+    )
+
+
+SQL_PSI_REPORT = """
+WITH src AS (
+  SELECT CASE WHEN event_id % 97 = 0 AND event_id % 2 = 0
+              THEN 'rare_burst' ELSE event_type END AS cat,
+         event_id % 2 AS h
+  FROM events
+), ca AS (
+  SELECT cat AS category, count(*) AS n_a FROM src WHERE h = 0 GROUP BY 1
+), cb AS (
+  SELECT cat AS category, count(*) AS n_b FROM src WHERE h = 1 GROUP BY 1
+), j AS (
+  SELECT coalesce(ca.category, cb.category) AS category,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+), t AS (
+  SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j
+), sh AS (
+  SELECT category, n_a, n_b,
+         greatest(n_a::DOUBLE / ta::DOUBLE, 1e-6) AS sa,
+         greatest(n_b::DOUBLE / tb::DOUBLE, 1e-6) AS sb
+  FROM j, t
+), sc AS (
+  SELECT category, n_a, n_b, sa, sb, (sa - sb) * ln(sa / sb) AS term FROM sh
+)
+SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sa, 6) AS share_a, round(sb, 6) AS share_b,
+       round(term, 6) AS psi_term,
+       round(CAST((SELECT sum(CAST(term AS DECIMAL(28,12))) FROM sc)
+                  AS DOUBLE), 6) AS psi
+FROM sc
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5805,6 +5970,9 @@ QUERIES = {
     "roc_auc": q_roc_auc,
     "calibration_bins": q_calibration_bins,
     "ece": q_ece,
+    "classification_report": q_classification_report,
+    "classification_summary": q_classification_summary,
+    "psi_report": q_psi_report,
 }
 
 ORACLE_SQL = {
@@ -5927,4 +6095,7 @@ ORACLE_SQL = {
     "roc_auc": SQL_ROC_AUC,
     "calibration_bins": SQL_CALIBRATION_BINS,
     "ece": SQL_ECE,
+    "classification_report": SQL_CLASSIFICATION_REPORT,
+    "classification_summary": SQL_CLASSIFICATION_SUMMARY,
+    "psi_report": SQL_PSI_REPORT,
 }

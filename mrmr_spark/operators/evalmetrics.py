@@ -45,6 +45,9 @@ __all__ = [
     "roc_auc",
     "calibration_report",
     "expected_calibration_error",
+    "classification_report",
+    "classification_summary",
+    "psi_report",
     "corpus_bleu",
     "rouge_l_scores",
     "lcs_length",
@@ -689,4 +692,148 @@ def expected_calibration_error(report: DataFrame) -> DataFrame:
         report.crossJoin(F.broadcast(tot))
         .agg(F.sum(_dec(term)).alias("_e"), F.sum("n").alias("n"))
         .select("n", F.col("_e").cast("double").alias("ece"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class classification report + distribution drift
+# ---------------------------------------------------------------------------
+
+def classification_report(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """Per-class precision/recall/F1 from (label, pred) pairs — the
+    multi-class companion to :func:`roc_auc`. ONE aggregation to the
+    confusion matrix (bounded by #classes², never corpus-sized), then
+    class-level rollups on that tiny frame. NULL labels/predictions are
+    kept as the literal class ``"<null>"`` (a real model failure mode —
+    silently dropping them would inflate every score).
+
+    Returns one row per class observed on EITHER side: ``class, support``
+    (true count), ``predicted`` (predicted count), ``tp``, ``precision``
+    (tp/predicted), ``recall`` (tp/support), ``f1`` — ratios of exact
+    integers (0.0 where the denominator is 0, the sklearn zero_division=0
+    convention)."""
+    lab = F.coalesce(F.col(label_col).cast("string"), F.lit("<null>"))
+    prd = F.coalesce(F.col(pred_col).cast("string"), F.lit("<null>"))
+    cm = (
+        df.select(lab.alias("_l"), prd.alias("_p"))
+        .groupBy("_l", "_p")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sup = cm.groupBy(F.col("_l").alias("class")).agg(F.sum("_c").alias("support"))
+    prdc = cm.groupBy(F.col("_p").alias("class")).agg(F.sum("_c").alias("predicted"))
+    tp = (
+        cm.where(F.col("_l") == F.col("_p"))
+        .select(F.col("_l").alias("class"), F.col("_c").alias("tp"))
+    )
+    out = (
+        sup.join(prdc, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("predicted") > 0,
+        F.col("tp").cast("double") / F.col("predicted").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "class", "support", "predicted", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def classification_summary(report: DataFrame) -> DataFrame:
+    """Accuracy + macro means from a :func:`classification_report` frame:
+    ``accuracy`` = Σtp/N is an exact integer ratio; the macro means sum
+    DECIMAL(28,12)-quantized per-class values (layout-independent).
+    Classes with zero support are excluded from the macros (they exist
+    only as false predictions — averaging their zero recall in would
+    depend on how many junk labels the model invents). Returns one row:
+    ``n, n_classes, accuracy, macro_precision, macro_recall, macro_f1``."""
+    r = report.where(F.col("support") > 0)
+    agg = r.agg(
+        F.sum("support").alias("n"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("tp").alias("_tp"),
+        F.sum(_dec(F.col("precision"))).alias("_mp"),
+        F.sum(_dec(F.col("recall"))).alias("_mr"),
+        F.sum(_dec(F.col("f1"))).alias("_mf"),
+    )
+    k = F.col("n_classes").cast("double")
+    return agg.select(
+        "n",
+        "n_classes",
+        (F.col("_tp").cast("double") / F.col("n").cast("double")).alias("accuracy"),
+        (F.col("_mp").cast("double") / k).alias("macro_precision"),
+        (F.col("_mr").cast("double") / k).alias("macro_recall"),
+        (F.col("_mf").cast("double") / k).alias("macro_f1"),
+    )
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population stability index between two snapshots of a categorical
+    column — the standard drift monitor between a reference corpus and a
+    new ingest (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted).
+    For numeric columns, bin first (``select.binning.quantile_bins`` on
+    the REFERENCE's cuts) and pass the bin id.
+
+    Each side is ONE count aggregation (shuffle ∝ #categories); the
+    category frames full-outer join so one-sided categories surface.
+    Zero shares clamp to ``eps`` (PSI's log is undefined at 0 — the
+    standard convention), NULL is the literal ``"<null>"`` category.
+    Per-category contributions are emitted for attribution, with the
+    DECIMAL(28,12)-quantized total on every row: ``category, n_a, n_b,
+    share_a, share_b, psi_term, psi``."""
+    if not (eps > 0):
+        raise ValueError(f"psi_report: eps must be > 0, got {eps}")
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        c = F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+        return df.select(c.alias("category")).groupBy("category").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+    ca, cb = _counts(df_a, "n_a"), _counts(df_b, "n_b")
+    j = (
+        ca.join(cb, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    j = j.crossJoin(F.broadcast(tot))
+    sa = F.greatest(
+        F.col("n_a").cast("double") / F.col("_ta").cast("double"), F.lit(eps)
+    )
+    sb = F.greatest(
+        F.col("n_b").cast("double") / F.col("_tb").cast("double"), F.lit(eps)
+    )
+    term = (sa - sb) * F.log(sa / sb)
+    w = Window.partitionBy(F.lit(1))
+    scored = j.select(
+        "category", "n_a", "n_b",
+        sa.alias("share_a"), sb.alias("share_b"), term.alias("psi_term"),
+    )
+    # the window runs over the #categories-row frame only (already the
+    # product of two aggregations), so the single partition is fine
+    return scored.select(
+        "*", F.sum(_dec(F.col("psi_term"))).over(w).cast("double").alias("psi")
     )

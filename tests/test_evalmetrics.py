@@ -458,3 +458,99 @@ def test_calibration_validation(spark):
     bad = spark.createDataFrame([(1.5, 1)], "prob double, label int")
     with pytest.raises(Exception, match="within"):
         calibration_report(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# classification report + PSI drift
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import (
+    classification_report,
+    classification_summary,
+    psi_report,
+)
+
+CLF_ROWS = (
+    [("a", "a")] * 10 + [("a", "b")] * 2 + [("b", "b")] * 8 + [("b", "c")] * 1
+    + [("c", "a")] * 3 + [(None, "a")] * 2 + [("d", "zz")] * 2
+)
+
+
+def test_classification_report_matches_python(spark):
+    df = spark.createDataFrame(CLF_ROWS, "label string, pred string")
+    got = classification_report(df).toPandas().set_index("class")
+    sup, prd, tp = {}, {}, {}
+    for l, p in CLF_ROWS:
+        l = l if l is not None else "<null>"
+        sup[l] = sup.get(l, 0) + 1
+        prd[p] = prd.get(p, 0) + 1
+        if l == p:
+            tp[l] = tp.get(l, 0) + 1
+    for cls in set(sup) | set(prd):
+        row = got.loc[cls]
+        s, q, t = sup.get(cls, 0), prd.get(cls, 0), tp.get(cls, 0)
+        assert row["support"] == s and row["predicted"] == q and row["tp"] == t
+        prec = t / q if q else 0.0
+        rec = t / s if s else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        assert abs(row["precision"] - prec) < 1e-12
+        assert abs(row["recall"] - rec) < 1e-12
+        assert abs(row["f1"] - f1) < 1e-12
+    # 'zz' exists only as a prediction: support 0, recall 0
+    assert got.loc["zz", "support"] == 0 and got.loc["zz", "recall"] == 0.0
+
+
+def test_classification_summary_excludes_phantom_classes(spark):
+    df = spark.createDataFrame(CLF_ROWS, "label string, pred string")
+    rep = classification_report(df)
+    got = classification_summary(rep).collect()[0]
+    n = len(CLF_ROWS)
+    assert got["n"] == n
+    # zz has zero support -> excluded; <null>, a, b, c, d remain
+    assert got["n_classes"] == 5
+    assert abs(got["accuracy"] - 18 / n) < 1e-12
+    # macro recall: mean over supported classes only
+    recalls = [0.0, 10 / 12, 8 / 9, 0.0, 0.0]  # <null>, a, b, c, d
+    assert abs(got["macro_recall"] - sum(recalls) / 5) < 1e-9
+
+
+def test_psi_report_matches_python(spark):
+    import math
+
+    a_counts = {"x": 50, "y": 30, "z": 20}
+    b_counts = {"x": 30, "y": 50, "w": 20}
+    a = spark.createDataFrame([(k,) for k, n in a_counts.items() for _ in range(n)], "c string")
+    b = spark.createDataFrame([(k,) for k, n in b_counts.items() for _ in range(n)], "c string")
+    got = psi_report(a, b, "c").toPandas().set_index("category")
+    ta, tb = sum(a_counts.values()), sum(b_counts.values())
+    expected_total = 0.0
+    for cat in set(a_counts) | set(b_counts):
+        sa = max(a_counts.get(cat, 0) / ta, 1e-6)
+        sb = max(b_counts.get(cat, 0) / tb, 1e-6)
+        term = (sa - sb) * math.log(sa / sb)
+        expected_total += term
+        assert abs(got.loc[cat, "psi_term"] - term) < 1e-12, cat
+    assert abs(got["psi"].iloc[0] - expected_total) < 1e-9
+    assert (got["psi"] == got["psi"].iloc[0]).all()  # total on every row
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    rows = [(f"c{i % 4}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "c string")
+    got = psi_report(df, df, "c").toPandas()
+    assert (got["psi_term"] == 0.0).all() and got["psi"].iloc[0] == 0.0
+    with pytest.raises(ValueError, match="eps"):
+        psi_report(df, df, "c", eps=0.0)
+
+
+def test_psi_null_category_and_invariance(spark):
+    rows_a = [("x",), (None,), ("x",), (None,)] * 25
+    rows_b = [("x",), ("x",), ("x",), (None,)] * 25
+    a = spark.createDataFrame(rows_a, "c string")
+    b = spark.createDataFrame(rows_b, "c string")
+    one = psi_report(a.repartition(1), b.repartition(1), "c").toPandas()
+    many = psi_report(a.repartition(9), b.repartition(9), "c").toPandas()
+    assert set(one["category"]) == {"x", "<null>"}
+    p1 = one.sort_values("category").reset_index(drop=True)
+    p2 = many.sort_values("category").reset_index(drop=True)
+    assert (p1["psi"] == p2["psi"]).all()  # decimal-summed total, bit-equal

@@ -430,6 +430,16 @@ def main():
           "in-range window, O(#ranges) broadcast offsets) — same shape as "
           "pack_documents, asserted by the bit-exact partition-invariance "
           "pytest")
+    audit("psi_report (categorical drift between snapshots)",
+          gate.QUERIES["psi_report"](spark, SF),
+          "one count agg per snapshot (shuffle proportional to categories), "
+          "full-outer join of the category frames + a 1-row broadcast of "
+          "totals; the total-PSI window runs on the #categories-row frame "
+          "only, so its single partition is bounded by the category domain")
+    audit("classification_report (multi-class eval rollup)",
+          gate.QUERIES["classification_report"](spark, SF),
+          "one aggregation to the confusion matrix (#classes^2 rows), then "
+          "joins/rollups on that tiny frame only")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
