@@ -293,6 +293,7 @@ def main():
         "roc_auc",
         "classification_report",
         "psi_report",
+        "majority_vote",
         "pca_project",
     ]:
         fn = gate.QUERIES[name]

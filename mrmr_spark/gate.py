@@ -5850,6 +5850,91 @@ FROM sc
 """
 
 
+def q_majority_vote(spark, sf_dir):
+    """Self-consistency vote over constructed per-problem samples
+    (problem = user_id bucket, answer = event_type with a value-derived
+    abstention) — the oracle re-derives the modal answer with the same
+    count-then-lexicographic tie-break via a window."""
+    from mrmr_spark.operators.evalmetrics import majority_vote
+
+    ev = _events(spark, sf_dir)
+    samples = ev.select(
+        (F.col("user_id") % 60).alias("problem_id"),
+        F.when(F.col("value") < 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("answer"),
+    )
+    out = majority_vote(samples)
+    return out.select(
+        "problem_id", "answer", "vote_count", "n_samples", "n_distinct",
+        r6("vote_share").alias("vote_share"),
+    )
+
+
+SQL_MAJORITY_VOTE = """
+WITH s AS (
+  SELECT user_id % 60 AS q,
+         CASE WHEN value < 0 THEN '' ELSE event_type END AS a
+  FROM events
+), c AS (
+  SELECT q, a, count(*) AS c FROM s GROUP BY 1, 2
+), r AS (
+  SELECT q, a, c,
+         row_number() OVER (PARTITION BY q ORDER BY c DESC, a ASC) AS rn,
+         sum(c) OVER (PARTITION BY q) AS n,
+         count(*) OVER (PARTITION BY q) AS k
+  FROM c
+)
+SELECT q AS problem_id, a AS answer, CAST(c AS BIGINT) AS vote_count,
+       CAST(n AS BIGINT) AS n_samples, CAST(k AS BIGINT) AS n_distinct,
+       round(c::DOUBLE / n::DOUBLE, 6) AS vote_share
+FROM r WHERE rn = 1
+"""
+
+
+def q_win_rates(spark, sf_dir):
+    """Head-to-head matrix over the bt_ratings comparison set — the
+    oracle rebuilds every canonical-pair cell from plain GROUP BYs, so
+    the two rows (global BT fit + its per-cell evidence) cross-check."""
+    from mrmr_spark.operators.evalmetrics import pairwise_win_rates
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.col("source")
+    b = F.concat(F.lit("src"), ((F.col("doc_id") * 7 + 3) % 20).cast("string"))
+    cmp = d.where(a != b).select(
+        F.when(F.col("n_chars") % 2 == 0, a).otherwise(b).alias("winner"),
+        F.when(F.col("n_chars") % 2 == 0, b).otherwise(a).alias("loser"),
+    )
+    out = pairwise_win_rates(cmp)
+    return out.select(
+        "item_a", "item_b", "n", "wins_a", "wins_b",
+        r6("win_rate_a").alias("win_rate_a"),
+    )
+
+
+SQL_WIN_RATES = """
+WITH cmp AS (
+  SELECT CASE WHEN n_chars % 2 = 0 THEN source ELSE cand END AS w,
+         CASE WHEN n_chars % 2 = 0 THEN cand ELSE source END AS l
+  FROM (SELECT doc_id, source, n_chars,
+               'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS cand
+        FROM documents)
+  WHERE source <> cand
+), p AS (
+  SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+         CASE WHEN w = least(w, l) THEN 1 ELSE 0 END AS wa
+  FROM cmp
+), g AS (
+  SELECT item_a, item_b, count(*) AS n, sum(wa) AS wins_a
+  FROM p GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n AS BIGINT) AS n, CAST(wins_a AS BIGINT) AS wins_a,
+       CAST(n - wins_a AS BIGINT) AS wins_b,
+       round(wins_a::DOUBLE / n::DOUBLE, 6) AS win_rate_a
+FROM g
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -5973,6 +6058,8 @@ QUERIES = {
     "classification_report": q_classification_report,
     "classification_summary": q_classification_summary,
     "psi_report": q_psi_report,
+    "majority_vote": q_majority_vote,
+    "win_rates": q_win_rates,
 }
 
 ORACLE_SQL = {
@@ -6098,4 +6185,6 @@ ORACLE_SQL = {
     "classification_report": SQL_CLASSIFICATION_REPORT,
     "classification_summary": SQL_CLASSIFICATION_SUMMARY,
     "psi_report": SQL_PSI_REPORT,
+    "majority_vote": SQL_MAJORITY_VOTE,
+    "win_rates": SQL_WIN_RATES,
 }

@@ -52,6 +52,8 @@ __all__ = [
     "rouge_l_scores",
     "lcs_length",
     "bradley_terry",
+    "majority_vote",
+    "pairwise_win_rates",
     "fleiss_kappa",
     "cohens_kappa",
 ]
@@ -836,4 +838,77 @@ def psi_report(
     # product of two aggregations), so the single partition is fine
     return scored.select(
         "*", F.sum(_dec(F.col("psi_term"))).over(w).cast("double").alias("psi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-consistency + head-to-head aggregation
+# ---------------------------------------------------------------------------
+
+def majority_vote(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """Self-consistency aggregation (Wang et al. 2023) over sampled
+    generations: one row per problem with the modal answer. Ties break
+    to the lexicographically smallest answer — deterministic under any
+    partitioning (the vote should never depend on task order). NULL
+    answers count as the empty string (an abstention is a vote).
+
+    Two map-side-combined aggregations, both keyed on the problem (the
+    second also bounded by distinct answers per problem). Returns
+    ``problem_col, answer, vote_count, n_samples, n_distinct,
+    vote_share`` — share an exact integer ratio."""
+    prob = F.col(problem_col)
+    ans = F.coalesce(F.col(answer_col).cast("string"), F.lit(""))
+    cnt = (
+        df.select(prob.alias("_q"), ans.alias("_a"))
+        .groupBy("_q", "_a")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # min over struct((-count), answer): largest count first, then the
+    # lexicographically smallest answer — one deterministic aggregate
+    best = F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_a").alias("_a")))
+    out = cnt.groupBy("_q").agg(
+        best.alias("_best"),
+        F.sum("_c").alias("n_samples"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return out.select(
+        F.col("_q").alias(problem_col),
+        F.col("_best._a").alias("answer"),
+        (-F.col("_best._nc")).alias("vote_count"),
+        "n_samples",
+        "n_distinct",
+        ((-F.col("_best._nc")).cast("double") / F.col("n_samples").cast("double"))
+        .alias("vote_share"),
+    )
+
+
+def pairwise_win_rates(
+    df: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Head-to-head win-rate matrix from comparison outcomes — the
+    leaderboard companion to :func:`bradley_terry` (which fits a global
+    scale; this shows every cell the fit summarizes). ONE aggregation
+    keyed on the unordered pair (shuffle ∝ distinct pairs). Returns one
+    row per observed pair with items in canonical (min, max) order:
+    ``item_a, item_b, n, wins_a, wins_b, win_rate_a`` — the rate an
+    exact integer ratio."""
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    a, b = F.least(w, l), F.greatest(w, l)
+    out = (
+        df.select(a.alias("item_a"), b.alias("item_b"), (w == a).cast("long").alias("_wa"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_wa").alias("wins_a"))
+    )
+    return out.select(
+        "item_a", "item_b", "n", "wins_a",
+        (F.col("n") - F.col("wins_a")).alias("wins_b"),
+        (F.col("wins_a").cast("double") / F.col("n").cast("double"))
+        .alias("win_rate_a"),
     )

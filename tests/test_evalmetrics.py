@@ -554,3 +554,48 @@ def test_psi_null_category_and_invariance(spark):
     p1 = one.sort_values("category").reset_index(drop=True)
     p2 = many.sort_values("category").reset_index(drop=True)
     assert (p1["psi"] == p2["psi"]).all()  # decimal-summed total, bit-equal
+
+
+# ---------------------------------------------------------------------------
+# majority vote + win-rate matrix
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import majority_vote, pairwise_win_rates
+
+
+def test_majority_vote_counts_and_tiebreak(spark):
+    rows = (
+        [(1, "x")] * 3 + [(1, "y")] * 2          # clear winner
+        + [(2, "b")] * 2 + [(2, "a")] * 2        # tie -> lexicographic 'a'
+        + [(3, None)] * 2 + [(3, "z")]           # abstentions outvote z
+    )
+    df = spark.createDataFrame(rows, "problem_id long, answer string")
+    got = majority_vote(df).toPandas().set_index("problem_id")
+    assert got.loc[1, "answer"] == "x" and got.loc[1, "vote_count"] == 3
+    assert got.loc[1, "n_samples"] == 5 and got.loc[1, "n_distinct"] == 2
+    assert abs(got.loc[1, "vote_share"] - 0.6) < 1e-12
+    assert got.loc[2, "answer"] == "a"           # deterministic tie-break
+    assert got.loc[3, "answer"] == "" and got.loc[3, "vote_count"] == 2
+    # partition invariance
+    alt = majority_vote(df.repartition(7)).toPandas().set_index("problem_id")
+    assert (alt["answer"] == got["answer"]).all()
+
+
+def test_pairwise_win_rates_matches_python(spark):
+    rows = (
+        [("A", "B")] * 9 + [("B", "A")] * 1
+        + [("C", "B")] * 3 + [("B", "C")] * 7
+        + [("A", "C")] * 5
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {
+        (r["item_a"], r["item_b"]): r for r in pairwise_win_rates(df).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab["n"] == 10 and ab["wins_a"] == 9 and ab["wins_b"] == 1
+    assert abs(ab["win_rate_a"] - 0.9) < 1e-12
+    bc = got[("B", "C")]
+    assert bc["n"] == 10 and bc["wins_a"] == 7     # B canonical side a
+    ac = got[("A", "C")]
+    assert ac["n"] == 5 and ac["wins_a"] == 5 and ac["win_rate_a"] == 1.0
+    assert len(got) == 3
