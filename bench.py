@@ -295,6 +295,8 @@ def main():
         "psi_report",
         "majority_vote",
         "pca_project",
+        "bootstrap_ci",
+        "paired_bootstrap",
     ]:
         fn = gate.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).select(F.count(F.lit(1))).collect())

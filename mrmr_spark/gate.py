@@ -5935,6 +5935,193 @@ FROM g
 """
 
 
+def _boot_value_col():
+    """Deterministic per-doc score in [0,1): ((doc_id·37+11) mod 997)/997."""
+    return F.pmod(F.col("doc_id") * 37 + 11, F.lit(997)).cast("double") / F.lit(997.0)
+
+
+def _boot_value_b_col():
+    return (
+        F.pmod(F.col("doc_id") * 53 + 7, F.lit(997)).cast("double") / F.lit(997.0)
+    ) * F.lit(0.9)
+
+
+_BOOT_N, _BOOT_SEED = 50, 7
+
+
+def q_bootstrap_reps(spark, sf_dir):
+    """Poisson-bootstrap replicate means on the affine (ANSI-SQL) weight
+    family: the oracle recomputes every per-(row, replicate) uniform with
+    the same Knuth modular arithmetic, inverts the same 12 Poisson(1) CDF
+    literals, and re-aggregates the DECIMAL-quantized weighted sums — so
+    weight generation, the replicate keying and the mean quantization are
+    all value-checked replicate by replicate."""
+    from mrmr_spark.operators.evalmetrics import bootstrap_replicates
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _boot_value_col().alias("value")
+    )
+    out = bootstrap_replicates(
+        d, "value", "doc_id", n_boot=_BOOT_N, seed=_BOOT_SEED, hash_fn="affine"
+    )
+    return out.select("replicate", "n_eff", r6("est").alias("est"))
+
+
+def _boot_sql_weight(u: str) -> str:
+    from mrmr_spark.operators.evalmetrics import _POIS1_CDF
+
+    return " + ".join(
+        f"(CASE WHEN {u} >= {c!r} THEN 1 ELSE 0 END)" for c in _POIS1_CDF
+    )
+
+
+def _boot_sql_reps(x_expr: str) -> str:
+    """Shared CTE text: vals(doc_id, x) -> reps(b, n_eff, num) under the
+    affine family at n_boot=50, seed=7 (mirrors evalmetrics._boot_uniform
+    + _poisson1_weight + _replicates_of term quantization)."""
+    return f"""vals AS (
+  SELECT doc_id, {x_expr} AS x FROM documents
+), wb AS (
+  SELECT x, b,
+         CAST((((doc_id * {_BOOT_N} + b) % 2147483648) * 2654435761
+               + {_BOOT_SEED}) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+  FROM vals CROSS JOIN (SELECT unnest(range({_BOOT_N})) AS b) r
+), ww AS (
+  SELECT x, b, {_boot_sql_weight("u")} AS w FROM wb
+), reps AS (
+  SELECT b, SUM(w) AS n_eff, SUM(CAST(w * x AS DECIMAL(28,12))) AS num
+  FROM ww GROUP BY b
+)"""
+
+
+_BOOT_SQL_X = "((doc_id * 37 + 11) % 997) / 997.0"
+_BOOT_SQL_D = f"{_BOOT_SQL_X} - (((doc_id * 53 + 7) % 997) / 997.0) * 0.9"
+
+SQL_BOOTSTRAP_REPS = f"""
+WITH {_boot_sql_reps(_BOOT_SQL_X)}
+SELECT CAST(b AS INT) AS replicate, CAST(n_eff AS BIGINT) AS n_eff,
+       round(CASE WHEN n_eff > 0
+                  THEN CAST(num AS DOUBLE) / CAST(n_eff AS DOUBLE) END, 6) AS est
+FROM reps
+"""
+
+#: order-statistic CI + se CTEs over the replicate frame (mirrors
+#: evalmetrics._ci_stats op for op, incl. the exact alpha/2 double literals)
+_BOOT_SQL_CI = f"""flt AS (
+  SELECT b, CAST(num AS DOUBLE) / CAST(n_eff AS DOUBLE) AS est
+  FROM reps WHERE n_eff > 0
+), ranked AS (
+  SELECT est, ROW_NUMBER() OVER (ORDER BY est, b) AS rk FROM flt
+), s AS (
+  SELECT COUNT(*) AS bb,
+         SUM(CAST(est AS DECIMAL(28,12))) AS s1,
+         SUM(CAST(est * est AS DECIMAL(28,12))) AS s2,
+         SUM(CASE WHEN est <= 0 THEN 1 ELSE 0 END) AS nle
+  FROM flt
+), k AS (
+  SELECT bb, nle,
+         sqrt(GREATEST((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / bb)
+                       / (bb - 1), 0.0)) AS se,
+         CAST(GREATEST(CEIL(bb * {0.05 / 2.0!r}), 1) AS INT) AS klo,
+         CAST(LEAST(CEIL(bb * {1.0 - 0.05 / 2.0!r}), bb) AS INT) AS khi
+  FROM s
+)"""
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap CI of the mean: the oracle re-runs the full
+    replicate construction, then mirrors the order-statistic rank picks
+    (⌈B·α/2⌉ / ⌈B·(1−α/2)⌉ with the identical double literals) and the
+    DECIMAL-summed se — the CI endpoints are exact replicate values, not
+    interpolations, which is what makes this row hash-checkable."""
+    from mrmr_spark.operators.evalmetrics import bootstrap_mean_ci
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _boot_value_col().alias("value")
+    )
+    pin: list = []
+    out = bootstrap_mean_ci(
+        d, "value", "doc_id", n_boot=_BOOT_N, seed=_BOOT_SEED,
+        alpha=0.05, hash_fn="affine", pin=pin,
+    )
+    res = out.select(
+        "n", r6("mean").alias("mean"), "b", r6("se").alias("se"),
+        r6("ci_lo").alias("ci_lo"), r6("ci_hi").alias("ci_hi"),
+    ).toPandas()
+    for h in pin:
+        h.unpersist()
+    return spark.createDataFrame(
+        res, "n long, mean double, b long, se double, ci_lo double, ci_hi double"
+    )
+
+
+SQL_BOOTSTRAP_CI = f"""
+WITH {_boot_sql_reps(_BOOT_SQL_X)}, {_BOOT_SQL_CI},
+obs AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean
+  FROM vals
+)
+SELECT obs.n AS n, round(obs.mean, 6) AS mean, CAST(k.bb AS BIGINT) AS b,
+       round(k.se, 6) AS se, round(lo.est, 6) AS ci_lo, round(hi.est, 6) AS ci_hi
+FROM obs, k
+JOIN ranked lo ON lo.rk = k.klo
+JOIN ranked hi ON hi.rk = k.khi
+"""
+
+
+def q_paired_bootstrap(spark, sf_dir):
+    """Paired-bootstrap significance test (Koehn 2004) between two
+    constructed per-doc systems: the per-row difference bootstraps with
+    shared weights, and the oracle re-derives the one-sided add-one
+    p-value from its own replicate count — p, delta, se and both CI
+    endpoints hash-match."""
+    from mrmr_spark.operators.evalmetrics import paired_bootstrap_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _boot_value_col().alias("value_a"),
+        _boot_value_b_col().alias("value_b"),
+    )
+    pin: list = []
+    out = paired_bootstrap_test(
+        d, "value_a", "value_b", "doc_id", n_boot=_BOOT_N, seed=_BOOT_SEED,
+        alpha=0.05, hash_fn="affine", pin=pin,
+    )
+    res = out.select(
+        "n", r6("delta").alias("delta"), "b", r6("se").alias("se"),
+        r6("p_value").alias("p_value"),
+        r6("ci_lo").alias("ci_lo"), r6("ci_hi").alias("ci_hi"),
+    ).toPandas()
+    for h in pin:
+        h.unpersist()
+    return spark.createDataFrame(
+        res,
+        "n long, delta double, b long, se double, p_value double, "
+        "ci_lo double, ci_hi double",
+    )
+
+
+SQL_PAIRED_BOOTSTRAP = f"""
+WITH {_boot_sql_reps(_BOOT_SQL_D)}, {_BOOT_SQL_CI},
+obs AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS delta
+  FROM vals
+)
+SELECT obs.n AS n, round(obs.delta, 6) AS delta, CAST(k.bb AS BIGINT) AS b,
+       round(k.se, 6) AS se,
+       round(CAST(1 + k.nle AS DOUBLE) / CAST(k.bb + 1 AS DOUBLE), 6) AS p_value,
+       round(lo.est, 6) AS ci_lo, round(hi.est, 6) AS ci_hi
+FROM obs, k
+JOIN ranked lo ON lo.rk = k.klo
+JOIN ranked hi ON hi.rk = k.khi
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
@@ -6060,6 +6247,9 @@ QUERIES = {
     "psi_report": q_psi_report,
     "majority_vote": q_majority_vote,
     "win_rates": q_win_rates,
+    "bootstrap_reps": q_bootstrap_reps,
+    "bootstrap_ci": q_bootstrap_ci,
+    "paired_bootstrap": q_paired_bootstrap,
 }
 
 ORACLE_SQL = {
@@ -6187,4 +6377,7 @@ ORACLE_SQL = {
     "psi_report": SQL_PSI_REPORT,
     "majority_vote": SQL_MAJORITY_VOTE,
     "win_rates": SQL_WIN_RATES,
+    "bootstrap_reps": SQL_BOOTSTRAP_REPS,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "paired_bootstrap": SQL_PAIRED_BOOTSTRAP,
 }

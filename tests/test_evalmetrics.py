@@ -599,3 +599,140 @@ def test_pairwise_win_rates_matches_python(spark):
     ac = got[("A", "C")]
     assert ac["n"] == 5 and ac["wins_a"] == 5 and ac["win_rate_a"] == 1.0
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# bootstrap CIs + paired significance
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import (
+    _POIS1_CDF,
+    bootstrap_mean_ci,
+    bootstrap_replicates,
+    paired_bootstrap_test,
+)
+
+
+def _py_affine_u(i, b, n_boot, seed):
+    mixed = i * n_boot + b
+    return ((mixed % 2**31) * 2654435761 + seed) % 2**32 / 2**32
+
+
+def _py_weight(u):
+    return sum(1 for c in _POIS1_CDF if u >= c)
+
+
+def _boot_rows(n=40):
+    # deterministic values in [0, 1)
+    return [(i, ((i * 37 + 11) % 97) / 97.0) for i in range(n)]
+
+
+def test_bootstrap_replicates_match_python_oracle(spark):
+    rows = _boot_rows()
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+    got = bootstrap_replicates(
+        df, "value", "doc_id", n_boot=25, seed=7, hash_fn="affine"
+    ).collect()
+    assert len(got) == 25
+    for r in got:
+        b = r["replicate"]
+        ws = [_py_weight(_py_affine_u(i, b, 25, 7)) for i, _ in rows]
+        num = sum(w * x for (_, x), w in zip(rows, ws))
+        assert r["n_eff"] == sum(ws)                      # exact integer
+        assert abs(r["est"] - num / sum(ws)) < 1e-9       # quantized terms
+    # Poisson(1) weights: total mass near n per replicate
+    mean_eff = sum(r["n_eff"] for r in got) / len(got)
+    assert 0.7 * len(rows) < mean_eff < 1.3 * len(rows)
+
+
+def test_bootstrap_replicates_partition_invariance_bitexact(spark):
+    rows = _boot_rows(60)
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+    outs = []
+    for parts in (1, 13):
+        got = bootstrap_replicates(
+            df.repartition(parts), "value", "doc_id", n_boot=30, seed=3
+        ).orderBy("replicate").collect()
+        outs.append([(r["n_eff"], r["est"]) for r in got])
+    assert outs[0] == outs[1]  # decimal-quantized terms: bit-identical
+
+
+def test_bootstrap_mean_ci_matches_order_statistics(spark):
+    rows = _boot_rows(50)
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+    pin = []
+    got = bootstrap_mean_ci(
+        df, "value", "doc_id", n_boot=40, seed=5, alpha=0.1, pin=pin
+    ).collect()[0]
+    for h in pin:
+        h.unpersist()
+    reps = sorted(
+        r["est"]
+        for r in bootstrap_replicates(
+            df, "value", "doc_id", n_boot=40, seed=5
+        ).collect()
+    )
+    assert got["b"] == 40
+    k_lo = max(int(math.ceil(40 * (0.1 / 2.0))), 1)
+    k_hi = min(int(math.ceil(40 * (1.0 - 0.1 / 2.0))), 40)
+    assert got["ci_lo"] == reps[k_lo - 1]                 # exact order stats
+    assert got["ci_hi"] == reps[k_hi - 1]
+    assert got["ci_lo"] <= got["mean"] <= got["ci_hi"]
+    assert got["n"] == 50
+    obs = sum(x for _, x in rows) / 50
+    assert abs(got["mean"] - obs) < 1e-9
+    m = sum(reps) / len(reps)
+    se_py = math.sqrt(sum((e - m) ** 2 for e in reps) / (len(reps) - 1))
+    assert abs(got["se"] - se_py) < 1e-7
+
+
+def test_paired_bootstrap_constant_shift_and_null(spark):
+    rows = [(i, x, x - 0.3) for i, x in _boot_rows(30)]
+    df = spark.createDataFrame(rows, "doc_id long, value_a double, value_b double")
+    pin = []
+    got = paired_bootstrap_test(
+        df, "value_a", "value_b", "doc_id", n_boot=50, seed=11, pin=pin
+    ).collect()[0]
+    for h in pin:
+        h.unpersist()
+    # constant per-row difference: every replicate delta is exactly 0.3
+    assert abs(got["delta"] - 0.3) < 1e-9
+    assert abs(got["ci_lo"] - 0.3) < 1e-9 and abs(got["ci_hi"] - 0.3) < 1e-9
+    assert got["p_value"] == 1.0 / 51.0                  # no replicate <= 0
+    # identical systems: p = 1 exactly
+    same = spark.createDataFrame(
+        [(i, x, x) for i, x in _boot_rows(30)],
+        "doc_id long, value_a double, value_b double",
+    )
+    pin2 = []
+    g2 = paired_bootstrap_test(
+        same, "value_a", "value_b", "doc_id", n_boot=50, seed=11, pin=pin2
+    ).collect()[0]
+    for h in pin2:
+        h.unpersist()
+    assert g2["p_value"] == 1.0 and g2["delta"] == 0.0
+
+
+def test_bootstrap_single_aggregation_plan(spark):
+    df = spark.createDataFrame(_boot_rows(20), "doc_id long, value double")
+    plan = (
+        bootstrap_replicates(df, "value", "doc_id", n_boot=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1                   # the replicate groupBy
+    assert "Python" not in plan and "InMemory" not in plan
+
+
+def test_bootstrap_validation(spark):
+    df = spark.createDataFrame(_boot_rows(5), "doc_id long, value double")
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_replicates(df, n_boot=1, value_col="value")
+    with pytest.raises(ValueError, match="hash_fn"):
+        bootstrap_replicates(df, value_col="value", hash_fn="md5")
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, value_col="value", alpha=1.5)
+    bad = spark.createDataFrame(
+        [(1, float("nan"))], "doc_id long, value double"
+    )
+    with pytest.raises(Exception, match="finite"):
+        bootstrap_replicates(bad, "value", "doc_id", n_boot=5).collect()

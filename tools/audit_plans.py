@@ -440,6 +440,20 @@ def main():
           gate.QUERIES["classification_report"](spark, SF),
           "one aggregation to the confusion matrix (#classes^2 rows), then "
           "joins/rollups on that tiny frame only")
+    audit("bootstrap_reps (Poisson-bootstrap replicate means)",
+          gate.QUERIES["bootstrap_reps"](spark, SF),
+          "ONE map-side-combinable aggregation keyed on the replicate id: "
+          "the explode fans out n_boot weight terms per row but partial "
+          "state is n_boot rows per partition, so the single exchange "
+          "carries n_boot x #partitions rows at any corpus size "
+          "(plan-asserted in pytest: 1 Exchange, 0 Python nodes)")
+    audit("paired_bootstrap (Koehn paired significance test)",
+          gate.QUERIES["paired_bootstrap"](spark, SF),
+          "gate row materializes via toPandas; the engine plan is the "
+          "replicate aggregation (one corpus pass) persisted at n_boot "
+          "rows, then rank window + count/sum consumers on that tiny "
+          "cached frame only — the single-partition window is bounded by "
+          "n_boot, never the corpus")
     audit("mrmr_event_features (e2e FE + selection ranking)",
           gate.QUERIES["mrmr_event_features"](spark, SF),
           "ranking materialized from driver state — the selection scans have "
