@@ -1002,6 +1002,13 @@ def bootstrap_replicates(
     Returns ``replicate, n_eff, est`` (est NULL for a replicate whose
     weights all drew 0 — probability ≤ e^{-n}, real only on toy inputs).
     Rejects NULL/NaN/±inf values at execution time.
+
+    **Cluster bootstrap for free**: weights depend only on ``id_col``, so
+    passing a GROUP id (e.g. ``conv_id`` for per-turn metrics over
+    transcripts) gives every row of a group the same weight per replicate
+    — exactly the cluster bootstrap, which is the correct resampling unit
+    when rows within a conversation are correlated (per-turn resampling
+    would understate the variance). Tested as an invariant.
     """
     return _replicates_of(df, _finite_value(value_col), id_col, n_boot, seed, hash_fn)
 

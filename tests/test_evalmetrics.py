@@ -736,3 +736,29 @@ def test_bootstrap_validation(spark):
     )
     with pytest.raises(Exception, match="finite"):
         bootstrap_replicates(bad, "value", "doc_id", n_boot=5).collect()
+
+
+def test_bootstrap_cluster_resampling_by_group_id(spark):
+    # passing a GROUP id as id_col shares one weight across the group's
+    # rows (the cluster bootstrap): replicate means over exploded groups
+    # equal replicate means over the group aggregates
+    groups = [(g, ((g * 37 + 11) % 97) / 97.0) for g in range(20)]
+    per_row = [(g, x) for g, x in groups for _ in range(3)]  # 3 turns/conv
+    df_rows = spark.createDataFrame(per_row, "conv_id long, value double")
+    df_grp = spark.createDataFrame(groups, "conv_id long, value double")
+    r_rows = {
+        r["replicate"]: r
+        for r in bootstrap_replicates(
+            df_rows, "value", "conv_id", n_boot=20, seed=9, hash_fn="affine"
+        ).collect()
+    }
+    r_grp = {
+        r["replicate"]: r
+        for r in bootstrap_replicates(
+            df_grp, "value", "conv_id", n_boot=20, seed=9, hash_fn="affine"
+        ).collect()
+    }
+    for b in r_grp:
+        assert r_rows[b]["n_eff"] == 3 * r_grp[b]["n_eff"]
+        # identical weighted mean: every group member carries the weight
+        assert abs(r_rows[b]["est"] - r_grp[b]["est"]) < 1e-12
