@@ -5935,6 +5935,182 @@ FROM g
 """
 
 
+def _chrf_pairs(spark, sf_dir):
+    """Shared (pred, ref) construction for the chrF rows: doc_id%5 subset
+    (the per-order clipped-gram folds are quadratic in gram count — the
+    48-char truncation bounds them), ref per doc_id%3 = identical /
+    30-char truncation / reversed characters."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    pred = F.substring(F.col("text"), 1, 48)
+    ref = (
+        F.when(F.col("doc_id") % 3 == 0, pred)
+        .when(F.col("doc_id") % 3 == 1, F.substring(F.col("text"), 1, 30))
+        .otherwise(F.reverse(pred))
+    )
+    return d.select("doc_id", pred.alias("pred"), ref.alias("ref"))
+
+
+def q_chrf_scores(spark, sf_dir):
+    """Per-row chrF2 (character 1..6-gram F): the oracle recomputes the
+    whitespace stripping, every substr-built gram set, the clipped match
+    counts and the order-averaged P/R harmonic mean op for op."""
+    from mrmr_spark.operators.evalmetrics import chrf_scores
+
+    out = chrf_scores(_chrf_pairs(spark, sf_dir))
+    cols = ["doc_id"]
+    for n in range(1, 7):
+        cols += [f"match_{n}", f"total_c_{n}", f"total_r_{n}"]
+    return out.select(*cols, r6("chrf").alias("chrf"))
+
+
+def _chrf_sql_grams(s: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({s}) - {n} + 1, 0) + 1), "
+        f"i -> substr({s}, CAST(i AS INT), {n}))"
+    )
+
+
+def _chrf_sql_terms() -> str:
+    parts = []
+    for n in range(1, 7):
+        cg, rg = _chrf_sql_grams("sp", n), _chrf_sql_grams("sr", n)
+        parts.append(
+            f"coalesce(list_sum(list_transform(list_distinct({cg}), g -> "
+            f"least(len(list_filter({cg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))), 0) AS m{n}, "
+            f"greatest(len(sp) - {n} + 1, 0) AS tc{n}, "
+            f"greatest(len(sr) - {n} + 1, 0) AS tr{n}"
+        )
+    return ",\n         ".join(parts)
+
+
+def _chrf_sql_score(src: str) -> str:
+    """Order-averaged chrF2 from m{n}/tc{n}/tr{n} columns, mirroring the
+    engine's left-associative sum and 5PR/(4P+R) formula."""
+    ps = " + ".join(
+        f"CASE WHEN tc{n} > 0 THEN m{n}::DOUBLE / tc{n}::DOUBLE ELSE 0.0 END"
+        for n in range(1, 7)
+    )
+    rs = " + ".join(
+        f"CASE WHEN tr{n} > 0 THEN m{n}::DOUBLE / tr{n}::DOUBLE ELSE 0.0 END"
+        for n in range(1, 7)
+    )
+    return f"""sc AS (
+  SELECT *, (0.0 + {ps}) / 6.0 AS p, (0.0 + {rs}) / 6.0 AS r FROM {src}
+)"""
+
+
+_CHRF_SQL_PAIRS = """
+pairs AS (
+  SELECT doc_id, substr(text, 1, 48) AS pred,
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 48)
+              WHEN doc_id % 3 = 1 THEN substr(text, 1, 30)
+              ELSE reverse(substr(text, 1, 48)) END AS ref
+  FROM documents WHERE doc_id % 5 = 0
+), st AS (
+  SELECT doc_id, regexp_replace(pred, '\\s+', '', 'g') AS sp,
+         regexp_replace(ref, '\\s+', '', 'g') AS sr
+  FROM pairs
+), m AS (
+  SELECT doc_id,
+         {terms}
+  FROM st
+)"""
+
+_CHRF_SQL_SELECT_STATS = ", ".join(
+    f"CAST(m{n} AS INT) AS match_{n}, CAST(tc{n} AS INT) AS total_c_{n}, "
+    f"CAST(tr{n} AS INT) AS total_r_{n}"
+    for n in range(1, 7)
+)
+
+SQL_CHRF_SCORES = f"""
+WITH {_CHRF_SQL_PAIRS.format(terms=_chrf_sql_terms())}, {_chrf_sql_score("m")}
+SELECT doc_id, {_CHRF_SQL_SELECT_STATS},
+       round(CASE WHEN 4.0 * p + r > 0
+                  THEN (1.0 + 4.0) * p * r / (4.0 * p + r)
+                  ELSE 0.0 END, 6) AS chrf
+FROM sc
+"""
+
+
+def q_corpus_chrf(spark, sf_dir):
+    """Corpus chrF2 over the same pairs: integer stat sums (associative)
+    re-scored once by the oracle's own aggregation."""
+    from mrmr_spark.operators.evalmetrics import chrf_scores, corpus_chrf
+
+    out = corpus_chrf(chrf_scores(_chrf_pairs(spark, sf_dir)))
+    cols = []
+    for n in range(1, 7):
+        cols += [f"match_{n}", f"total_c_{n}", f"total_r_{n}"]
+    return out.select(*cols, r6("chrf").alias("chrf"))
+
+
+_CHRF_SQL_AGG = ", ".join(
+    f"CAST(sum(m{n}) AS BIGINT) AS m{n}, CAST(sum(tc{n}) AS BIGINT) AS tc{n}, "
+    f"CAST(sum(tr{n}) AS BIGINT) AS tr{n}"
+    for n in range(1, 7)
+)
+
+SQL_CORPUS_CHRF = f"""
+WITH {_CHRF_SQL_PAIRS.format(terms=_chrf_sql_terms())}, agg AS (
+  SELECT {_CHRF_SQL_AGG} FROM m
+), {_chrf_sql_score("agg")}
+SELECT {_CHRF_SQL_SELECT_STATS},
+       round(CASE WHEN 4.0 * p + r > 0
+                  THEN (1.0 + 4.0) * p * r / (4.0 * p + r)
+                  ELSE 0.0 END, 6) AS chrf
+FROM sc
+"""
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over the fleiss annotation frame:
+    the oracle re-derives the integer per-item disagreement numerators
+    (n_i² − Σc²), the DECIMAL-summed D_o, and the exact-integer D_e."""
+    from mrmr_spark.operators.evalmetrics import krippendorff_alpha
+
+    ev = _events(spark, sf_dir)
+    rat = ev.select(
+        (F.col("user_id") % 40).alias("item"), F.col("event_type").alias("label")
+    )
+    out = krippendorff_alpha(rat)
+    return out.select(
+        "n_items", "n_ratings",
+        r6("d_o").alias("d_o"), r6("d_e").alias("d_e"),
+        r6("alpha").alias("alpha"),
+    )
+
+
+SQL_KRIPPENDORFF = """
+WITH cnt AS (
+  SELECT user_id % 40 AS i, event_type AS l, count(*) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT i, sum(c) AS n_i, sum(c * c) AS sq_i
+  FROM cnt GROUP BY 1 HAVING sum(c) >= 2
+), it AS (
+  SELECT count(*) AS n_items, sum(n_i) AS n_ratings,
+         sum(CAST(CAST(n_i * n_i - sq_i AS DOUBLE)
+                  / CAST(n_i - 1 AS DOUBLE) AS DECIMAL(28,12))) AS do_sum
+  FROM per
+), mg AS (
+  SELECT l, sum(c) AS t_l FROM cnt JOIN per USING (i) GROUP BY l
+), sq AS (
+  SELECT sum(CAST(t_l AS HUGEINT) * t_l) AS t2 FROM mg
+), fin AS (
+  SELECT n_items, n_ratings,
+         CAST(do_sum AS DOUBLE) / n_ratings::DOUBLE AS d_o,
+         (n_ratings::DOUBLE * n_ratings::DOUBLE - CAST(t2 AS DOUBLE))
+         / (n_ratings::DOUBLE * (n_ratings::DOUBLE - 1.0)) AS d_e
+  FROM it, sq
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, CAST(n_ratings AS BIGINT) AS n_ratings,
+       round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+       round(CASE WHEN d_e > 0 THEN 1.0 - d_o / d_e END, 6) AS alpha
+FROM fin
+"""
+
+
 def _boot_value_col():
     """Deterministic per-doc score in [0,1): ((doc_id·37+11) mod 997)/997."""
     return F.pmod(F.col("doc_id") * 37 + 11, F.lit(997)).cast("double") / F.lit(997.0)
@@ -6250,6 +6426,9 @@ QUERIES = {
     "bootstrap_reps": q_bootstrap_reps,
     "bootstrap_ci": q_bootstrap_ci,
     "paired_bootstrap": q_paired_bootstrap,
+    "chrf_scores": q_chrf_scores,
+    "corpus_chrf": q_corpus_chrf,
+    "krippendorff": q_krippendorff,
 }
 
 ORACLE_SQL = {
@@ -6380,4 +6559,7 @@ ORACLE_SQL = {
     "bootstrap_reps": SQL_BOOTSTRAP_REPS,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "paired_bootstrap": SQL_PAIRED_BOOTSTRAP,
+    "chrf_scores": SQL_CHRF_SCORES,
+    "corpus_chrf": SQL_CORPUS_CHRF,
+    "krippendorff": SQL_KRIPPENDORFF,
 }

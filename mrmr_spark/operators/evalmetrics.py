@@ -52,6 +52,9 @@ __all__ = [
     "classification_summary",
     "psi_report",
     "corpus_bleu",
+    "chrf_scores",
+    "corpus_chrf",
+    "krippendorff_alpha",
     "rouge_l_scores",
     "lcs_length",
     "bradley_terry",
@@ -202,6 +205,95 @@ def corpus_bleu(scored: DataFrame, max_n: int = 4) -> DataFrame:
     )
     bleu = F.when(nonzero, bp * _geo_mean(prod, max_n)).otherwise(F.lit(0.0))
     return out.select("*", bp.alias("brevity_penalty"), bleu.alias("bleu"))
+
+
+# ---------------------------------------------------------------------------
+# chrF (character n-gram F-score)
+# ---------------------------------------------------------------------------
+
+def _char_grams(s: Column, n: int) -> Column:
+    """Order-n character grams of a string via substr over a position
+    sequence (no char-array materialization — the identical construction
+    exists in ANSI SQL, which is what the gate oracle mirrors)."""
+    cnt = F.length(s) - (n - 1)
+    seq = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(_empty_int_arr())
+    return F.transform(seq, lambda i: s.substr(i, F.lit(n)))
+
+
+def chrf_scores(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-row chrF (Popović 2015): character-n-gram F-score between a
+    candidate and a reference — the tokenization-free companion to
+    :func:`bleu_scores` (robust to morphology and segmentation choices),
+    as pure Column expressions: zero shuffle, zero Python.
+
+    All whitespace is removed first (the chrF convention — word boundaries
+    carry no credit), then for each order n ≤ ``max_n`` the clipped match
+    count and both gram totals are emitted (``match_n`` / ``total_c_n`` /
+    ``total_r_n`` — exact ints, which is what makes :func:`corpus_chrf` a
+    deterministic sum). The score averages precision and recall over ALL
+    orders (an order with an empty gram set contributes 0 — the sacrebleu
+    epsilon-free convention at these defaults):
+
+        P = (1/N) Σ_n match_n/total_c_n,  R = (1/N) Σ_n match_n/total_r_n,
+        chrf = (1+β²)·P·R / (β²·P + R)    (0 when the denominator is 0)
+
+    β = 2 weights recall twice — the standard chrF2.
+    """
+    if max_n < 1:
+        raise ValueError(f"chrf_scores: max_n must be >= 1, got {max_n}")
+    if beta <= 0:
+        raise ValueError(f"chrf_scores: beta must be > 0, got {beta}")
+    sp = F.regexp_replace(F.coalesce(F.col(pred_col).cast("string"), F.lit("")), r"\s+", "")
+    sr = F.regexp_replace(F.coalesce(F.col(ref_col).cast("string"), F.lit("")), r"\s+", "")
+    cols: list[Column] = []
+    psum = F.lit(0.0)
+    rsum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        cg, rg = _char_grams(sp, n), _char_grams(sr, n)
+        m = _clipped_matches(cg, rg)
+        tc, tr = F.size(cg), F.size(rg)
+        cols.append(m.cast("int").alias(f"match_{n}"))
+        cols.append(tc.cast("int").alias(f"total_c_{n}"))
+        cols.append(tr.cast("int").alias(f"total_r_{n}"))
+        psum = psum + F.when(tc > 0, m.cast("double") / tc.cast("double")).otherwise(0.0)
+        rsum = rsum + F.when(tr > 0, m.cast("double") / tr.cast("double")).otherwise(0.0)
+    p = psum / float(max_n)
+    r = rsum / float(max_n)
+    b2 = beta * beta
+    denom = b2 * p + r
+    chrf = F.when(denom > 0, (1.0 + b2) * p * r / denom).otherwise(F.lit(0.0))
+    return df.select("*", *cols, chrf.alias("chrf"))
+
+
+def corpus_chrf(scored: DataFrame, max_n: int = 6, beta: float = 2.0) -> DataFrame:
+    """Corpus chrF from a :func:`chrf_scores` frame: sums the integer
+    match/total columns (associative — partitioning-independent) and
+    applies the same order-averaged F formula once. Returns one row:
+    ``match_1..N, total_c_1..N, total_r_1..N, chrf``."""
+    aggs = []
+    for n in range(1, max_n + 1):
+        for c in (f"match_{n}", f"total_c_{n}", f"total_r_{n}"):
+            aggs.append(F.sum(c).alias(c))
+    out = scored.agg(*aggs)
+    psum = F.lit(0.0)
+    rsum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        m = F.col(f"match_{n}").cast("double")
+        tc, tr = F.col(f"total_c_{n}"), F.col(f"total_r_{n}")
+        psum = psum + F.when(tc > 0, m / tc.cast("double")).otherwise(0.0)
+        rsum = rsum + F.when(tr > 0, m / tr.cast("double")).otherwise(0.0)
+    p = psum / float(max_n)
+    r = rsum / float(max_n)
+    b2 = beta * beta
+    denom = b2 * p + r
+    chrf = F.when(denom > 0, (1.0 + b2) * p * r / denom).otherwise(F.lit(0.0))
+    return out.select("*", chrf.alias("chrf"))
 
 
 # ---------------------------------------------------------------------------
@@ -504,6 +596,68 @@ def fleiss_kappa(
         p_bar.alias("p_bar"),
         "p_e",
         kappa.alias("kappa"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str = "item", label_col: str = "label"
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data (Krippendorff 2004) over an
+    assignment frame with one row per (item, rating) — the agreement
+    statistic that handles missing ratings and any rater count per item
+    exactly (where :func:`fleiss_kappa` assumes a shared rater pool).
+
+    Coincidence-matrix formulation: with per-item label counts n_uc and
+    n_u = Σ_c n_uc over items with n_u ≥ 2 (singletons carry no pairwise
+    information and are excluded, as Krippendorff specifies), N = Σ n_u:
+
+        D_o = (1/N) Σ_u Σ_c n_uc·(n_u − n_uc)/(n_u − 1)
+        D_e = (N² − Σ_c t_c²) / (N·(N − 1))        (t_c = label marginals)
+        alpha = 1 − D_o/D_e
+
+    Same two map-side-combinable aggregation stages as the kappas; the
+    per-item D_o terms are DECIMAL(28,12)-quantized (partitioning-
+    independent bit for bit) and the D_e numerator is exact integer
+    arithmetic in DECIMAL(38,0) (t_c² overflows int64 past ~3e9 ratings
+    of one label). Returns one row: ``n_items, n_ratings, d_o, d_e,
+    alpha`` (alpha NULL when D_e = 0 — a single observed label)."""
+    cnt = (
+        df.groupBy(F.col(item_col).alias("_i"), F.col(label_col).alias("_l"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_item = (
+        cnt.groupBy("_i")
+        .agg(F.sum("c").alias("n_i"), F.sum(F.col("c") * F.col("c")).alias("_sq"))
+        .where(F.col("n_i") >= 2)
+    )
+    # Σ_c c·(n_i − c) = n_i² − Σ_c c² — an exact INTEGER numerator (the
+    # fleiss s_i trick), so the per-item term is one deterministic
+    # rational, not a float sum over labels
+    term = (
+        (F.col("n_i") * F.col("n_i") - F.col("_sq")).cast("double")
+        / (F.col("n_i") - 1).cast("double")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_i").alias("n_ratings"),
+        F.sum(_dec(term)).alias("_do_sum"),
+    )
+    marg = (
+        cnt.join(per_item.select("_i"), "_i")
+        .groupBy("_l")
+        .agg(F.sum("c").alias("t_l"))
+    )
+    sq = marg.agg(
+        F.sum(F.col("t_l").cast("decimal(38,0)") * F.col("t_l")).alias("_t2")
+    )
+    out = items.crossJoin(F.broadcast(sq))
+    nn = F.col("n_ratings").cast("double")
+    d_o = F.col("_do_sum").cast("double") / nn
+    d_e = (nn * nn - F.col("_t2").cast("double")) / (nn * (nn - 1.0))
+    alpha = F.when(d_e > 0, 1.0 - d_o / d_e)
+    return out.select(
+        "n_items", "n_ratings", d_o.alias("d_o"), d_e.alias("d_e"),
+        alpha.alias("alpha"),
     )
 
 

@@ -762,3 +762,153 @@ def test_bootstrap_cluster_resampling_by_group_id(spark):
         assert r_rows[b]["n_eff"] == 3 * r_grp[b]["n_eff"]
         # identical weighted mean: every group member carries the weight
         assert abs(r_rows[b]["est"] - r_grp[b]["est"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# chrF + Krippendorff's alpha
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import (
+    chrf_scores,
+    corpus_chrf,
+    krippendorff_alpha,
+)
+
+
+def _py_chrf_stats(pred, ref, max_n=6):
+    import re
+
+    sp = re.sub(r"\s+", "", pred or "")
+    sr = re.sub(r"\s+", "", ref or "")
+    stats = []
+    for n in range(1, max_n + 1):
+        cg = [sp[i : i + n] for i in range(len(sp) - n + 1)]
+        rg = [sr[i : i + n] for i in range(len(sr) - n + 1)]
+        cc, rc = Counter(cg), Counter(rg)
+        m = sum(min(c, rc[g]) for g, c in cc.items())
+        stats.append((m, len(cg), len(rg)))
+    return stats
+
+
+def _py_chrf_from_stats(stats, beta=2.0):
+    n_ord = len(stats)
+    p = sum(m / tc if tc else 0.0 for m, tc, _ in stats) / n_ord
+    r = sum(m / tr if tr else 0.0 for m, _, tr in stats) / n_ord
+    b2 = beta * beta
+    return (1 + b2) * p * r / (b2 * p + r) if b2 * p + r > 0 else 0.0
+
+
+CHRF_CASES = [
+    ("the cat sat", "the cat sat", "identical"),
+    ("the cat sat", "the bat sat", "one char class off"),
+    ("abc def", "abcdef", "whitespace removed -> identical"),
+    ("aaaa", "aa", "clipping"),
+    ("xyz", "abc", "disjoint"),
+    ("a", "a", "single char (higher orders empty)"),
+    ("", "abc", "empty pred"),
+    (None, None, "nulls"),
+]
+
+
+def test_chrf_matches_python_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r, _) in enumerate(CHRF_CASES)],
+        "id long, pred string, ref string",
+    )
+    out = chrf_scores(df).toPandas().set_index("id")
+    for i, (p, r, label) in enumerate(CHRF_CASES):
+        stats = _py_chrf_stats(p, r)
+        row = out.loc[i]
+        for n in range(1, 7):
+            m, tc, tr = stats[n - 1]
+            assert row[f"match_{n}"] == m, (label, n)
+            assert row[f"total_c_{n}"] == tc and row[f"total_r_{n}"] == tr
+        assert abs(row["chrf"] - _py_chrf_from_stats(stats)) < 1e-12, label
+
+
+def test_chrf_pure_projection_and_corpus(spark):
+    rows = [(i, p, r) for i, (p, r, _) in enumerate(CHRF_CASES)]
+    df = spark.createDataFrame(rows, "id long, pred string, ref string")
+    out = chrf_scores(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    per_row = [_py_chrf_stats(p, r) for _, p, r in rows]
+    sums = [
+        tuple(sum(s[n][j] for s in per_row) for j in range(3)) for n in range(6)
+    ]
+    for parts in (1, 5):
+        got = corpus_chrf(chrf_scores(df.repartition(parts))).collect()[0]
+        for n in range(1, 7):
+            m, tc, tr = sums[n - 1]
+            assert got[f"match_{n}"] == m
+            assert got[f"total_c_{n}"] == tc and got[f"total_r_{n}"] == tr
+        assert abs(got["chrf"] - _py_chrf_from_stats(sums)) < 1e-12
+
+
+def test_chrf_beta_and_validation(spark):
+    df = spark.createDataFrame([(0, "ab", "abcd")], "id long, pred string, ref string")
+    # beta -> 0 approaches pure precision weighting
+    g1 = chrf_scores(df, beta=0.001).collect()[0]["chrf"]
+    stats = _py_chrf_stats("ab", "abcd")
+    p = sum(m / tc if tc else 0.0 for m, tc, _ in stats) / 6
+    assert abs(g1 - p) < 1e-3
+    with pytest.raises(ValueError, match="max_n"):
+        chrf_scores(df, max_n=0)
+    with pytest.raises(ValueError, match="beta"):
+        chrf_scores(df, beta=0.0)
+
+
+def _py_kripp(rows):
+    from collections import defaultdict
+
+    per = defaultdict(Counter)
+    for i, l in rows:
+        per[i][l] += 1
+    per = {i: c for i, c in per.items() if sum(c.values()) >= 2}
+    N = sum(sum(c.values()) for c in per.values())
+    d_o = (
+        sum(
+            (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+            / (sum(c.values()) - 1)
+            for c in per.values()
+        )
+        / N
+    )
+    marg = Counter()
+    for c in per.values():
+        marg.update(c)
+    d_e = (N * N - sum(t * t for t in marg.values())) / (N * (N - 1))
+    return d_o, d_e, (1 - d_o / d_e) if d_e > 0 else None
+
+
+def test_krippendorff_matches_python_oracle(spark):
+    # unequal raters per item + a singleton item that must be dropped
+    rows = (
+        [(1, "a"), (1, "a"), (1, "b")]
+        + [(2, "b"), (2, "b")]
+        + [(3, "a"), (3, "a"), (3, "a"), (3, "c")]
+        + [(4, "c")]                       # singleton -> excluded
+    )
+    df = spark.createDataFrame(rows, "item long, label string")
+    got = krippendorff_alpha(df).collect()[0]
+    d_o, d_e, alpha = _py_kripp(rows)
+    assert got["n_items"] == 3 and got["n_ratings"] == 9
+    assert abs(got["d_o"] - d_o) < 1e-12
+    assert abs(got["d_e"] - d_e) < 1e-12
+    assert abs(got["alpha"] - alpha) < 1e-12
+    # partition invariance (integer numerators + quantized terms)
+    alt = krippendorff_alpha(df.repartition(7)).collect()[0]
+    assert alt["alpha"] == got["alpha"]
+
+
+def test_krippendorff_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10) for _ in range(3)],
+        "item long, label string",
+    )
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+    one_label = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item long, label string"
+    )
+    assert krippendorff_alpha(one_label).collect()[0]["alpha"] is None

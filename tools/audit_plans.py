@@ -440,6 +440,15 @@ def main():
           gate.QUERIES["classification_report"](spark, SF),
           "one aggregation to the confusion matrix (#classes^2 rows), then "
           "joins/rollups on that tiny frame only")
+    audit("chrf_scores (character n-gram F, chrF2)",
+          gate.QUERIES["chrf_scores"](spark, SF),
+          "pure Column projection — zero exchanges, zero Python; six "
+          "orders of substr-built gram folds over the scan")
+    audit("krippendorff (nominal inter-annotator alpha)",
+          gate.QUERIES["krippendorff"](spark, SF),
+          "same two-stage shape as fleiss_kappa: (item,label) counts, "
+          "integer per-item disagreement numerators, label marginals, "
+          "then 1-row broadcast crossjoins — corpus rows touched once")
     audit("bootstrap_reps (Poisson-bootstrap replicate means)",
           gate.QUERIES["bootstrap_reps"](spark, SF),
           "ONE map-side-combinable aggregation keyed on the replicate id: "
