@@ -5391,6 +5391,62 @@ FROM fin
 """
 
 
+def q_wer(spark, sf_dir):
+    """Word error rate on the default Arrow backend (same pred/ref pairs
+    as the rouge row) against a recursive-CTE oracle running the SAME
+    prefix-min edit-distance recurrence the pure-Column twin folds — DP
+    value check + backend-equivalence evidence in one row (column ≡ arrow
+    is exactly-integer-identical, pytest-parametrized on top)."""
+    from mrmr_spark.operators.evalmetrics import wer_scores
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = F.split(F.col("text"), " ")
+    pred = F.array_join(F.slice(toks, 1, 12), " ")
+    ref = F.array_join(F.concat(F.slice(toks, 5, 8), F.slice(toks, 1, 4)), " ")
+    pairs = d.select("doc_id", pred.alias("pred"), ref.alias("ref"))
+    out = wer_scores(pairs)
+    return out.select(
+        "doc_id", "edit_dist", "n_pred", "n_ref", r6("wer").alias("wer")
+    )
+
+
+SQL_WER = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         list_slice(string_split(text, ' '), 1, 12) AS tp,
+         list_concat(list_slice(string_split(text, ' '), 5, 12),
+                     list_slice(string_split(text, ' '), 1, 4)) AS tr
+  FROM documents WHERE doc_id % 7 = 0
+), sz AS (
+  SELECT doc_id, tp, tr, len(tp) AS np, len(tr) AS nr FROM base
+), dp AS (
+  SELECT doc_id, tp, tr, np, nr, 0 AS i,
+         list_transform(range(0, nr + 1), x -> x) AS d
+  FROM sz
+  UNION ALL
+  SELECT doc_id, tp, tr, np, nr, i + 1,
+         list_transform(range(0, nr + 1), j ->
+           j + list_min(list_transform(range(0, j + 1), k ->
+             CASE WHEN k = 0 THEN list_extract(d, 1) + 1
+                  ELSE least(
+                    list_extract(d, k + 1) + 1,
+                    list_extract(d, k)
+                    + CASE WHEN list_extract(tr, k) = list_extract(tp, i + 1)
+                           THEN 0 ELSE 1 END)
+             END - k)))
+  FROM dp WHERE i < np
+), fin AS (
+  SELECT doc_id, np, nr, list_extract(d, nr + 1) AS dist
+  FROM dp WHERE i = np
+)
+SELECT doc_id, CAST(dist AS INT) AS edit_dist,
+       CAST(np AS INT) AS n_pred, CAST(nr AS INT) AS n_ref,
+       round(CASE WHEN nr > 0 THEN dist::DOUBLE / nr::DOUBLE
+                  WHEN np = 0 THEN 0.0 END, 6) AS wer
+FROM fin
+"""
+
+
 def q_bt_ratings(spark, sf_dir):
     """Bradley-Terry MM fit over a constructed 20-item comparison set
     (source vs a derived opponent, winner by n_chars parity). The oracle
@@ -6429,6 +6485,7 @@ QUERIES = {
     "chrf_scores": q_chrf_scores,
     "corpus_chrf": q_corpus_chrf,
     "krippendorff": q_krippendorff,
+    "wer": q_wer,
 }
 
 ORACLE_SQL = {
@@ -6562,4 +6619,5 @@ ORACLE_SQL = {
     "chrf_scores": SQL_CHRF_SCORES,
     "corpus_chrf": SQL_CORPUS_CHRF,
     "krippendorff": SQL_KRIPPENDORFF,
+    "wer": SQL_WER,
 }

@@ -57,6 +57,8 @@ __all__ = [
     "krippendorff_alpha",
     "rouge_l_scores",
     "lcs_length",
+    "edit_distance",
+    "wer_scores",
     "bradley_terry",
     "majority_vote",
     "pairwise_win_rates",
@@ -411,6 +413,123 @@ def rouge_l_scores(
         prec.alias("rouge_l_precision"),
         rec.alias("rouge_l_recall"),
         fm.alias("rouge_l_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WER (word-level edit distance)
+# ---------------------------------------------------------------------------
+
+def edit_distance(pred_toks: Column, ref_toks: Column) -> Column:
+    """Token-level Levenshtein distance as a pure Column expression (zero
+    Python) — the :func:`lcs_length` treatment applied to edit distance.
+
+    The classic row update dp_new[j] = min(dp_prev[j]+1, dp_new[j−1]+1,
+    dp_prev[j−1]+cost_j) has an intra-row dependency through the
+    insertion term, but insertion chains cost 1 per step, so with
+    m_k = min(dp_prev[k]+1, dp_prev[k−1]+cost_k) (and m_0 = dp_prev[0]+1)
+
+        dp_new[j] = j + min_{0≤k≤j} (m_k − k)
+
+    — a prefix-min with NO dp_new dependency: each row is a transform +
+    sliced array_min, the whole DP one ``aggregate`` fold carrying the dp
+    row. Every quantity is an integer, so the Arrow backend is exactly
+    identical (not just within float tolerance). O(np·nr²) interpreted —
+    the SQL-reproducible reference form the gate's recursive CTE mirrors;
+    use the Arrow backend of :func:`wer_scores` for long texts."""
+    nr = F.size(ref_toks)
+    seq_j = F.when(nr >= 1, F.sequence(F.lit(1), nr)).otherwise(_empty_int_arr())
+    init = F.sequence(F.lit(0), nr)  # dp[0][j] = j
+
+    def _step(dp: Column, tok: Column) -> Column:
+        # array position k holds dp_prev[k-1]; m[k] (k=1..nr) =
+        # min(delete, substitute), prepended with m_0 = dp_prev[0]+1
+        ms = F.transform(
+            seq_j,
+            lambda k: F.least(
+                F.element_at(dp, k + 1) + 1,
+                F.element_at(dp, k)
+                + F.when(F.element_at(ref_toks, k) == tok, 0).otherwise(1),
+            )
+            - k,
+        )
+        a = F.concat(F.array(F.element_at(dp, 1) + 1), ms)
+        return F.transform(
+            F.sequence(F.lit(0), nr),
+            lambda j: j + F.array_min(F.slice(a, 1, j + 1)),
+        )
+
+    return F.element_at(F.aggregate(pred_toks, init, _step), -1)
+
+
+def _edit_distance_arrow(pred_col: Column, ref_col: Column) -> Column:
+    """Arrow-vectorized token edit distance: the identical prefix-min
+    recurrence with numpy (minimum.accumulate per candidate token) —
+    O(np·nr) per row, one Arrow batch exchange, integer arithmetic
+    throughout so it is exactly identical to :func:`edit_distance`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _dist(preds, refs):
+        out = []
+        for p, r in zip(preds, refs):
+            p = [] if p is None else list(p)
+            r = [] if r is None else list(r)
+            if not p or not r:
+                out.append(max(len(p), len(r)))
+                continue
+            ra = np.asarray(r, dtype=object)
+            idx = np.arange(len(r) + 1, dtype=np.int64)
+            dp = idx.copy()
+            for tok in p:
+                m = np.minimum(dp[1:] + 1, dp[:-1] + (ra != tok))
+                vals = np.concatenate(([dp[0] + 1], m)) - idx
+                dp = idx + np.minimum.accumulate(vals)
+            out.append(int(dp[-1]))
+        return pd.Series(out)
+
+    return _dist(pred_col, ref_col)
+
+
+def wer_scores(
+    df: DataFrame,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+    backend: str = "arrow",
+) -> DataFrame:
+    """Per-row word error rate: token-level Levenshtein distance between
+    a hypothesis and a reference (whitespace tokens, NULL reads empty),
+    normalized by reference length — the standard ASR/generation fidelity
+    metric (WER > 1 is possible for long hypotheses, by convention).
+
+    Appends ``edit_dist, n_pred, n_ref, wer`` with wer = dist/n_ref;
+    when the reference is empty, wer is 0.0 against an empty hypothesis
+    and NULL otherwise (no defined normalization). ``backend="arrow"``
+    (default) runs the numpy DP — O(np·nr) per row; ``backend="column"``
+    is the exactly-identical zero-Python twin (:func:`edit_distance`) the
+    gate's recursive-CTE oracle mirrors. Integer DP → the backends agree
+    exactly, pytest-parametrized."""
+    if backend not in ("arrow", "column"):
+        raise ValueError(f"wer_scores: unknown backend {backend!r}")
+    tp = _ws_tokens(F.col(pred_col))
+    tr = _ws_tokens(F.col(ref_col))
+    dist = (
+        edit_distance(tp, tr) if backend == "column"
+        else _edit_distance_arrow(tp, tr)
+    )
+    np_, nr_ = F.size(tp), F.size(tr)
+    wer = (
+        F.when(nr_ > 0, dist.cast("double") / nr_.cast("double"))
+        .when(np_ == 0, F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        dist.cast("int").alias("edit_dist"),
+        np_.cast("int").alias("n_pred"),
+        nr_.cast("int").alias("n_ref"),
+        wer.alias("wer"),
     )
 
 

@@ -912,3 +912,75 @@ def test_krippendorff_perfect_and_degenerate(spark):
         [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item long, label string"
     )
     assert krippendorff_alpha(one_label).collect()[0]["alpha"] is None
+
+
+# ---------------------------------------------------------------------------
+# WER (token edit distance)
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import wer_scores
+
+
+def _py_edit(a, b):
+    a, b = (a or "").split(), (b or "").split()
+    dp = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, y in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (x != y))
+    return dp[-1]
+
+
+WER_CASES = [
+    ("the cat sat", "the cat sat"),
+    ("the cat sat", "the bat sat"),              # 1 substitution
+    ("the cat", "the cat sat on the mat"),       # deletions from ref
+    ("a b c d e", "c d e"),                      # prefix insertions
+    ("x y z", "p q"),                            # disjoint
+    ("a b a b", "b a b a"),
+    ("one", "one two three four"),
+    ("", "x y"),
+    ("w v", ""),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("backend", ["column", "arrow"])
+def test_wer_matches_python_dp(spark, backend):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(WER_CASES)],
+        "id long, pred string, ref string",
+    )
+    out = wer_scores(df, backend=backend).toPandas().set_index("id")
+    for i, (p, r) in enumerate(WER_CASES):
+        d = _py_edit(p, r)
+        np_, nr_ = len((p or "").split()), len((r or "").split())
+        row = out.loc[i]
+        assert row["edit_dist"] == d, (backend, p, r)
+        if nr_ > 0:
+            assert abs(row["wer"] - d / nr_) < 1e-12
+        elif np_ == 0:
+            assert row["wer"] == 0.0
+        else:
+            assert math.isnan(row["wer"]) or row["wer"] is None
+
+
+def test_wer_backends_exactly_identical(spark):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(WER_CASES)],
+        "id long, pred string, ref string",
+    )
+    a = wer_scores(df, backend="column").toPandas().set_index("id")
+    b = wer_scores(df, backend="arrow").toPandas().set_index("id")
+    assert (a["edit_dist"] == b["edit_dist"]).all()   # integer DP: exact
+
+
+def test_wer_column_pure_projection_and_validation(spark):
+    df = spark.createDataFrame([(0, "a b", "b a")], "id long, pred string, ref string")
+    plan = (
+        wer_scores(df, backend="column")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="backend"):
+        wer_scores(df, backend="gpu")

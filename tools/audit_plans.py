@@ -440,6 +440,11 @@ def main():
           gate.QUERIES["classification_report"](spark, SF),
           "one aggregation to the confusion matrix (#classes^2 rows), then "
           "joins/rollups on that tiny frame only")
+    audit("wer (token edit distance, Arrow backend)",
+          gate.QUERIES["wer"](spark, SF),
+          "one ArrowEvalPython stage for the numpy prefix-min DP over "
+          "the scan — no exchange; the pure-Column twin is plan-asserted "
+          "in pytest and integer-exactly identical")
     audit("chrf_scores (character n-gram F, chrF2)",
           gate.QUERIES["chrf_scores"](spark, SF),
           "pure Column projection — zero exchanges, zero Python; six "
