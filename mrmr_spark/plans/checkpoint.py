@@ -15,6 +15,13 @@ Each phase writes parquet + a ``manifest.json`` containing:
 ``resume_or_run`` makes a pipeline idempotent: a phase whose manifest is
 complete is read back instead of recomputed; kill the job at any phase
 boundary and the next run continues from the last completed phase.
+
+Resume additionally keys on a **config fingerprint** when the caller
+provides one (the entrypoints fingerprint their full argument set): a
+checkpoint dir reused with a CHANGED configuration — different metrics,
+input path, seed — rebuilds instead of silently replaying the stale
+phase outputs of the old configuration. Manifests written before this
+field resume only under a fingerprint-free caller (config=None).
 """
 
 from __future__ import annotations
@@ -42,12 +49,23 @@ def _manifest_id(payload: dict) -> str:
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
+def config_fingerprint(config: dict | None) -> str | None:
+    """Canonical sha-16 of a configuration dict (sorted-key JSON with
+    strings for non-JSON values); None passes through — the
+    fingerprint-free legacy mode."""
+    if config is None:
+        return None
+    key = json.dumps(config, sort_keys=True, default=str)
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def checkpoint_phase(
     df: DataFrame,
     path: str,
     phase: str,
     key_cols: list[str] | None = None,
     parents: list[str] | None = None,
+    config_id: str | None = None,
 ) -> DataFrame:
     """Write ``df`` to ``path`` with a manifest; returns the read-back frame
     (so downstream lineage starts from the files, not the upstream plan)."""
@@ -77,6 +95,7 @@ def checkpoint_phase(
         "n_partitions": len(partitions),
         "partitions": partitions,
         "parents": parents or [],
+        "config_id": config_id,
         "wall_s": round(time.time() - t0, 3),
         "complete": True,
     }
@@ -104,13 +123,21 @@ def resume_or_run(
     build: Callable[[], DataFrame],
     key_cols: list[str] | None = None,
     parents: list[str] | None = None,
+    config_id: str | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Read the checkpoint if its manifest is complete, else build + write.
-    Returns (frame, manifest)."""
+    """Read the checkpoint if its manifest is complete AND carries the
+    same configuration fingerprint, else build + write. Returns
+    (frame, manifest). A config_id of None (legacy callers) resumes any
+    complete manifest; a fingerprinting caller never resumes a phase
+    built under a different — or unknown — configuration."""
     m = load_manifest(path)
-    if m is not None and m["phase"] == phase:
+    if (
+        m is not None
+        and m["phase"] == phase
+        and (config_id is None or m.get("config_id") == config_id)
+    ):
         return spark.read.parquet(os.path.join(path, "data")), m
-    out = checkpoint_phase(build(), path, phase, key_cols, parents)
+    out = checkpoint_phase(build(), path, phase, key_cols, parents, config_id)
     return out, load_manifest(path)
 
 
@@ -120,12 +147,20 @@ class PhaseRunner:
     ``run`` threads the previous phase's frame into the next builder and
     records lineage (parent manifest ids). Killing the driver between
     phases loses nothing: completed phases are read back on the next run.
+
+    Pass ``config`` (any JSON-able dict — the entrypoints pass their full
+    argument namespace) to fingerprint every manifest: re-running against
+    the same checkpoint dir with a changed configuration rebuilds instead
+    of silently replaying the old configuration's outputs.
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(
+        self, spark: SparkSession, base_dir: str, config: dict | None = None
+    ):
         self.spark = spark
         self.base_dir = base_dir
         self.manifests: list[dict] = []
+        self.config_id = config_fingerprint(config)
 
     def run(self, phases: list[tuple[str, Callable]], key_cols: list[str] | None = None):
         df = None
@@ -136,6 +171,7 @@ class PhaseRunner:
                 self.spark, path, name,
                 (lambda b=build, d=df: b(d)),
                 key_cols=key_cols, parents=parent_ids,
+                config_id=self.config_id,
             )
             self.manifests.append(manifest)
             parent_ids = [manifest["manifest_id"]]

@@ -222,3 +222,63 @@ def test_run_sft_pipeline_resumes(spark, tmp_path, transcripts_pdf):
                        lambda a, x: a + x.cast("long")) != F.col("n_loss"))
     ).count()
     assert bad == 0
+
+
+def test_resume_keys_on_config_fingerprint(spark, tmp_path, transcripts):
+    from mrmr_spark.plans.checkpoint import config_fingerprint
+
+    path = str(tmp_path / "cfg_phase")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return transcripts.withColumn("text_len", F.length("text"))
+
+    cfg_a = config_fingerprint({"metrics": "qa", "shots": 2})
+    _, m1 = resume_or_run(spark, path, "fe", build, config_id=cfg_a)
+    assert calls["n"] == 1 and m1["config_id"] == cfg_a
+
+    # same config: resumes (builder not called)
+    _, m2 = resume_or_run(spark, path, "fe", build, config_id=cfg_a)
+    assert calls["n"] == 1 and m2["manifest_id"] == m1["manifest_id"]
+
+    # changed config: REBUILDS — no silent replay of the old run
+    cfg_b = config_fingerprint({"metrics": "qa,wer", "shots": 2})
+    assert cfg_b != cfg_a
+    _, m3 = resume_or_run(spark, path, "fe", build, config_id=cfg_b)
+    assert calls["n"] == 2 and m3["config_id"] == cfg_b
+
+    # a fingerprinting caller refuses a legacy (config-free) manifest
+    legacy = str(tmp_path / "legacy_phase")
+    resume_or_run(spark, legacy, "fe", build)          # writes config_id None
+    calls_before = calls["n"]
+    resume_or_run(spark, legacy, "fe", build, config_id=cfg_a)
+    assert calls["n"] == calls_before + 1
+    # while a config-free caller resumes anything complete
+    resume_or_run(spark, legacy, "fe", build)
+    assert calls["n"] == calls_before + 1
+
+
+def test_run_eval_config_change_rebuilds(spark, tmp_path):
+    import tools.run_eval as run_eval
+
+    path = str(tmp_path / "cfg_eval.parquet")
+    rows = [
+        (i, f"task{i % 2}", f"question {i}", f"the long answer is {i % 5}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string"
+    ).write.mode("overwrite").parquet(path)
+    ck = str(tmp_path / "cfg_ck")
+
+    out1 = run_eval.main(["--input", path, "--shots", "1",
+                          "--checkpoint-dir", ck])
+    assert "wer" not in out1["tasks"][0]
+
+    # same dir, changed --metrics: the score/report phases must rebuild
+    # and carry the new columns, not replay the qa-only outputs
+    out2 = run_eval.main(["--input", path, "--shots", "1",
+                          "--metrics", "qa,wer",
+                          "--checkpoint-dir", ck])
+    assert all("wer" in t and t["wer"] is not None for t in out2["tasks"])

@@ -96,17 +96,18 @@ def test_run_eval_extra_metrics(spark, eval_parquet, tmp_path):
     ).parquet(ppath)
     out = run_eval.main(
         ["--input", epath, "--shots", "1", "--predictions", ppath,
-         "--metrics", "qa,bleu,rouge",
+         "--metrics", "qa,bleu,rouge,chrf,wer",
          "--checkpoint-dir", str(tmp_path / "ck_metrics")]
     )
     for t in out["tasks"]:
         assert t["em"] == 1.0 and t["f1"] == 1.0
         assert t["bleu"] == 1.0 and t["rouge_l_f"] == 1.0
+        assert t["chrf"] == 1.0 and t["wer"] == 0.0
 
     # validation: unknown metric / missing qa
     with pytest.raises(ValueError, match="metrics"):
         run_eval.main(
-            ["--input", eval_parquet, "--metrics", "qa,wer",
+            ["--input", eval_parquet, "--metrics", "qa,meteor",
              "--checkpoint-dir", str(tmp_path / "ck_bad")]
         )
     with pytest.raises(ValueError, match="metrics"):

@@ -171,7 +171,7 @@ def main(argv: list[str] | None = None) -> dict:
         token_col = "n_bpe_tokens" if args.bpe_merges > 0 else None
         return pack_documents(prev, budget=args.budget, token_col=token_col)
 
-    runner = PhaseRunner(spark, args.checkpoint_dir)
+    runner = PhaseRunner(spark, args.checkpoint_dir, config=vars(args))
     packed = runner.run(
         [
             ("ingest", ingest),

@@ -22,10 +22,11 @@ eval rows that remain are never in their own block) -> predict (JOIN of
 to this engine; without it, ``--baseline empty`` scores the no-answer
 baseline and ``--baseline echo-input`` the copy-input baseline, useful
 to exercise the harness and calibrate floor scores) -> score
-(``qa_scores`` EM + token F1 per row; ``--metrics qa,bleu,rouge`` adds
-sentence BLEU-4 and ROUGE-L F columns from the same (prediction, target)
-pair — all three are pure projections, so extra metrics cost no extra
-shuffle) -> report (per-task n / EM / F1 and the enabled extra means).
+(``qa_scores`` EM + token F1 per row; ``--metrics qa,bleu,rouge,chrf,wer``
+adds sentence BLEU-4, ROUGE-L F, chrF2 and word-error-rate columns from
+the same (prediction, target) pair — all pure projections, so extra
+metrics cost no extra shuffle) -> report (per-task n / EM / F1 and the
+enabled extra means).
 Returns the report dict and prints it as one JSON line.
 """
 
@@ -53,7 +54,8 @@ def main(argv: list[str] | None = None) -> dict:
                     help="scoring baseline when --predictions is absent")
     ap.add_argument("--metrics", default="qa",
                     help="comma list: qa (EM+F1, always useful), bleu "
-                         "(sentence BLEU-4), rouge (ROUGE-L F)")
+                         "(sentence BLEU-4), rouge (ROUGE-L F), chrf "
+                         "(chrF2), wer (word error rate)")
     ap.add_argument("--shots", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="/tmp/mrmr_eval")
@@ -67,7 +69,12 @@ def main(argv: list[str] | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from mrmr_spark.operators.chat import fewshot_prompts
-    from mrmr_spark.operators.evalmetrics import bleu_scores, rouge_l_scores
+    from mrmr_spark.operators.evalmetrics import (
+        bleu_scores,
+        chrf_scores,
+        rouge_l_scores,
+        wer_scores,
+    )
     from mrmr_spark.operators.curation import hash_split
     from mrmr_spark.operators.textstats import qa_scores
     from mrmr_spark.plans.checkpoint import PhaseRunner
@@ -118,26 +125,44 @@ def main(argv: list[str] | None = None) -> dict:
         return prev.withColumn("prediction", base)
 
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
-    unknown = set(metrics) - {"qa", "bleu", "rouge"}
+    unknown = set(metrics) - {"qa", "bleu", "rouge", "chrf", "wer"}
     if unknown or "qa" not in metrics:
         raise ValueError(
-            f"--metrics must be a subset of qa,bleu,rouge and include qa; got {args.metrics!r}"
+            "--metrics must be a subset of qa,bleu,rouge,chrf,wer and "
+            f"include qa; got {args.metrics!r}"
         )
 
     def score(prev):
-        # all three metrics are projections over (prediction, target) —
+        # every metric is a projection over (prediction, target) —
         # chaining them adds zero shuffles; the only care is the shared
-        # n_pred/n_ref diagnostic names, dropped before each re-derivation
+        # diagnostic names (n_pred/n_ref, and bleu's vs chrf's per-order
+        # match_n stats), dropped before each re-derivation
+        def _clean(d):
+            shared = [c for c in d.columns if c in ("n_pred", "n_ref")]
+            return d.drop(*shared) if shared else d
+
         out = qa_scores(prev, pred_col="prediction", ref_col=args.target_col)
         if "bleu" in metrics:
             out = bleu_scores(
-                out.drop("n_pred", "n_ref"),
-                pred_col="prediction", ref_col=args.target_col,
+                _clean(out), pred_col="prediction", ref_col=args.target_col,
             )
         if "rouge" in metrics:
             out = rouge_l_scores(
-                out.drop("n_pred", "n_ref"),
+                _clean(out), pred_col="prediction", ref_col=args.target_col,
+            )
+        if "chrf" in metrics:
+            grams = [c for c in out.columns
+                     if c.startswith(("match_", "total_"))]
+            out = chrf_scores(
+                _clean(out.drop(*grams)),
                 pred_col="prediction", ref_col=args.target_col,
+            )
+            # per-order char-gram stats are corpus_chrf inputs, noise here
+            out = out.drop(*[c for c in out.columns
+                             if c.startswith(("match_", "total_c_", "total_r_"))])
+        if "wer" in metrics:
+            out = wer_scores(
+                _clean(out), pred_col="prediction", ref_col=args.target_col,
             )
         return out
 
@@ -152,9 +177,13 @@ def main(argv: list[str] | None = None) -> dict:
             aggs.append(F.avg("bleu").alias("bleu"))
         if "rouge" in metrics:
             aggs.append(F.avg("rouge_l_f").alias("rouge_l_f"))
+        if "chrf" in metrics:
+            aggs.append(F.avg("chrf").alias("chrf"))
+        if "wer" in metrics:
+            aggs.append(F.avg("wer").alias("wer"))
         return prev.groupBy(task).agg(*aggs)
 
-    runner = PhaseRunner(spark, args.checkpoint_dir)
+    runner = PhaseRunner(spark, args.checkpoint_dir, config=vars(args))
     scored = runner.run(
         [
             ("ingest", ingest),
@@ -169,12 +198,16 @@ def main(argv: list[str] | None = None) -> dict:
     rows = sorted(
         (r.asDict() for r in rep.collect()), key=lambda r: str(r[task])
     )
-    extra_cols = [c for c in ("bleu", "rouge_l_f") if any(c in r for r in rows)]
+    extra_cols = [
+        c for c in ("bleu", "rouge_l_f", "chrf", "wer")
+        if any(c in r for r in rows)
+    ]
     out = {
         "tasks": [
             {task: r[task], "n": int(r["n"]), "em": round(float(r["em"]), 6),
              "f1": round(float(r["f1"]), 6), "avg_shots": round(float(r["avg_shots"]), 3),
-             **{c: round(float(r[c]), 6) for c in extra_cols}}
+             **{c: (round(float(r[c]), 6) if r[c] is not None else None)
+                for c in extra_cols}}
             for r in rows
         ],
         "micro_em": round(

@@ -61,7 +61,7 @@ def main():
             F.col("target_next_gap").isNotNull()
         )
 
-    runner = PhaseRunner(spark, args.checkpoint_dir)
+    runner = PhaseRunner(spark, args.checkpoint_dir, config=vars(args))
     feats = runner.run(
         [("ingest", read_phase), ("features", fe_phase)], key_cols=["conv_id"]
     )

@@ -147,7 +147,7 @@ def main(argv: list[str] | None = None) -> dict:
     def pack(prev):
         return pack_documents(prev, budget=args.budget, id_col="conv_id", token_col="n_tok")
 
-    runner = PhaseRunner(spark, args.checkpoint_dir)
+    runner = PhaseRunner(spark, args.checkpoint_dir, config=vars(args))
     packed = runner.run(
         [
             ("ingest", ingest),
