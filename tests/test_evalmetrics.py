@@ -984,3 +984,95 @@ def test_wer_column_pure_projection_and_validation(spark):
     assert "Exchange" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="backend"):
         wer_scores(df, backend="gpu")
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property sweeps (generated inputs vs Python oracles)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: tiny alphabet forces repeated tokens — the regime where clipping,
+#: LCS ties and edit-distance substitution chains all interact
+_tok = st.text(alphabet="abc", min_size=1, max_size=2)
+_sent = st.lists(_tok, min_size=0, max_size=8).map(" ".join)
+_pairs = st.lists(st.tuples(_sent, _sent), min_size=1, max_size=12)
+
+
+@given(pairs=_pairs)
+@_HSET
+def test_property_wer_and_lcs_match_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)],
+        "id long, pred string, ref string",
+    )
+    wer = wer_scores(df, backend="column").toPandas().set_index("id")
+    wer_a = wer_scores(df, backend="arrow").toPandas().set_index("id")
+    rl = rouge_l_scores(df, backend="column").toPandas().set_index("id")
+    for i, (p, r) in enumerate(pairs):
+        assert wer.loc[i, "edit_dist"] == _py_edit(p, r), (p, r)
+        assert wer_a.loc[i, "edit_dist"] == _py_edit(p, r), (p, r)
+        assert rl.loc[i, "lcs"] == _py_lcs(p, r), (p, r)
+        # metric sanity: LCS and edit distance bound each other
+        np_, nr_ = len(p.split()), len(r.split())
+        assert wer.loc[i, "edit_dist"] >= max(np_, nr_) - rl.loc[i, "lcs"]
+        assert wer.loc[i, "edit_dist"] <= np_ + nr_ - 2 * rl.loc[i, "lcs"]
+
+
+@given(pairs=_pairs)
+@_HSET
+def test_property_bleu_chrf_match_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)],
+        "id long, pred string, ref string",
+    )
+    bl = bleu_scores(df).toPandas().set_index("id")
+    ch = chrf_scores(df).toPandas().set_index("id")
+    for i, (p, r) in enumerate(pairs):
+        ms, ts, bp, bleu = _py_bleu_stats(p, r)
+        for n in range(1, 5):
+            assert bl.loc[i, f"match_{n}"] == ms[n - 1], (p, r, n)
+            assert bl.loc[i, f"total_{n}"] == ts[n - 1]
+        assert abs(bl.loc[i, "bleu"] - bleu) < 1e-12
+        stats = _py_chrf_stats(p, r)
+        for n in range(1, 7):
+            m, tc, tr = stats[n - 1]
+            assert ch.loc[i, f"match_{n}"] == m, (p, r, n)
+        assert abs(ch.loc[i, "chrf"] - _py_chrf_from_stats(stats)) < 1e-12
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=25,
+    ),
+    n_boot=st.integers(min_value=2, max_value=30),
+    seed=st.integers(min_value=0, max_value=10_000),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@_HSET
+def test_property_bootstrap_matches_python(spark, data, n_boot, seed, parts):
+    rows = [(i, float(x)) for i, x in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, value double").repartition(parts)
+    got = bootstrap_replicates(
+        df, "value", "doc_id", n_boot=n_boot, seed=seed, hash_fn="affine"
+    ).collect()
+    assert len(got) == n_boot
+    for r in got:
+        ws = [_py_weight(_py_affine_u(i, r["replicate"], n_boot, seed))
+              for i, _ in rows]
+        assert r["n_eff"] == sum(ws)
+        if sum(ws) == 0:
+            assert r["est"] is None
+        else:
+            num = sum(w * x for (_, x), w in zip(rows, ws))
+            assert abs(r["est"] - num / sum(ws)) < 1e-7
