@@ -1076,3 +1076,20 @@ def test_property_bootstrap_matches_python(spark, data, n_boot, seed, parts):
         else:
             num = sum(w * x for (_, x), w in zip(rows, ws))
             assert abs(r["est"] - num / sum(ws)) < 1e-7
+
+
+def test_bleu_chrf_arrow_backends_bit_identical(spark):
+    rows = [(i, p, r) for i, (p, r, _) in enumerate(BLEU_CASES)] + [
+        (100 + i, p, r) for i, (p, r, _) in enumerate(CHRF_CASES)
+    ]
+    df = spark.createDataFrame(rows, "id long, pred string, ref string")
+    bc = bleu_scores(df, backend="column").toPandas().set_index("id")
+    ba = bleu_scores(df, backend="arrow").toPandas().set_index("id")
+    assert bc.equals(ba)                   # ints exact, floats same formula
+    cc = chrf_scores(df, backend="column").toPandas().set_index("id")
+    ca = chrf_scores(df, backend="arrow").toPandas().set_index("id")
+    assert cc.equals(ca)
+    with pytest.raises(ValueError, match="backend"):
+        bleu_scores(df, backend="gpu")
+    with pytest.raises(ValueError, match="backend"):
+        chrf_scores(df, backend="gpu")
