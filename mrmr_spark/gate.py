@@ -6252,9 +6252,11 @@ _BOOT_SQL_CI = f"""flt AS (
   FROM flt
 ), k AS (
   SELECT bb, nle,
-         sqrt(GREATEST((CAST(s2 AS DOUBLE)
-                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / bb)
-                       / (bb - 1), 0.0)) AS se,
+         CASE WHEN bb >= 2 THEN
+           sqrt(GREATEST((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / bb)
+                         / (bb - 1), 0.0))
+         END AS se,
          CAST(GREATEST(CEIL(bb * {0.05 / 2.0!r}), 1) AS INT) AS klo,
          CAST(LEAST(CEIL(bb * {1.0 - 0.05 / 2.0!r}), bb) AS INT) AS khi
   FROM s

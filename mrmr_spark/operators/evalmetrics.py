@@ -263,19 +263,10 @@ def corpus_bleu(scored: DataFrame, max_n: int = 4) -> DataFrame:
         aggs.append(F.sum(f"match_{n}").alias(f"match_{n}"))
         aggs.append(F.sum(f"total_{n}").alias(f"total_{n}"))
     out = scored.agg(*aggs)
-    np_, nr_ = F.col("n_pred"), F.col("n_ref")
-    prod = F.lit(1.0)
-    nonzero = F.lit(True)
-    for n in range(1, max_n + 1):
-        m, t = F.col(f"match_{n}"), F.col(f"total_{n}")
-        nonzero = nonzero & (m > 0) & (t > 0)
-        prod = prod * (m.cast("double") / F.when(t > 0, t).otherwise(1))
-    bp = (
-        F.when(np_ == 0, F.lit(0.0))
-        .when(np_ >= nr_, F.lit(1.0))
-        .otherwise(F.exp(F.lit(1.0) - nr_.cast("double") / np_.cast("double")))
+    bp, bleu = _bleu_formula(
+        lambda n: F.col(f"match_{n}"), lambda n: F.col(f"total_{n}"),
+        F.col("n_pred"), F.col("n_ref"), max_n,
     )
-    bleu = F.when(nonzero, bp * _geo_mean(prod, max_n)).otherwise(F.lit(0.0))
     return out.select("*", bp.alias("brevity_penalty"), bleu.alias("bleu"))
 
 
@@ -426,18 +417,12 @@ def corpus_chrf(scored: DataFrame, max_n: int = 6, beta: float = 2.0) -> DataFra
         for c in (f"match_{n}", f"total_c_{n}", f"total_r_{n}"):
             aggs.append(F.sum(c).alias(c))
     out = scored.agg(*aggs)
-    psum = F.lit(0.0)
-    rsum = F.lit(0.0)
-    for n in range(1, max_n + 1):
-        m = F.col(f"match_{n}").cast("double")
-        tc, tr = F.col(f"total_c_{n}"), F.col(f"total_r_{n}")
-        psum = psum + F.when(tc > 0, m / tc.cast("double")).otherwise(0.0)
-        rsum = rsum + F.when(tr > 0, m / tr.cast("double")).otherwise(0.0)
-    p = psum / float(max_n)
-    r = rsum / float(max_n)
-    b2 = beta * beta
-    denom = b2 * p + r
-    chrf = F.when(denom > 0, (1.0 + b2) * p * r / denom).otherwise(F.lit(0.0))
+    chrf = _chrf_formula(
+        lambda n: F.col(f"match_{n}"),
+        lambda n: F.col(f"total_c_{n}"),
+        lambda n: F.col(f"total_r_{n}"),
+        max_n, beta,
+    )
     return out.select("*", chrf.alias("chrf"))
 
 
@@ -1436,10 +1421,15 @@ def _ci_stats(reps: DataFrame, alpha: float, pin: list | None = None) -> DataFra
     reproduces it); se from DECIMAL-quantized Σest/Σest² (B ≤ 10^4 values
     in [metric range] — no cancellation at that scale, clamped at 0). The
     global window runs over the B-row frame only (already the product of
-    the replicate aggregation). The replicate frame is persisted — four
-    consumers (rank ×2, count, sums) must not each re-run the corpus
+    the replicate aggregation). The replicate frame is persisted — three
+    consumers (rank ×2, count+sums) must not each re-run the corpus
     aggregation behind it; pass ``pin`` (a list) to receive the handle,
-    the standard pin contract."""
+    the standard pin contract.
+
+    Degenerate frames keep the one-row contract: ``b = 0`` (nothing
+    survived) yields NULL se/ci; ``b = 1`` yields the lone replicate as
+    both CI endpoints with NULL se (sample variance undefined — the
+    unguarded divisor would make it Inf/NaN)."""
     if not (0 < alpha < 1):
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     r = reps.where(F.col("est").isNotNull()).persist()
@@ -1447,20 +1437,19 @@ def _ci_stats(reps: DataFrame, alpha: float, pin: list | None = None) -> DataFra
         pin.append(r)
     w = Window.orderBy(F.col("est").asc(), F.col("replicate").asc())
     ranked = r.select("est", F.row_number().over(w).alias("_rk"))
-    cnt = ranked.groupBy().agg(F.count(F.lit(1)).alias("b"))
-    sums = r.agg(
+    stats = r.agg(
+        F.count(F.lit(1)).alias("b"),
         F.sum(_dec(F.col("est"))).alias("_s1"),
         F.sum(_dec(F.col("est") * F.col("est"))).alias("_s2"),
         F.sum((F.col("est") <= 0).cast("long")).alias("_n_le0"),
     )
-    stats = cnt.crossJoin(F.broadcast(sums))
     bf = F.col("b").cast("double")
     var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * F.col("_s1").cast("double") / bf) / (bf - 1.0)
     k_lo = F.ceil(F.col("b") * (alpha / 2.0))
     k_hi = F.ceil(F.col("b") * (1.0 - alpha / 2.0))
     stats = stats.select(
         "b",
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("se"),
+        F.when(F.col("b") >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("se"),
         F.greatest(k_lo, F.lit(1)).cast("int").alias("_klo"),
         F.least(k_hi, F.col("b")).cast("int").alias("_khi"),
         "_n_le0",
@@ -1468,8 +1457,8 @@ def _ci_stats(reps: DataFrame, alpha: float, pin: list | None = None) -> DataFra
     lo = ranked.withColumnRenamed("est", "ci_lo").withColumnRenamed("_rk", "_klo")
     hi = ranked.withColumnRenamed("est", "ci_hi").withColumnRenamed("_rk", "_khi")
     return (
-        stats.join(F.broadcast(lo), "_klo")
-        .join(F.broadcast(hi), "_khi")
+        stats.join(F.broadcast(lo), "_klo", "left")
+        .join(F.broadcast(hi), "_khi", "left")
         .select("b", "se", "ci_lo", "ci_hi", "_n_le0")
     )
 

@@ -1093,3 +1093,32 @@ def test_bleu_chrf_arrow_backends_bit_identical(spark):
         bleu_scores(df, backend="gpu")
     with pytest.raises(ValueError, match="backend"):
         chrf_scores(df, backend="gpu")
+
+
+def test_bootstrap_ci_degenerate_contract(spark):
+    # empty input: still ONE row — b=0, NULL se/ci (the documented shape)
+    empty = spark.createDataFrame([], "doc_id long, value double")
+    pin = []
+    row = bootstrap_mean_ci(
+        empty, "value", "doc_id", n_boot=5, pin=pin
+    ).collect()
+    for h in pin:
+        h.unpersist()
+    assert len(row) == 1
+    r = row[0]
+    assert r["b"] == 0 and r["se"] is None
+    assert r["ci_lo"] is None and r["ci_hi"] is None
+
+    # single surviving replicate: CI collapses to it, se NULL (variance
+    # undefined at b=1 — the unguarded divisor would give Inf/NaN)
+    from mrmr_spark.operators.evalmetrics import _ci_stats
+
+    reps = spark.createDataFrame(
+        [(0, 3, 0.7), (1, 0, None)], "replicate int, n_eff long, est double"
+    )
+    pin2 = []
+    s = _ci_stats(reps, alpha=0.05, pin=pin2).collect()[0]
+    for h in pin2:
+        h.unpersist()
+    assert s["b"] == 1 and s["se"] is None
+    assert s["ci_lo"] == 0.7 and s["ci_hi"] == 0.7

@@ -135,8 +135,10 @@ def main(argv: list[str] | None = None) -> dict:
     def score(prev):
         # every metric is a projection over (prediction, target) —
         # chaining them adds zero shuffles; the only care is the shared
-        # diagnostic names (n_pred/n_ref, and bleu's vs chrf's per-order
-        # match_n stats), dropped before each re-derivation
+        # diagnostic names: n_pred/n_ref are dropped before each
+        # re-derivation, and bleu's per-order match_n/total_n stats are
+        # RENAMED to bleu_* (they are corpus_bleu's inputs — a later
+        # chrf would otherwise collide with and destroy them)
         def _clean(d):
             shared = [c for c in d.columns if c in ("n_pred", "n_ref")]
             return d.drop(*shared) if shared else d
@@ -146,18 +148,19 @@ def main(argv: list[str] | None = None) -> dict:
             out = bleu_scores(
                 _clean(out), pred_col="prediction", ref_col=args.target_col,
             )
+            for c in [c for c in out.columns
+                      if c.startswith(("match_", "total_"))]:
+                out = out.withColumnRenamed(c, f"bleu_{c}")
         if "rouge" in metrics:
             out = rouge_l_scores(
                 _clean(out), pred_col="prediction", ref_col=args.target_col,
             )
         if "chrf" in metrics:
-            grams = [c for c in out.columns
-                     if c.startswith(("match_", "total_"))]
             out = chrf_scores(
-                _clean(out.drop(*grams)),
-                pred_col="prediction", ref_col=args.target_col,
+                _clean(out), pred_col="prediction", ref_col=args.target_col,
             )
-            # per-order char-gram stats are corpus_chrf inputs, noise here
+            # per-order char-gram stats are corpus_chrf inputs, noise in
+            # a per-row eval frame (18 columns) — the score is the point
             out = out.drop(*[c for c in out.columns
                              if c.startswith(("match_", "total_c_", "total_r_"))])
         if "wer" in metrics:
