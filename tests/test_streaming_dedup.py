@@ -497,3 +497,32 @@ def test_bleu_rouge_stateless_on_streams(spark, doc_stream_dir):
         a = got.sort_values("doc_id").reset_index(drop=True)
         b = batch.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_chrf_wer_stateless_on_streams(spark, doc_stream_dir):
+    """chrf_scores and wer_scores (both backends each, Arrow included)
+    are stateless projections — they run on a streaming frame unchanged
+    and replay-match the batch result row for row."""
+    from mrmr_spark.operators.evalmetrics import chrf_scores, wer_scores
+
+    d, schema, pdf = doc_stream_dir
+
+    def chain(df, backend):
+        toks = F.split(F.col("text"), " ")
+        out = df.withColumn("pred", F.col("text")).withColumn(
+            "ref", F.array_join(F.reverse(toks), " ")
+        )
+        out = chrf_scores(out, backend=backend)
+        out = wer_scores(out, backend=backend)
+        return out.select("doc_id", "match_1", "match_6", "chrf",
+                          "edit_dist", "wer")
+
+    for backend in ("column", "arrow"):
+        got = _run_stream(spark, chain(_read_stream(spark, d, schema), backend),
+                          f"s_chrfwer_{backend}")
+        batch = chain(
+            spark.createDataFrame(pdf.drop(columns=["slice"])), backend
+        ).toPandas()
+        a = got.sort_values("doc_id").reset_index(drop=True)
+        b = batch.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
