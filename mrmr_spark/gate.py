@@ -5991,6 +5991,114 @@ FROM g
 """
 
 
+def q_win_rate_ci(spark, sf_dir):
+    """Wilson score intervals over the win-rate matrix: the oracle
+    re-derives center/half-width with the identical z literal and the
+    same clamps — total-dominance cells (p̂ = 1) keep a proper lower
+    bound, which is the point of Wilson over Wald."""
+    from mrmr_spark.operators.evalmetrics import (
+        pairwise_win_rates, win_rate_intervals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.col("source")
+    b = F.concat(F.lit("src"), ((F.col("doc_id") * 7 + 3) % 20).cast("string"))
+    cmp = d.where(a != b).select(
+        F.when(F.col("n_chars") % 2 == 0, a).otherwise(b).alias("winner"),
+        F.when(F.col("n_chars") % 2 == 0, b).otherwise(a).alias("loser"),
+    )
+    out = win_rate_intervals(pairwise_win_rates(cmp))
+    return out.select(
+        "item_a", "item_b", "n", "wins_a", "wins_b",
+        r6("win_rate_a").alias("win_rate_a"),
+        r6("ci_lo").alias("ci_lo"), r6("ci_hi").alias("ci_hi"),
+    )
+
+
+_WILSON_Z = 1.959963984540054
+
+SQL_WIN_RATE_CI = f"""
+WITH cmp AS (
+  SELECT CASE WHEN n_chars % 2 = 0 THEN source ELSE cand END AS w,
+         CASE WHEN n_chars % 2 = 0 THEN cand ELSE source END AS l
+  FROM (SELECT doc_id, source, n_chars,
+               'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS cand
+        FROM documents)
+  WHERE source <> cand
+), p AS (
+  SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+         CASE WHEN w = least(w, l) THEN 1 ELSE 0 END AS wa
+  FROM cmp
+), g AS (
+  SELECT item_a, item_b, count(*) AS n, sum(wa) AS wins_a
+  FROM p GROUP BY 1, 2
+), sc AS (
+  SELECT item_a, item_b, n, wins_a,
+         wins_a::DOUBLE / n::DOUBLE AS p_hat, n::DOUBLE AS nd
+  FROM g
+)
+SELECT item_a, item_b, CAST(n AS BIGINT) AS n, CAST(wins_a AS BIGINT) AS wins_a,
+       CAST(n - wins_a AS BIGINT) AS wins_b,
+       round(p_hat, 6) AS win_rate_a,
+       round(GREATEST((p_hat + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * nd))
+                        / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / nd)
+                      - {_WILSON_Z!r} / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / nd)
+                        * sqrt(p_hat * (1.0 - p_hat) / nd
+                               + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * nd * nd)),
+                      0.0), 6) AS ci_lo,
+       round(LEAST((p_hat + {_WILSON_Z!r} * {_WILSON_Z!r} / (2.0 * nd))
+                     / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / nd)
+                   + {_WILSON_Z!r} / (1.0 + {_WILSON_Z!r} * {_WILSON_Z!r} / nd)
+                     * sqrt(p_hat * (1.0 - p_hat) / nd
+                            + {_WILSON_Z!r} * {_WILSON_Z!r} / (4.0 * nd * nd)),
+                   1.0), 6) AS ci_hi
+FROM sc
+"""
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar discordant-count test between two derived binary outcome
+    columns over events: all four cell counts and the continuity-
+    corrected statistic are exact — the oracle recomputes each from the
+    same CASE expressions."""
+    from mrmr_spark.operators.evalmetrics import mcnemar_test
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        (F.col("event_id") % 2 == 0).cast("int").alias("value_a"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("value_b"),
+    )
+    out = mcnemar_test(d)
+    return out.select(
+        "n", "both_correct", "both_wrong", "a_only", "b_only",
+        r6("statistic").alias("statistic"),
+    )
+
+
+SQL_MCNEMAR = """
+WITH v AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS b
+  FROM events
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS both_correct,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS both_wrong,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS a_only,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS b_only
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(both_correct AS BIGINT) AS both_correct,
+       CAST(both_wrong AS BIGINT) AS both_wrong,
+       CAST(a_only AS BIGINT) AS a_only, CAST(b_only AS BIGINT) AS b_only,
+       round(CASE WHEN a_only + b_only > 0
+                  THEN GREATEST(abs(a_only - b_only) - 1, 0)::DOUBLE
+                       * GREATEST(abs(a_only - b_only) - 1, 0)::DOUBLE
+                       / (a_only + b_only)::DOUBLE END, 6) AS statistic
+FROM agg
+"""
+
+
 def _chrf_pairs(spark, sf_dir):
     """Shared (pred, ref) construction for the chrF rows: doc_id%5 subset
     (the per-order clipped-gram folds are quadratic in gram count — the
@@ -6488,6 +6596,8 @@ QUERIES = {
     "corpus_chrf": q_corpus_chrf,
     "krippendorff": q_krippendorff,
     "wer": q_wer,
+    "win_rate_ci": q_win_rate_ci,
+    "mcnemar": q_mcnemar,
 }
 
 ORACLE_SQL = {
@@ -6622,4 +6732,6 @@ ORACLE_SQL = {
     "corpus_chrf": SQL_CORPUS_CHRF,
     "krippendorff": SQL_KRIPPENDORFF,
     "wer": SQL_WER,
+    "win_rate_ci": SQL_WIN_RATE_CI,
+    "mcnemar": SQL_MCNEMAR,
 }

@@ -62,6 +62,8 @@ __all__ = [
     "bradley_terry",
     "majority_vote",
     "pairwise_win_rates",
+    "win_rate_intervals",
+    "mcnemar_test",
     "fleiss_kappa",
     "cohens_kappa",
 ]
@@ -1288,6 +1290,78 @@ def majority_vote(
         ((-F.col("_best._nc")).cast("double") / F.col("n_samples").cast("double"))
         .alias("vote_share"),
     )
+
+
+def win_rate_intervals(
+    wr: DataFrame, z: float = 1.959963984540054
+) -> DataFrame:
+    """Wilson score interval per head-to-head cell — the error bar a
+    :func:`pairwise_win_rates` leaderboard should carry (the Wald
+    interval collapses at the 0/1 rates total-dominance cells produce;
+    Wilson stays proper at any count). Appends ``ci_lo, ci_hi`` for
+    ``win_rate_a`` at confidence z (default the two-sided 95% normal
+    quantile, embedded as a literal so any engine reproduces it):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z/(1 + z²/n) · √(p̂(1−p̂)/n + z²/4n²)
+
+    Pure Column arithmetic over the pair frame (bounded by the item
+    domain — no corpus access)."""
+    if not (z > 0):
+        raise ValueError(f"win_rate_intervals: z must be > 0, got {z}")
+    n = F.col("n").cast("double")
+    p = F.col("win_rate_a")
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z) / denom * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    )
+    return wr.select(
+        "*",
+        F.greatest(center - half, F.lit(0.0)).alias("ci_lo"),
+        F.least(center + half, F.lit(1.0)).alias("ci_hi"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    value_a_col: str = "value_a",
+    value_b_col: str = "value_b",
+) -> DataFrame:
+    """McNemar's paired test counts for BINARY per-row outcomes (exact
+    match, pass/fail) of two systems scored on the SAME rows — the
+    exact-count companion to :func:`paired_bootstrap_test` (which serves
+    continuous metrics). ONE aggregation; only the discordant pairs
+    carry information:
+
+        statistic = max(|b − c| − 1, 0)² / (b + c)   (continuity-
+                                  corrected, clamped at 0 so |b−c| ≤ 1
+                                  reads as no evidence; NULL when
+                                  b + c = 0)
+
+    with b = rows A got right and B wrong, c = the reverse. The
+    statistic is χ²₁-distributed under H₀; all outputs are exact
+    integers plus one rational, so the row is engine-reproducible
+    bit for bit (p-values need a χ² CDF — use the statistic against
+    the usual 3.841 (5%) / 6.635 (1%) cutoffs, or bootstrap the
+    difference for an assumption-free p). Returns one row: ``n,
+    both_correct, both_wrong, a_only, b_only, statistic``. Labels must
+    be 0/1 and non-NULL (execution-time error otherwise)."""
+    a = _binary_label(value_a_col)
+    b = _binary_label(value_b_col)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((a == 1) & (b == 1)).cast("long")).alias("both_correct"),
+        F.sum(((a == 0) & (b == 0)).cast("long")).alias("both_wrong"),
+        F.sum(((a == 1) & (b == 0)).cast("long")).alias("a_only"),
+        F.sum(((a == 0) & (b == 1)).cast("long")).alias("b_only"),
+    )
+    bb, cc = F.col("a_only"), F.col("b_only")
+    disc = (bb + cc).cast("double")
+    num = F.greatest(F.abs(bb - cc) - 1, F.lit(0)).cast("double")
+    stat = F.when(bb + cc > 0, num * num / disc)
+    return agg.select("*", stat.alias("statistic"))
 
 
 # ---------------------------------------------------------------------------

@@ -1122,3 +1122,57 @@ def test_bootstrap_ci_degenerate_contract(spark):
         h.unpersist()
     assert s["b"] == 1 and s["se"] is None
     assert s["ci_lo"] == 0.7 and s["ci_hi"] == 0.7
+
+
+# ---------------------------------------------------------------------------
+# Wilson intervals + McNemar
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import mcnemar_test, win_rate_intervals
+
+
+def test_win_rate_intervals_match_python(spark):
+    rows = [("A", "B")] * 9 + [("B", "A")] * 1 + [("A", "C")] * 5
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in win_rate_intervals(pairwise_win_rates(df)).collect()
+    }
+    z = 1.959963984540054
+    for (a, b), r in got.items():
+        n, p = r["n"], r["win_rate_a"]
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z / denom * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert abs(r["ci_lo"] - max(center - half, 0.0)) < 1e-12
+        assert abs(r["ci_hi"] - min(center + half, 1.0)) < 1e-12
+        assert r["ci_lo"] <= r["win_rate_a"] or r["win_rate_a"] == 1.0
+    # total-dominance cell: Wilson stays a proper interval at p̂ = 1
+    ac = got[("A", "C")]
+    assert ac["win_rate_a"] == 1.0 and ac["ci_lo"] < 1.0 and ac["ci_hi"] == 1.0
+    with pytest.raises(ValueError, match="z"):
+        win_rate_intervals(pairwise_win_rates(df), z=0.0)
+
+
+def test_mcnemar_counts_and_statistic(spark):
+    # 30 both-correct, 10 both-wrong, 12 a-only, 3 b-only
+    rows = (
+        [(1, 1)] * 30 + [(0, 0)] * 10 + [(1, 0)] * 12 + [(0, 1)] * 3
+    )
+    df = spark.createDataFrame(rows, "value_a int, value_b int")
+    r = mcnemar_test(df).collect()[0]
+    assert (r["n"], r["both_correct"], r["both_wrong"]) == (55, 30, 10)
+    assert (r["a_only"], r["b_only"]) == (12, 3)
+    assert abs(r["statistic"] - (abs(12 - 3) - 1) ** 2 / 15) < 1e-12
+
+    # concordant-only: no discordant information -> NULL statistic
+    conc = spark.createDataFrame([(1, 1)] * 4 + [(0, 0)] * 2,
+                                 "value_a int, value_b int")
+    assert mcnemar_test(conc).collect()[0]["statistic"] is None
+    # |b - c| <= 1 clamps to zero evidence
+    tie = spark.createDataFrame([(1, 0), (0, 1)], "value_a int, value_b int")
+    assert mcnemar_test(tie).collect()[0]["statistic"] == 0.0
+    # non-binary labels rejected at execution
+    bad = spark.createDataFrame([(2, 0)], "value_a int, value_b int")
+    with pytest.raises(Exception, match="0/1"):
+        mcnemar_test(bad).collect()
