@@ -5991,6 +5991,51 @@ FROM g
 """
 
 
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity per source over documents (orders 1-2): the
+    oracle re-derives total and distinct gram counts per (source, n)
+    from unnest + GROUP BY — exact integers plus one ratio."""
+    from mrmr_spark.operators.evalmetrics import distinct_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    out = distinct_ngrams(d, problem_col="source", text_col="text", ns=(1, 2))
+    return out.select(
+        "source", "n", "n_samples", "total_grams", "distinct_grams",
+        r6("distinct_ratio").alias("distinct_ratio"),
+    )
+
+
+SQL_DISTINCT_NGRAMS = """
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT source, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, len(t)),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM toks
+), agg AS (
+  SELECT source, n, count(*) AS total_grams,
+         count(DISTINCT gram) AS distinct_grams
+  FROM g GROUP BY 1, 2
+), cnt AS (
+  SELECT source, count(*) AS n_samples FROM documents GROUP BY 1
+), orders AS (
+  SELECT source, n_samples, 1 AS n FROM cnt
+  UNION ALL SELECT source, n_samples, 2 AS n FROM cnt
+)
+SELECT o.source, CAST(o.n AS INT) AS n, CAST(o.n_samples AS BIGINT) AS n_samples,
+       CAST(coalesce(a.total_grams, 0) AS BIGINT) AS total_grams,
+       CAST(coalesce(a.distinct_grams, 0) AS BIGINT) AS distinct_grams,
+       round(CASE WHEN coalesce(a.total_grams, 0) > 0
+                  THEN a.distinct_grams::DOUBLE / a.total_grams::DOUBLE END,
+             6) AS distinct_ratio
+FROM orders o LEFT JOIN agg a ON o.source = a.source AND o.n = a.n
+"""
+
+
 def q_win_rate_ci(spark, sf_dir):
     """Wilson score intervals over the win-rate matrix: the oracle
     re-derives center/half-width with the identical z literal and the
@@ -6598,6 +6643,7 @@ QUERIES = {
     "wer": q_wer,
     "win_rate_ci": q_win_rate_ci,
     "mcnemar": q_mcnemar,
+    "distinct_ngrams": q_distinct_ngrams,
 }
 
 ORACLE_SQL = {
@@ -6734,4 +6780,5 @@ ORACLE_SQL = {
     "wer": SQL_WER,
     "win_rate_ci": SQL_WIN_RATE_CI,
     "mcnemar": SQL_MCNEMAR,
+    "distinct_ngrams": SQL_DISTINCT_NGRAMS,
 }

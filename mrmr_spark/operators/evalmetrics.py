@@ -64,6 +64,7 @@ __all__ = [
     "pairwise_win_rates",
     "win_rate_intervals",
     "mcnemar_test",
+    "distinct_ngrams",
     "fleiss_kappa",
     "cohens_kappa",
 ]
@@ -1290,6 +1291,65 @@ def majority_vote(
         ((-F.col("_best._nc")).cast("double") / F.col("n_samples").cast("double"))
         .alias("vote_share"),
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    problem_col: str = "problem_id",
+    text_col: str = "text",
+    ns: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016) over sampled generations:
+    for each problem and gram order, the fraction of n-gram tokens that
+    are distinct across that problem's samples — the standard
+    mode-collapse / repetition diagnostic for k-sample decoding (low
+    distinct-2 = the sampler keeps emitting the same phrases).
+
+    One explode of (order, gram) pairs → ONE aggregation keyed on
+    (problem, order): `count` is map-side combinable and
+    `count_distinct` partially aggregates map-side too (shuffle ∝
+    distinct grams per problem, not total). Sample counts ride a
+    problem-keyed second agg joined back (both sides keyed identically
+    — no extra exchange of the gram table). Returns one row per
+    (problem, n) with the problem's full sample count even when an
+    order has no grams: ``problem_col, n, n_samples, total_grams,
+    distinct_grams, distinct_ratio`` (ratio NULL when total is 0).
+    """
+    if not ns or any((not isinstance(n, int)) or n < 1 for n in ns):
+        raise ValueError(f"distinct_ngrams: ns must be positive ints, got {ns!r}")
+    prob = F.col(problem_col)
+    toks = _ws_tokens(F.col(text_col))
+
+    # NOTE: a 2-arg lambda (even via a default like n=n) makes transform
+    # pass the ELEMENT INDEX as the second argument — tag via a closure
+    def _tag(order: int):
+        return lambda g: F.struct(F.lit(order).alias("n"), g.alias("g"))
+
+    per_n = [F.transform(_grams(toks, n), _tag(n)) for n in sorted(set(ns))]
+    ex = df.select(prob.alias("_p"), F.explode(F.flatten(F.array(*per_n))).alias("_x"))
+    grams = (
+        ex.groupBy(F.col("_p"), F.col("_x.n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count_distinct(F.col("_x.g")).alias("distinct_grams"),
+        )
+    )
+    counts = df.groupBy(prob.alias("_p")).agg(F.count(F.lit(1)).alias("n_samples"))
+    orders = F.explode(F.array(*[F.lit(n) for n in sorted(set(ns))])).alias("n")
+    base = counts.select("_p", "n_samples", orders)
+    out = base.join(grams, ["_p", "n"], "left").select(
+        F.col("_p").alias(problem_col),
+        "n",
+        "n_samples",
+        F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+        F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+        F.when(
+            F.coalesce("total_grams", F.lit(0)) > 0,
+            F.col("distinct_grams").cast("double")
+            / F.col("total_grams").cast("double"),
+        ).alias("distinct_ratio"),
+    )
+    return out
 
 
 def win_rate_intervals(

@@ -1176,3 +1176,47 @@ def test_mcnemar_counts_and_statistic(spark):
     bad = spark.createDataFrame([(2, 0)], "value_a int, value_b int")
     with pytest.raises(Exception, match="0/1"):
         mcnemar_test(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity
+# ---------------------------------------------------------------------------
+
+from mrmr_spark.operators.evalmetrics import distinct_ngrams
+
+
+def test_distinct_ngrams_matches_python(spark):
+    rows = [
+        (1, "the cat sat"), (1, "the cat sat"), (1, "the dog ran"),
+        (2, "a a a a"),
+        (3, ""),                                 # empty sample still counted
+    ]
+    df = spark.createDataFrame(rows, "problem_id long, text string")
+    got = {
+        (r["problem_id"], r["n"]): r
+        for r in distinct_ngrams(df, ns=(1, 2)).collect()
+    }
+    texts = {}
+    for p, t in rows:
+        texts.setdefault(p, []).append(t)
+    for p, ts in texts.items():
+        for n in (1, 2):
+            grams = [
+                " ".join(tok[i : i + n])
+                for t in ts
+                for tok in [t.split() if t else []]
+                for i in range(len(tok) - n + 1)
+            ]
+            r = got[(p, n)]
+            assert r["n_samples"] == len(ts)
+            assert r["total_grams"] == len(grams)
+            assert r["distinct_grams"] == len(set(grams))
+            if grams:
+                assert abs(r["distinct_ratio"] - len(set(grams)) / len(grams)) < 1e-12
+            else:
+                assert r["distinct_ratio"] is None
+    # the degenerate sampler is flagged: distinct-1 of "a a a a" = 0.25
+    assert abs(got[(2, 1)]["distinct_ratio"] - 0.25) < 1e-12
+    assert got[(3, 1)]["total_grams"] == 0 and got[(3, 1)]["n_samples"] == 1
+    with pytest.raises(ValueError, match="ns"):
+        distinct_ngrams(df, ns=(0,))
