@@ -33,12 +33,27 @@ ORD = ["ts", "event_id"]
 GAP_S = 1800.0
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (guide §2/§6): the driver testdata tables
+    are SINGLE-row-group parquet files, so however small the split size the
+    scan is one task and every per-row kernel (tokenize/hash/Arrow UDF)
+    runs on one core. One cheap round-robin exchange of the (column-pruned,
+    filter-pushed — Catalyst moves deterministic predicates below a
+    Repartition) input unlocks the session parallelism. No-op whenever the
+    scan already has >= defaultParallelism splits — i.e. everywhere at
+    production scale, where inputs have thousands of row groups."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def r6(c):
@@ -1373,7 +1388,12 @@ def q_target_encoding(spark, sf_dir):
     are a tiny groupBy + broadcast join — no fact-table shuffle."""
     from mrmr_spark.select.encoding import target_encode
 
-    e = _events(spark, sf_dir)
+    # NOT _events(): the LOO encoder's per-category sum(value) is an IEEE
+    # double fold, so its last-ulp value depends on the partition layout;
+    # the oracle-hash contract here rides on the single-split scan order.
+    # Scan work is trivial for this query (no text kernels), so the spread
+    # would buy nothing and costs exactness.
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = target_encode(e, ["event_type"], "value", method="loo", suffix="_loo")
     out = target_encode(out, ["event_type"], "value", method="target", suffix="_tgt")
     return out.select(
@@ -2289,11 +2309,20 @@ def q_repetition_stats(spark, sf_dir):
     from mrmr_spark.operators.curation import with_repetition_stats
 
     d = _t(spark, sf_dir, "documents")
-    out = with_repetition_stats(d.select("doc_id", "text"), ns=(2, 3))
+    # arrow backend: bit-identical to the Column fold (pytest
+    # test_repetition_stats_arrow_bit_identical) at ~10-20x the speed —
+    # the corpus-scale default per the operator's own docstring
+    out = with_repetition_stats(d.select("doc_id", "text"), ns=(2, 3), backend="arrow")
     cols = ["doc_id"]
     for n in (2, 3):
         cols += [
-            F.col(f"rep{n}_total").alias(f"rep{n}_total"),
+            # double, not bigint: the oracle's sum() comes back HUGEINT ->
+            # pandas float64, and the driver's value-hash distinguishes
+            # int64 300 from float64 300.0 — the one hash-red row of r05
+            # (r05's 49 hash-green rows all have kind-matched dtypes; this
+            # was the only int-vs-float row). Values are identical ints
+            # either way (< 2^53).
+            F.col(f"rep{n}_total").cast("double").alias(f"rep{n}_total"),
             r6(F.col(f"rep{n}_dup_frac")).alias(f"rep{n}_dup_frac"),
             r6(F.col(f"rep{n}_top_frac")).alias(f"rep{n}_top_frac"),
         ]
@@ -4257,7 +4286,10 @@ def q_hashed_embedding(spark, sf_dir):
     from mrmr_spark.operators.embedding import hashed_embedding
 
     d = _t(spark, sf_dir, "documents")
-    out = hashed_embedding(d, dim=16, hash_fn="poly", out_col="emb")
+    # arrow backend: bit-identical poly-family kernel (pytest
+    # test_hashed_embedding_arrow_bit_identical) without the per-character
+    # interpreted HOF fold — ~6x on the 50k-doc bench corpus
+    out = hashed_embedding(d, dim=16, hash_fn="poly", out_col="emb", backend="arrow")
     return out.select(
         "doc_id", F.posexplode("emb").alias("bucket", "value")
     ).select("doc_id", F.col("bucket").cast("int").alias("bucket"), r6("value").alias("value"))

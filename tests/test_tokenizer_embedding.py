@@ -282,6 +282,19 @@ def test_hashed_embedding_matches_python(spark, docs, signed, normalize):
         assert got[i] == py_embedding(t, 8, signed, normalize), (i, t)
 
 
+@pytest.mark.parametrize("signed,normalize,seed", [(True, True, 0), (True, False, 7), (False, True, 3)])
+def test_hashed_embedding_arrow_bit_identical(spark, docs, signed, normalize, seed):
+    kw = dict(dim=8, out_col="emb", hash_fn="poly", signed=signed, normalize=normalize, seed=seed)
+    g = {r.doc_id: r.emb for r in hashed_embedding(docs, backend="group", **kw).collect()}
+    a = {r.doc_id: r.emb for r in hashed_embedding(docs, backend="arrow", **kw).collect()}
+    assert g == a  # exact float equality — integer accumulation + one IEEE divide
+
+
+def test_hashed_embedding_arrow_rejects_xxhash64(spark, docs):
+    with pytest.raises(ValueError, match="arrow"):
+        hashed_embedding(docs, hash_fn="xxhash64", backend="arrow")
+
+
 def test_hashed_embedding_unit_norm_and_seed(spark, docs):
     rows = hashed_embedding(docs, dim=16, out_col="emb", seed=7).collect()
     for r in rows:
