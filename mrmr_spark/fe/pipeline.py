@@ -85,14 +85,25 @@ def build_features(
 ) -> DataFrame:
     """Return (conv_id, turn_idx, ts) + FEATURE_COLS (+ RICH_EXTRA_COLS when
     ``rich``) + target_next_gap."""
-    df = sessionize(transcripts, gap_s=session_gap_s)
-
-    df = df.withColumn("text_len", F.length("text").cast("double"))
-    df = df.withColumn("token_count", F.size(F.split(F.col("text"), r"\s+")).cast("double"))
-    df = df.withColumn("is_user", (F.col("role") == "user").cast("double"))
-    df = df.withColumn("is_assistant", (F.col("role") == "assistant").cast("double"))
-    df = df.withColumn("is_tool_role", (F.col("role") == "tool").cast("double"))
-    df = df.withColumn("has_tool", F.col("tool").isNotNull().cast("double"))
+    # Project the per-turn scalar features BEFORE the first window: the
+    # conv_id exchange otherwise carries the raw text/role/tool strings
+    # (hundreds of bytes/row) only for a projection ABOVE the shuffle to
+    # reduce them to six doubles — plan-verified that Catalyst does not
+    # hoist this on its own (the Exchange sat directly on the FileScan).
+    # Shuffle fewer bytes, guide §2.3; per-row expressions are unchanged,
+    # so every feature value is bit-identical.
+    df = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.length("text").cast("double").alias("text_len"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias("token_count"),
+        (F.col("role") == "user").cast("double").alias("is_user"),
+        (F.col("role") == "assistant").cast("double").alias("is_assistant"),
+        (F.col("role") == "tool").cast("double").alias("is_tool_role"),
+        F.col("tool").isNotNull().cast("double").alias("has_tool"),
+    )
+    df = sessionize(df, gap_s=session_gap_s)
 
     df = with_lags(df, {"gap_s": [1, 2]})
 
@@ -150,7 +161,12 @@ def build_features(
     df = with_lags(df, {"gap_s": [-1]})
     df = df.withColumn("target_next_gap", F.col("gap_s_lead1"))
 
-    # per-session turn index (0-based) — window over (conv, session)
+    # per-session turn index (0-based) — window over (conv, session).
+    # NOTE (r06, measured): deriving this inside the (conv, turn) sort
+    # block (row_number minus a running last() of the session-start
+    # row_number) removes this sort but chains THREE dependent WindowExec
+    # passes — +2.7 s on the 10.8M-row bench vs ~1 s for sorting the
+    # already-clustered data. The plain sort wins; keep it.
     from pyspark.sql.window import Window
 
     wsess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")

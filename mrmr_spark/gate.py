@@ -730,22 +730,28 @@ WHERE c.node IS NULL
 # ---------------------------------------------------------------------------
 
 def q_knn_cosine(spark, sf_dir, k: int = 5, n_queries: int = 10):
+    # norms hoisted OUT of the pair loop: sqrt(Σx²) is a per-row constant,
+    # so computing it once per corpus/query row instead of once per
+    # (query, row) PAIR drops ~2/3 of the interpreted HOF work at the
+    # identical doubles (same fold over the same values). The per-pair
+    # work is just the dot + one divide.
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
+    ).withColumn("_nv", nrm)
     q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("_nv").alias("_nq"),
     )
     dot = F.aggregate(
         F.zip_with("q_emb", "emb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    nq = F.sqrt(F.aggregate("q_emb", F.lit(0.0), lambda acc, x: acc + x * x))
-    nv = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
     sims = (
         F.broadcast(q)
         .crossJoin(e)
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", (dot / (nq * nv)).alias("sim"))
+        .select("q_id", "vec_id", (dot / (F.col("_nq") * F.col("_nv"))).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -3025,14 +3031,22 @@ def q_dsir_logweights(spark, sf_dir):
     under the SQL-reproducible md5_60 bucket family, decimal terms so
     the per-doc sums are order-independent. The oracle re-derives both
     multinomials and every per-gram log ratio in DuckDB."""
-    from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweights
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_doc_bucket_counts,
+        dsir_logweights,
+    )
 
     d = _t(spark, sf_dir, "documents")
     target = d.where(F.col("doc_id") % 13 == 0)
     pool = d.where(F.col("doc_id") % 13 != 0)
     tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
-    rm = dsir_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
-    out = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True)
+    # ONE explode+md5 pass over the pool serves both the raw model and the
+    # scorer (was two); grouped decimal×int scoring is exactly the
+    # per-occurrence decimal sum (pytest test_dsir_doc_counts_path_identical)
+    dc = dsir_doc_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60").persist()
+    rm = dsir_bucket_counts(None, ns=(1, 2), n_buckets=256, hash_fn="md5_60", doc_counts=dc)
+    out = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True, doc_counts=dc)
     return out.select("doc_id", "n_features", r6(F.col("log_weight")).alias("log_weight"))
 
 
@@ -3091,6 +3105,7 @@ def q_dsir_sample(spark, sf_dir):
     evidence it does not."""
     from mrmr_spark.operators.curation import (
         dsir_bucket_counts,
+        dsir_doc_bucket_counts,
         dsir_logweights,
         dsir_sample,
     )
@@ -3099,8 +3114,10 @@ def q_dsir_sample(spark, sf_dir):
     target = d.where(F.col("doc_id") % 13 == 0)
     pool = d.where(F.col("doc_id") % 13 != 0)
     tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
-    rm = dsir_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
-    lw = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True)
+    # shared single-pass pool counts, as in q_dsir_logweights
+    dc = dsir_doc_bucket_counts(pool, ns=(1, 2), n_buckets=256, hash_fn="md5_60").persist()
+    rm = dsir_bucket_counts(None, ns=(1, 2), n_buckets=256, hash_fn="md5_60", doc_counts=dc)
+    lw = dsir_logweights(pool, tm, rm, alpha=1.0, decimal_terms=True, doc_counts=dc)
     out = dsir_sample(lw, 100, hash_fn="affine")
     return out.select("doc_id", "n_features")
 

@@ -1344,13 +1344,45 @@ def _dsir_grams(text_col: str, split: str, ns: tuple) -> Column:
     return arrays[0] if len(arrays) == 1 else F.concat(*arrays)
 
 
+def dsir_doc_bucket_counts(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = " ",
+    ns: tuple = (1, 2),
+    n_buckets: int = 10_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document hashed-gram bucket occurrence counts ``(id_col, bucket,
+    cnt)`` — the shared intermediate that lets ONE explode+hash pass over a
+    pool serve BOTH the raw model (:func:`dsir_bucket_counts` via
+    ``doc_counts=``) and the scorer (:func:`dsir_logweights` via
+    ``doc_counts=``). Bounded at ``min(grams, n_buckets)`` rows per doc;
+    persist it between the two consumers (caller's pin, the usual
+    contract) so the text is exploded and hashed exactly once."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be a non-empty tuple of orders >= 1")
+    bucket = F.pmod(
+        hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(n_buckets)
+    ).alias("bucket")
+    return (
+        corpus.select(id_col, F.explode(_dsir_grams(text_col, split, ns)).alias("_g"))
+        .select(id_col, bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def dsir_bucket_counts(
-    reference: DataFrame,
+    reference: DataFrame | None,
     text_col: str = "text",
     split: str = " ",
     ns: tuple = (1, 2),
     n_buckets: int = 10_000,
     hash_fn: str = "xxhash64",
+    doc_counts: DataFrame | None = None,
 ) -> dict:
     """Hashed n-gram bucket counts for DSIR importance weighting
     (Xie et al. 2023, "Data Selection for Language Models via Importance
@@ -1370,20 +1402,27 @@ def dsir_bucket_counts(
     is the one driver action. ``hash_fn="md5_60"`` gives the
     SQL-reproducible bucket family (see :func:`~mrmr_spark.operators.dedup.hash64`)
     the gate oracles; production keeps JVM xxhash64.
+
+    ``doc_counts``: a precomputed :func:`dsir_doc_bucket_counts` frame for
+    this reference — the model reduces from it (sum of exact int counts =
+    identical counts) instead of re-exploding/re-hashing the text.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ns must be a non-empty tuple of orders >= 1")
-    bucket = F.pmod(
-        hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(n_buckets)
-    ).alias("bucket")
-    counts = (
-        reference.select(F.explode(_dsir_grams(text_col, split, ns)).alias("_g"))
-        .select(bucket)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if doc_counts is not None:
+        counts = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    else:
+        bucket = F.pmod(
+            hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(n_buckets)
+        ).alias("bucket")
+        counts = (
+            reference.select(F.explode(_dsir_grams(text_col, split, ns)).alias("_g"))
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     total = counts.agg(F.sum("cnt")).first()[0] or 0
     return {
         "counts": counts,
@@ -1404,6 +1443,7 @@ def dsir_logweights(
     alpha: float = 1.0,
     broadcast_model: bool = True,
     decimal_terms: bool = False,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: under the two hashed
     n-gram multinomials from :func:`dsir_bucket_counts`,
@@ -1424,6 +1464,18 @@ def dsir_logweights(
     the gate oracles). Both models must share ``n_buckets``/``ns``/
     ``hash_fn`` (checked): bucket ids are only comparable inside one
     hashed feature space.
+
+    ``doc_counts``: a precomputed :func:`dsir_doc_bucket_counts` frame
+    for ``corpus`` — scoring then skips its own explode+hash pass and
+    reduces the grouped counts instead: ``n_features = Σ cnt`` (same
+    integer) and ``log_weight = Σ cnt · term(bucket)``, which for the
+    decimal mode equals the per-occurrence decimal sum EXACTLY (decimal
+    × int and decimal + decimal are exact), and for the double mode
+    replaces cnt sequential adds of one value by one multiply — pass
+    ``decimal_terms=True`` if bit-parity with the per-occurrence fold
+    matters there. When the same pool also trains the raw model, one
+    persisted doc_counts frame means the pool text is exploded and
+    hashed ONCE end to end instead of twice.
     """
     for k in ("n_buckets", "ns", "hash_fn"):
         if target_model[k] != raw_model[k]:
@@ -1435,12 +1487,15 @@ def dsir_logweights(
     hash_fn = target_model["hash_fn"]
     ns = target_model["ns"]
     maybe_bc = F.broadcast if broadcast_model else (lambda d: d)
-    ex = corpus.select(
-        id_col, F.explode(_dsir_grams(text_col, split, ns)).alias("_g")
-    ).select(
-        id_col,
-        F.pmod(hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(b)).alias("bucket"),
-    )
+    if doc_counts is not None:
+        ex = doc_counts.select(id_col, "bucket", "cnt")
+    else:
+        ex = corpus.select(
+            id_col, F.explode(_dsir_grams(text_col, split, ns)).alias("_g")
+        ).select(
+            id_col,
+            F.pmod(hash64(F.col("_g"), seed=1, hash_fn=hash_fn), F.lit(b)).alias("bucket"),
+        )
     t = target_model["counts"].select("bucket", F.col("cnt").alias("_ct"))
     r = raw_model["counts"].select("bucket", F.col("cnt").alias("_cr"))
     lr = F.log(
@@ -1451,10 +1506,26 @@ def dsir_logweights(
         / F.lit(float(raw_model["total"]) + alpha * b)
     )
     term = F.col("_lr").cast("decimal(28,12)") if decimal_terms else F.col("_lr")
-    return (
+    joined = (
         ex.join(maybe_bc(t), "bucket", "left")
         .join(maybe_bc(r), "bucket", "left")
-        .select(id_col, lr.alias("_lr"))
+    )
+    if doc_counts is not None:
+        # cnt as DECIMAL(9,0): decimal(28,12) × decimal(9,0) → decimal(38,12)
+        # EXACTLY (a bigint multiplicand would push precision past 38 and
+        # Spark would silently cut the scale to 6). One bucket of one doc
+        # holding ≥ 10^9 gram occurrences is outside any real document.
+        mult = F.col("cnt").cast("decimal(9,0)") if decimal_terms else F.col("cnt")
+        return (
+            joined.select(id_col, F.col("cnt"), lr.alias("_lr"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_features"),
+                F.sum(term * mult).cast("double").alias("log_weight"),
+            )
+        )
+    return (
+        joined.select(id_col, lr.alias("_lr"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_features"),

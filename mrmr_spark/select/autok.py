@@ -388,6 +388,38 @@ def _grouped_regression_loss_pass(
     return losses
 
 
+def _algebraic_regression_losses(
+    accs: np.ndarray, v: int, p: int, ri: dict, B: np.ndarray
+) -> np.ndarray:
+    """Squared-error validation losses of all M ridge models on fold ``v``
+    WITHOUT a data pass: the weighted squared residual sum is a quadratic
+    form in the val fold's imputed second moments (already inside the fused
+    fold accumulators) under the train split's impute/center/scale stats —
+    Σw·r² = Syy − 2·b'Szy + b'Szz·b with Szz/Szy/Syy shifted from
+    fold-mean-centered moments to train-mean-centered ones. Exact up to
+    float reassociation vs the row-wise ``_grouped_regression_loss_pass``
+    (parity-tested at 1e-9); only valid for squared loss — mae keeps the
+    row pass."""
+    M = B.shape[1]
+    st = kernels.finish_fold_stats(accs, v, p, ri["impute_means"])
+    sw_v = float(st["sw"])
+    if sw_v <= 0.0:
+        return np.full(M, np.inf)
+    d = st["col_wmeans"] - ri["wmeans"]
+    dy = float(st["y_wmean"]) - ri["y_wmean"]
+    Sxx = st["C"] + sw_v * np.outer(d, d)
+    Sxy = st["c_y"] + sw_v * d * dy
+    Syy = float(st["c_yy"]) + sw_v * dy * dy
+    dinv = 1.0 / ri["wstds"]
+    Szz = Sxx * np.outer(dinv, dinv)
+    Szy = Sxy * dinv
+    t1 = B.T @ Szy
+    t2 = np.einsum("pm,pq,qm->m", B, Szz, B, optimize=True)
+    # clamp: the quadratic form can go an ulp negative where the fit is
+    # near-perfect; the row pass is a sum of squares and cannot
+    return np.maximum((Syy - 2.0 * t1 + t2) / sw_v, 0.0)
+
+
 class _InsufficientFolds(Exception):
     """Fewer than 2 hash folds are non-empty: either a single group, or a
     tiny group cardinality whose hashes collided. The caller decides —
@@ -425,11 +457,13 @@ def _ridge_group_cv_scores(
     metric: str,
     n_splits: int,
 ) -> dict[int, float]:
-    """Group-CV ridge evaluate in TWO scans total (was 3 × n_splits
-    sequential scans): one fold-keyed fused stats pass (every leave-one-
-    fold-out train split's moments AND Gram by driver-side Chan merges of
-    the per-fold accumulators), then one fold-grouped loss pass scoring
-    every split's (k, alpha) models on its own val fold."""
+    """Group-CV ridge evaluate in ONE scan for squared-error metrics (TWO
+    for mae; was 3 × n_splits sequential scans): one fold-keyed fused stats
+    pass (every leave-one-fold-out train split's moments AND Gram by
+    driver-side Chan merges of the per-fold accumulators); squared-error
+    validation losses then follow algebraically from the SAME per-fold
+    accumulators (``_algebraic_regression_losses``) — mae is not a
+    quadratic form, so it keeps the fold-grouped row-wise loss pass."""
     p = len(path)
     accs = kernels.fused_foldwise_stats(
         folded, path, target_col, "_fold", n_splits, weight_col, quantize_f32=False
@@ -443,6 +477,7 @@ def _ridge_group_cv_scores(
     sds = np.ones((n_splits, p))
     ymn = np.zeros(n_splits)
     live = np.zeros(n_splits, dtype=bool)
+    ris: list[dict | None] = [None] * n_splits
     keys = None
     for v in range(n_splits):
         if not occupied[v]:
@@ -457,14 +492,21 @@ def _ridge_group_cv_scores(
         imput[v], mus[v], sds[v], ymn[v] = (
             ri["impute_means"], ri["wmeans"], ri["wstds"], ri["y_wmean"],
         )
+        ris[v] = ri
         live[v] = True
     if keys is None:
         return {kk: float("inf") for kk in k_grid}
 
-    losses = _grouped_regression_loss_pass(
-        folded, path, target_col, weight_col, "_fold", imput, mus, sds, ymn,
-        B, metric,
-    )
+    if metric == "mae":
+        losses = _grouped_regression_loss_pass(
+            folded, path, target_col, weight_col, "_fold", imput, mus, sds,
+            ymn, B, metric,
+        )
+    else:
+        losses = np.full((n_splits, M), np.inf)
+        for v in range(n_splits):
+            if live[v]:
+                losses[v] = _algebraic_regression_losses(accs, v, p, ris[v], B[v])
     per_split: list[dict[int, float]] = []
     for v in range(n_splits):
         if not occupied[v]:

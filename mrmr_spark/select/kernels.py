@@ -555,6 +555,42 @@ def finish_loo_stats(
     return _finish_fused_acc(total, p, quantize_f32)
 
 
+def finish_fold_stats(
+    fold_accs: np.ndarray, fold: int, p: int, impute_means: np.ndarray
+) -> dict:
+    """ONE fold's imputed-moment statistics under a CALLER-SUPPLIED impute
+    vector (the train split's means, not the fold's own) — the val-side
+    counterpart of ``finish_loo_stats``. Same augmented-Gram algebra as
+    ``_finish_fused_acc``: with a = f⊙x and indicator f, the imputed column
+    is a + m·(1−f), so its (sw-scaled, fold-mean-centered) covariance is
+    Caa − Caf·m' − m·Caf' + (m m')⊙Cff, its y-covariance Cay − m⊙Cfy, and
+    its weighted mean mu_a + m·(1−mu_f). Lets ridge validation losses be
+    evaluated driver-side from the ONE fused stats scan (see
+    autok._algebraic_regression_losses) instead of a second data pass."""
+    q = 2 * p + 1
+    total = fold_accs[fold]
+    sw = float(total[0])
+    mu = total[1 : 1 + q]
+    C = total[1 + q : 1 + q + q * q].reshape(q, q)
+    m = np.asarray(impute_means, dtype=np.float64)
+    mu_a, mu_f, y_wmean = mu[:p], mu[p : 2 * p], float(mu[2 * p])
+    Caa = C[:p, :p]
+    Caf = C[:p, p : 2 * p]
+    Cff = C[p : 2 * p, p : 2 * p]
+    Cay = C[:p, 2 * p]
+    Cfy = C[p : 2 * p, 2 * p]
+    y_ss = float(C[2 * p, 2 * p])
+    afm = Caf * m[None, :]
+    return {
+        "sw": np.float64(sw),
+        "C": Caa - afm - afm.T + np.outer(m, m) * Cff,
+        "c_y": Cay - m * Cfy,
+        "c_yy": y_ss,
+        "col_wmeans": mu_a + m * (1.0 - mu_f),
+        "y_wmean": y_wmean,
+    }
+
+
 def fused_singlepass_class_stats(
     df: DataFrame,
     feature_cols: list[str],

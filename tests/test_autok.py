@@ -255,22 +255,24 @@ def test_group_cv_tiny_group_count_falls_back_to_round_robin(autok_data):
     assert {"x0", "x1"}.issubset(set(res.names))
 
 
-def test_evaluate_strategies_run_two_kernel_scans(autok_data, monkeypatch):
-    """Scan-count regression guard: regression evaluate must read the data
-    with exactly TWO kernel scans for either strategy (fold-keyed fused
-    stats + fold-grouped/val loss) — the shared-scan contract."""
+def test_evaluate_strategies_kernel_scan_counts(autok_data, monkeypatch):
+    """Scan-count regression guard: squared-error group-CV evaluate reads
+    the data with ONE kernel scan (fused fold-keyed stats; validation
+    losses follow algebraically from the same accumulators), mae group-CV
+    and time_holdout with TWO (stats + row-wise loss)."""
     from mrmr_spark.select import kernels
     from mrmr_spark.select.autok import AutoKConfig, select_k_evaluate
 
-    for strategy, kw in (
-        ("group_cv", {"group_col": "grp"}),
-        ("time_holdout", {"time_col": "t"}),
+    for strategy, kw, metric, want in (
+        ("group_cv", {"group_col": "grp"}, "rmse", 1),
+        ("group_cv", {"group_col": "grp"}, "mae", 2),
+        ("time_holdout", {"time_col": "t"}, "rmse", 2),
     ):
         cfg = AutoKConfig(k_method="evaluate", strategy=strategy, max_k=5,
-                          min_k=1, n_splits=3)
+                          min_k=1, n_splits=3, metric=metric)
         monkeypatch.setattr(kernels, "PLAN_LOG", [])
         select_k_evaluate(autok_data, FEATS, "y", cfg, task="regression", **kw)
-        assert len(kernels.PLAN_LOG) == 2, (strategy, len(kernels.PLAN_LOG))
+        assert len(kernels.PLAN_LOG) == want, (strategy, metric, len(kernels.PLAN_LOG))
 
 
 def test_classification_holdout_shared_scan_matches_loop(autok_cls_data):

@@ -810,6 +810,40 @@ def test_dsir_logweights_matches_python_oracle(dsir_docs):
         assert r.log_weight == pytest.approx(want, abs=1e-9)
 
 
+def test_dsir_doc_counts_path_identical(dsir_docs):
+    """The single-pass pooled path (dsir_doc_bucket_counts shared by raw
+    model + scorer) must equal the plain two-pass path BIT FOR BIT in
+    decimal mode: Σ_occurrences dec(lr) == Σ_buckets cnt·dec(lr)."""
+    from mrmr_spark.operators.curation import (
+        dsir_bucket_counts,
+        dsir_doc_bucket_counts,
+        dsir_logweights,
+    )
+
+    docs, target, _, _ = dsir_docs
+    b, ns = 256, (1, 2)
+    tm = dsir_bucket_counts(target, ns=ns, n_buckets=b, hash_fn="md5_60")
+    rm_plain = dsir_bucket_counts(docs, ns=ns, n_buckets=b, hash_fn="md5_60")
+    plain = {
+        r.doc_id: r
+        for r in dsir_logweights(docs, tm, rm_plain, decimal_terms=True).collect()
+    }
+    dc = dsir_doc_bucket_counts(docs, ns=ns, n_buckets=b, hash_fn="md5_60").persist()
+    rm_pooled = dsir_bucket_counts(None, ns=ns, n_buckets=b, hash_fn="md5_60", doc_counts=dc)
+    pooled = {
+        r.doc_id: r
+        for r in dsir_logweights(
+            docs, tm, rm_pooled, decimal_terms=True, doc_counts=dc
+        ).collect()
+    }
+    dc.unpersist()
+    assert rm_pooled["total"] == rm_plain["total"]
+    assert set(plain) == set(pooled)
+    for did, r in plain.items():
+        assert pooled[did].n_features == r.n_features
+        assert pooled[did].log_weight == r.log_weight  # exact
+
+
 def test_dsir_prefers_target_like_docs(dsir_docs):
     from mrmr_spark.operators.curation import dsir_bucket_counts, dsir_logweights
 

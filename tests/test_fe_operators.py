@@ -105,6 +105,31 @@ def test_build_features_no_python_in_plan(transcripts):
     assert set(FEATURE_COLS).issubset(set(feats.columns))
 
 
+def test_build_features_narrow_exchange(transcripts):
+    """Physical-shape guard: the conv_id exchange must carry the projected
+    numeric features, never the raw text/role/tool strings
+    (shuffle-fewer-bytes contract). Sort count stays at the 3-sort shape —
+    the 2-sort sess_turn rewrite measured slower (see pipeline.py note)."""
+    import re
+
+    feats = build_features(transcripts)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    n_sorts = len(re.findall(r"\bSort \[", plan))
+    assert n_sorts == 3, f"expected 3 sorts, plan has {n_sorts}"
+    exchange_child = None
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(conv_id" in line:
+            exchange_child = lines[i + 1]
+    assert exchange_child is not None
+    # the exchange must be fed by the Project that REDUCES text/role/tool
+    # to doubles (i.e. the computation happens below the shuffle, so only
+    # numerics cross it) — not by the raw scan
+    assert "AS text_len" in exchange_child and "AS has_tool" in exchange_child, (
+        "the feature projection must sit below the conv_id exchange"
+    )
+
+
 def test_temporal_leakage_probe(spark, transcripts_pdf):
     """Features computed on a time-truncated prefix equal full-data features
     on all covered rows (zero temporal leakage)."""
