@@ -48,12 +48,22 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: tables whose queries do heavy MAP-SIDE per-row work (tokenize / n-gram
+#: hashing / Arrow kernels) before any exchange — the ones the scan spread
+#: pays for. For the window/join/agg tables (events, lineitem, ...) the
+#: first operator is an exchange that redistributes anyway, so a spread is
+#: a pure extra shuffle — measured 2-4x REGRESSIONS on sessionize/rolling/
+#: revenue_by_nation/roc_auc when it was applied to every table.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(df) if name in _SPREAD_TABLES else df
 
 
 def r6(c):
