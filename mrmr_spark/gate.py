@@ -48,22 +48,19 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-#: tables whose queries do heavy MAP-SIDE per-row work (tokenize / n-gram
-#: hashing / Arrow kernels) before any exchange — the ones the scan spread
-#: pays for. For the window/join/agg tables (events, lineitem, ...) the
-#: first operator is an exchange that redistributes anyway, so a spread is
-#: a pure extra shuffle — measured 2-4x REGRESSIONS on sessionize/rolling/
-#: revenue_by_nation/roc_auc when it was applied to every table.
-_SPREAD_TABLES = {"documents", "embeddings"}
-
-
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _t(spark, sf_dir, name) -> DataFrame:
+def _t(spark, sf_dir, name, spread: bool = False) -> DataFrame:
+    """``spread=True`` is OPT-IN per query: only queries with heavy
+    map-side per-row work (tokenize / n-gram hashing / Arrow kernels)
+    before their first exchange gain from it — bench-measured 3-15x there.
+    Everywhere else the round-robin exchange is a flat ~0.1-0.2 s loss:
+    window/join/agg queries redistribute anyway, and sub-second projection
+    queries are dominated by the extra stage."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _spread(df) if name in _SPREAD_TABLES else df
+    return _spread(df) if spread else df
 
 
 def r6(c):
@@ -518,7 +515,7 @@ FROM s
 
 
 def q_ngram_jaccard(spark, sf_dir, n: int = 5, threshold: float = 0.2):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sh = d.select(
         "doc_id",
         F.explode(
@@ -576,7 +573,7 @@ def q_winnow_pairs(spark, sf_dir, min_shared: int = 2):
     document fingerprinting — SWA winnowing, the MOSS scheme)."""
     from mrmr_spark.operators.textstats import winnow_candidate_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return winnow_candidate_pairs(d, min_shared=min_shared).select(
         "id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared")
     )
@@ -631,7 +628,7 @@ def q_winnow_verified(spark, sf_dir, threshold: float = 0.2):
     from mrmr_spark.operators.dedup import verify_candidate_pairs
     from mrmr_spark.operators.textstats import winnow_candidate_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     cand = winnow_candidate_pairs(d).select("id_a", "id_b")
     return verify_candidate_pairs(d, cand, threshold=threshold).select(
         "id_a", "id_b", r6("jaccard").alias("jaccard")
@@ -746,7 +743,7 @@ def q_knn_cosine(spark, sf_dir, k: int = 5, n_queries: int = 10):
     # identical doubles (same fold over the same values). The per-pair
     # work is just the dot + one divide.
     nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x))
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     ).withColumn("_nv", nrm)
     q = e.where(F.col("vec_id") < n_queries).select(
@@ -965,7 +962,7 @@ def q_ann_lsh(spark, sf_dir):
     bucketed candidates and the exact cosine re-rank."""
     from mrmr_spark.operators.similarity import ann_lsh
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.where(F.col("vec_id") < 10)
     out = ann_lsh(e, q, dim=64, k=5, n_planes=10, n_tables=6)
     return out.select("q_id", "vec_id", "rank", r6("sim").alias("sim"))
@@ -1040,7 +1037,7 @@ def q_ann_ivf(spark, sf_dir):
 
     from mrmr_spark.operators.similarity import ann_ivf
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     cent_rows = (
         e.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
     )
@@ -1104,7 +1101,7 @@ def q_embedding_near_dup(spark, sf_dir):
     from scratch."""
     from mrmr_spark.operators.similarity import embedding_near_dup
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     out = embedding_near_dup(e, dim=64, threshold=0.30, n_planes=6, n_tables=8)
     return out.select("id_a", "id_b", r6("sim").alias("sim"))
 
@@ -2324,7 +2321,7 @@ def q_repetition_stats(spark, sf_dir):
     the single-fold Column implementation vs an unnest+GROUP BY oracle."""
     from mrmr_spark.operators.curation import with_repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     # arrow backend: bit-identical to the Column fold (pytest
     # test_repetition_stats_arrow_bit_identical) at ~10-20x the speed —
     # the corpus-scale default per the operator's own docstring
@@ -2448,7 +2445,7 @@ def q_quantize_embeddings(spark, sf_dir):
     exact, float diagnostics at r6 like every embedding row."""
     from mrmr_spark.operators.similarity import quantize_embeddings
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     out = quantize_embeddings(e, with_error_stats=True)
     q_sum = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x)
     q_l1 = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x))
@@ -2502,7 +2499,7 @@ def q_lm_score(spark, sf_dir):
     strings — agreement doubles as 128-bit collision evidence."""
     from mrmr_spark.operators.curation import bigram_lm_counts, ngram_lm_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     model = bigram_lm_counts(d.where(F.col("doc_id") % 7 == 0))
     out = ngram_lm_score(d, model, add_k=0.5, decimal_terms=True)
     return out.select(
@@ -2939,7 +2936,7 @@ def q_duplicate_spans(spark, sf_dir):
     collision-freeness."""
     from mrmr_spark.operators.curation import duplicate_spans
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return duplicate_spans(d, n=6).select(
         "doc_id",
         F.col("tok_start").cast("bigint").alias("tok_start"),
@@ -2995,7 +2992,10 @@ def q_duplicate_trim(spark, sf_dir):
     from mrmr_spark.operators.curation import duplicate_spans, trim_duplicate_spans
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = trim_duplicate_spans(d, duplicate_spans(d, n=6))
+    # persist_occ=False: the bench's count over the trim output relies
+    # on left-join elimination, which an InMemoryRelation boundary in
+    # the spans subtree would block (measured 0.4 s -> 1.8 s)
+    out = trim_duplicate_spans(d, duplicate_spans(d, n=6, persist_occ=False))
     return out.select(
         "doc_id",
         "text",
@@ -3047,7 +3047,7 @@ def q_dsir_logweights(spark, sf_dir):
         dsir_logweights,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     target = d.where(F.col("doc_id") % 13 == 0)
     pool = d.where(F.col("doc_id") % 13 != 0)
     tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
@@ -3120,7 +3120,7 @@ def q_dsir_sample(spark, sf_dir):
         dsir_sample,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     target = d.where(F.col("doc_id") % 13 == 0)
     pool = d.where(F.col("doc_id") % 13 != 0)
     tm = dsir_bucket_counts(target, ns=(1, 2), n_buckets=256, hash_fn="md5_60")
@@ -3242,7 +3242,7 @@ def q_semdedup(spark, sf_dir):
 
     from mrmr_spark.operators.similarity import semdedup
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     cent_rows = (
         e.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
     )
@@ -3301,7 +3301,7 @@ def q_tfidf_terms(spark, sf_dir):
     fully deterministic)."""
     from mrmr_spark.operators.curation import tfidf_top_terms
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = tfidf_top_terms(d, k=5)
     return out.select(
         "doc_id", "term", "tf", "df", r6(F.col("score")).alias("score"), "rank"
@@ -3532,7 +3532,7 @@ def q_domain_stats(spark, sf_dir):
     registered domain -> aggregate docs/tokens/chars per domain."""
     from mrmr_spark.operators.web import domain_stats, filter_by_domains, url_parts
 
-    d = _inject_urls(_t(spark, sf_dir, "documents"))
+    d = _inject_urls(_t(spark, sf_dir, "documents", spread=True))
     kept = filter_by_domains(url_parts(d), ["sample.co.uk"], mode="block")
     out = domain_stats(kept)
     return out.select(
@@ -3677,7 +3677,7 @@ def q_sliding_chunks(spark, sf_dir):
     no-redundant-tail stop rule and the short final chunk."""
     from mrmr_spark.operators.curation import sliding_chunks
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return sliding_chunks(d, size=40, stride=25).select(
         "doc_id", "chunk_idx", "tok_start", "n_tokens", "chunk_text"
     )
@@ -3780,7 +3780,7 @@ def q_bm25_topk(spark, sf_dir):
     partition-order-independent; rank ties break on doc_id."""
     from mrmr_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     queries = docs.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
@@ -3852,7 +3852,7 @@ def q_bm25_indexed(spark, sf_dir):
     index build + indexed search end to end."""
     from mrmr_spark.operators.retrieval import bm25_build_index, bm25_topk_indexed
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     queries = docs.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
@@ -3873,7 +3873,7 @@ def q_rrf_fusion(spark, sf_dir):
     the fused ranking are bit-identical; ties break on ascending id."""
     from mrmr_spark.operators.retrieval import bm25_topk, rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     queries = docs.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("query"),
@@ -4268,7 +4268,7 @@ def q_bpe_encode(spark, sf_dir):
     doubles as backend-equivalence evidence (column twin pytest-equal)."""
     from mrmr_spark.operators.tokenizer import bpe_encode
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = bpe_encode(d, GATE_BPE_MERGES)
     n = F.size("bpe_tokens")
     return out.select(
@@ -4312,7 +4312,7 @@ def q_hashed_embedding(spark, sf_dir):
     (doc, bucket) so EVERY coordinate is value-checked."""
     from mrmr_spark.operators.embedding import hashed_embedding
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     # arrow backend: bit-identical poly-family kernel (pytest
     # test_hashed_embedding_arrow_bit_identical) without the per-character
     # interpreted HOF fold — ~6x on the 50k-doc bench corpus
@@ -5010,7 +5010,7 @@ def q_length_batches(spark, sf_dir):
     row_number, so range-boundary/offset drift hash-mismatches."""
     from mrmr_spark.operators.curation import batch_by_length, batch_padding_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     pin: list = []
     out = batch_padding_stats(
         batch_by_length(d, 32, len_col="n_chars", pin=pin), len_col="n_chars"
@@ -5092,7 +5092,7 @@ def q_interleave_mix(spark, sf_dir):
     so rank-phase or key-arithmetic drift anywhere hash-mismatches."""
     from mrmr_spark.operators.curation import interleave_sources
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     pin: list = []
     out = interleave_sources(
         d, {"src0": 4.0, "src3": 2.0}, seed=0, hash_fn="md5_60", pin=pin
@@ -6483,7 +6483,7 @@ def q_bootstrap_ci(spark, sf_dir):
     interpolations, which is what makes this row hash-checkable."""
     from mrmr_spark.operators.evalmetrics import bootstrap_mean_ci
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", _boot_value_col().alias("value")
     )
     pin: list = []
@@ -6526,7 +6526,7 @@ def q_paired_bootstrap(spark, sf_dir):
     endpoints hash-match."""
     from mrmr_spark.operators.evalmetrics import paired_bootstrap_test
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         _boot_value_col().alias("value_a"),
         _boot_value_b_col().alias("value_b"),

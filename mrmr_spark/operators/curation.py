@@ -320,6 +320,59 @@ def repetition_stats_arrow(text_col: str = "text", n: int = 2, split: str = " ")
     return _stats(F.col(text_col))
 
 
+def repetition_stats_arrow_multi(
+    text_col: str, ns: tuple[int, ...], split: str
+) -> Column:
+    """All orders of :func:`repetition_stats_arrow` in ONE kernel: the text
+    ships through the Python boundary once and is tokenized/factorized once,
+    with only the per-order key combine + unique repeated. Field-for-field
+    bit-identical to the per-order kernels (same codes, same int counts,
+    same IEEE divisions) — pytest-asserted via the arrow≡column test."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = ", ".join(
+        f"rep{n}_total long, rep{n}_dup_frac double, rep{n}_top_frac double"
+        for n in ns
+    )
+
+    @pandas_udf(fields)
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        cols = {}
+        for n in ns:
+            cols[f"rep{n}_total"] = np.zeros(len(texts), np.int64)
+            cols[f"rep{n}_dup_frac"] = np.zeros(len(texts), np.float64)
+            cols[f"rep{n}_top_frac"] = np.zeros(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            toks = t.split(split)
+            ln = len(toks)
+            if ln < min(ns):
+                continue
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+            codes = codes.astype(np.int64)
+            b = np.int64(len(uniq))
+            for n in ns:
+                if ln < n:
+                    continue
+                m = ln - n + 1
+                if n * np.log2(max(int(b), 2)) > 62:
+                    from collections import Counter
+
+                    c = Counter(zip(*[codes[j : j + m] for j in range(n)]))
+                    cnts = np.fromiter(c.values(), np.int64)
+                else:
+                    key = codes[:m].copy()
+                    for j in range(1, n):
+                        key *= b
+                        key += codes[j : j + m]
+                    _, cnts = np.unique(key, return_counts=True)
+                cols[f"rep{n}_total"][i] = m
+                cols[f"rep{n}_dup_frac"][i] = float(m - int((cnts == 1).sum())) / m
+                cols[f"rep{n}_top_frac"][i] = float(int(cnts.max())) / m
+        return pd.DataFrame(cols)
+
+    return _stats(F.col(text_col))
+
+
 def with_repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -340,7 +393,13 @@ def with_repetition_stats(
     """
     if backend not in ("column", "arrow"):
         raise ValueError(f"backend must be 'column' or 'arrow', got {backend!r}")
-    make = repetition_stats if backend == "column" else repetition_stats_arrow
+    if backend == "arrow":
+        # one fused kernel for every order: single text ship + tokenize
+        # (vs one ArrowEvalPython per n); inline() keeps the single-eval
+        # guarantee. Bit-identical to the per-order kernels.
+        st = repetition_stats_arrow_multi(text_col, ns, split)
+        return df.select("*", F.inline(F.array(st)))
+    make = repetition_stats
 
     def _rename(n):
         # NB: a plain `lambda s, n=n:` would be treated by F.transform as
@@ -1169,6 +1228,8 @@ def duplicate_spans(
     keep_first: bool = True,
     hash_fn: str = "xxhash64",
     gram_keys: str = "tokens",
+    pin: list | None = None,
+    persist_occ: bool = True,
 ) -> DataFrame:
     """EXACT substring deduplication, the Lee et al. 2021 scheme
     ("Deduplicating Training Data Makes Language Models Better"): find
@@ -1201,6 +1262,21 @@ def duplicate_spans(
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would span every token)")
     occ = _positioned_gram_keys(corpus, id_col, text_col, n, split, hash_fn, gram_keys)
+    # persist: BOTH the df-count aggregation and the join stream read occ,
+    # and without the pin each re-runs the text explode + double-hash pass
+    # (verified: no ReusedExchange — the agg side is exchanged on (g1,g2),
+    # the join side streams into a broadcast join unshuffled). The pinned
+    # frame is (id, pos, g1, g2) — ~32 bytes per corpus token, the same
+    # order as the count shuffle it feeds. winnow_candidate_pairs
+    # precedent: pass ``pin`` to unpersist after materializing the spans.
+    # ``persist_occ=False`` opts out: an InMemoryRelation boundary blocks
+    # downstream optimizer rewrites (e.g. trim's left-join elimination
+    # under a count), so callers that only consume the spans lazily inside
+    # a bigger plan may prefer the recompute.
+    if persist_occ:
+        occ = occ.persist()
+        if pin is not None:
+            pin.append(occ)
     stats = occ.groupBy("g1", "g2").agg(
         F.count(F.lit(1)).alias("_df"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),

@@ -170,7 +170,12 @@ def _hashed_embedding_arrow(
             out.append(raw)
         return pd.Series(out)
 
-    return _emb
+    # non-deterministic marker (guide §4.4): a downstream generator/filter
+    # (e.g. posexplode's inferred `size(emb) > 0`) otherwise gets pushed
+    # below the evaluation and DUPLICATES the whole kernel — observed as a
+    # second ArrowEvalPython under the scan, doubling the work. The kernel
+    # is pure; the marker only stops the optimizer from cloning it.
+    return _emb.asNondeterministic()
 
 
 def hashed_embedding(

@@ -229,7 +229,12 @@ def winnow_fingerprints_arrow(
             out.append(np.unique(wins).tolist())
         return pd.Series(out)
 
-    return _fps(F.col(text_col))
+    # guide §4.4: the downstream explode infers a `size(fps) > 0` filter
+    # that the optimizer pushes below the evaluation, cloning the whole
+    # fingerprint kernel (a second ArrowEvalPython under the scan — 2x the
+    # hashing work inside the persisted subtree). The kernel is pure; the
+    # non-deterministic marker only forbids the clone.
+    return _fps.asNondeterministic()(F.col(text_col))
 
 
 def winnow_candidate_pairs(
