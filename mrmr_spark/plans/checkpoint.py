@@ -72,6 +72,16 @@ def checkpoint_phase(
     spark = df.sparkSession
     t0 = time.time()
     data_path = os.path.join(path, "data")
+    # invalidate any prior COMPLETE manifest BEFORE overwriting the data:
+    # a driver killed after the parquet overwrite but before the new
+    # manifest lands would otherwise leave the OLD config's complete
+    # manifest paired with the NEW config's data, and a later run matching
+    # the old config_id (or a legacy config=None caller) would silently
+    # resume the wrong configuration's output. A crash mid-rebuild now
+    # forces a rebuild instead of a stale resume. (r05 advice, medium.)
+    mp = _manifest_path(path)
+    if os.path.exists(mp):
+        os.remove(mp)
     df.write.mode("overwrite").parquet(data_path)
     back = spark.read.parquet(data_path)
 

@@ -259,6 +259,49 @@ def test_resume_keys_on_config_fingerprint(spark, tmp_path, transcripts):
     assert calls["n"] == calls_before + 1
 
 
+def test_crash_mid_rebuild_invalidates_stale_manifest(spark, tmp_path, transcripts):
+    """A driver killed between the data overwrite and the manifest write
+    must NOT leave the previous run's complete manifest paired with the
+    new run's data (r05 advice): checkpoint_phase deletes the old
+    manifest before touching the data, so a crash anywhere in the rebuild
+    forces a rebuild on the next run instead of a stale resume."""
+    from mrmr_spark.plans import checkpoint as cp
+    from mrmr_spark.plans.checkpoint import config_fingerprint
+
+    path = str(tmp_path / "crash_phase")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return transcripts.withColumn("text_len", F.length("text"))
+
+    cfg_a = config_fingerprint({"v": 1})
+    _, m1 = resume_or_run(spark, path, "fe", build, config_id=cfg_a)
+    assert m1["complete"] and calls["n"] == 1
+
+    # rebuild under config B, crashing right after the data overwrite
+    # (before the manifest write) — simulated by failing the metrics pass
+    cfg_b = config_fingerprint({"v": 2})
+    orig = cp._manifest_id
+
+    def boom(payload):
+        raise RuntimeError("simulated crash before manifest write")
+
+    cp._manifest_id = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            resume_or_run(spark, path, "fe", build, config_id=cfg_b)
+    finally:
+        cp._manifest_id = orig
+    assert calls["n"] == 2
+
+    # the OLD complete manifest must be gone: neither the old config nor a
+    # legacy (config-free) caller may resume the half-rebuilt state
+    assert load_manifest(path) is None
+    _, m3 = resume_or_run(spark, path, "fe", build, config_id=cfg_a)
+    assert calls["n"] == 3 and m3["complete"]
+
+
 def test_run_eval_config_change_rebuilds(spark, tmp_path):
     import tools.run_eval as run_eval
 
