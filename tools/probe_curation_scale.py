@@ -261,6 +261,33 @@ def main() -> None:
     out["dsir_ok"] = bool(
         chk.n == n and chk.n_t == n_planted and chk.t_min > chk.o_max
     )
+    # r06: the single-pool-pass path (shared doc-bucket counts feeding raw
+    # model AND scorer) must agree with the plain two-pass path at corpus
+    # scale — exact in decimal mode (Σ_occ dec(lr) == Σ_bkt cnt·dec(lr))
+    from mrmr_spark.operators.curation import dsir_doc_bucket_counts
+
+    t0 = time.time()
+    plain_dec = dsir_logweights(docs, tm, rm, decimal_terms=True)
+    dc = dsir_doc_bucket_counts(docs, n_buckets=10_000).persist()
+    rm_pooled = dsir_bucket_counts(None, n_buckets=10_000, doc_counts=dc)
+    pooled_dec = dsir_logweights(
+        docs, tm, rm_pooled, decimal_terms=True, doc_counts=dc
+    )
+    diff = (
+        plain_dec.alias("a")
+        .join(pooled_dec.alias("b"), "doc_id")
+        .where(
+            (F.col("a.n_features") != F.col("b.n_features"))
+            | (F.col("a.log_weight") != F.col("b.log_weight"))
+        )
+        .count()
+    )
+    dc.unpersist()
+    out["dsir_pooled_s"] = round(time.time() - t0, 3)
+    out["dsir_pooled_ok"] = bool(
+        diff == 0 and rm_pooled["total"] == rm["total"]
+    )
+
     t0 = time.time()
     k = min(5000, n_planted)
     picked = dsir_sample(lw, k).agg(
