@@ -101,6 +101,13 @@ def bm25_scores(
 
     # Corpus side: explode, then broadcast-filter to query terms BEFORE
     # any shuffle — posting rows past this point ∝ query-term matches.
+    # Persisted: matched feeds BOTH the per-term df broadcast build and the
+    # final scoring stream, and without the pin each consumer re-runs the
+    # full corpus tokenize+explode+filter+agg (a broadcast build and a
+    # stream never share an exchange). The pinned frame is bounded by
+    # query-term matches, not the corpus — the operator's own scale
+    # contract (winnow/duplicate_spans pin precedent; stays cached until
+    # session drop, like theirs).
     matched = (
         toks.select(
             F.col(id_col),
@@ -110,7 +117,7 @@ def bm25_scores(
         .join(F.broadcast(terms), "term")
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
-    )
+    ).persist()
 
     # df per query term, computed from the filtered postings (exact: the
     # filter is by term, df is per term). One small agg; broadcast back.
